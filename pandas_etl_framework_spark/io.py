@@ -1,0 +1,91 @@
+"""Sources and sinks.
+
+Re-expresses the reference's IO surface (read_parquet_df:
+SCDHelpers.py:276-281, read_current_hashes: MetaColumnHelpers.py:164-169,
+partitioned sink: main.py:24, CSV source: main.py:16, empty-relation
+bootstrap: main.py:20-21 / SCDHelpers.py:26-30) on Spark readers/writers.
+
+Scale note: the reference hive-partitions the current store by the
+*business key* columns (main.py:24) — at 100 TB that is one directory per
+key, i.e. millions of tiny files. The sink here defaults to partitioning by
+``INSERT_RUN_ID`` (one directory per load) which keeps files large,
+preserves partition pruning for incremental readers, and still allows an
+explicit ``partition_by`` override for reference-identical layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.utils import AnalysisException
+
+from .constants import INSERT_RUN_ID, KEY_HASH, RECORD_HASH
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """CSV source with header; explicit schema preferred for hash stability
+    (type inference can flip int/double and silently change hash preimages).
+    ref: main.py:16 (pd.read_csv).
+    """
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_parquet_df(spark: SparkSession, path: str) -> DataFrame | None:
+    """Fault-tolerant parquet source: ``None`` when the store doesn't exist.
+
+    ref: SCDHelpers.py:276-281 — but only missing-path errors are swallowed
+    (the reference's bare ``except:`` hid real failures, SURVEY.md §7.5).
+    """
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
+def read_current_hashes(spark: SparkSession, path: str) -> DataFrame | None:
+    """Column-pruned read of ``(KEY_HASH, RECORD_HASH)`` for cheap delta checks.
+
+    ref: MetaColumnHelpers.py:164-169. Catalyst pushes the projection into
+    the parquet scan, so only the two hash columns are read from disk.
+    """
+    df = read_parquet_df(spark, path)
+    if df is None:
+        return None
+    return df.select(KEY_HASH, RECORD_HASH)
+
+
+def write_store(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "append",
+) -> None:
+    """Partitioned parquet sink for the current store.
+
+    ref: main.py:24 (``to_parquet(partition_cols=key_columns)``) — default
+    partition column is ``INSERT_RUN_ID`` instead of the business keys; see
+    module docstring for why that matters at scale.
+    """
+    cols = partition_by if partition_by is not None else [INSERT_RUN_ID]
+    writer = df.write.mode(mode)
+    if cols:
+        writer = writer.partitionBy(*cols)
+    writer.parquet(path)
+
+
+def create_dataframe_with_schema(
+    spark: SparkSession, schema: T.StructType
+) -> DataFrame:
+    """Empty relation with a given schema (store bootstrap).
+
+    ref: SCDHelpers.py:26-30 (emptyRDD variant — createDataFrame([], schema)
+    avoids the RDD API entirely).
+    """
+    return spark.createDataFrame([], schema)
