@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is materialized with the no-op sink (full execution, no driver
+collect cost). One warm-up of a trivial job absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # reference-parity core
+    "cdc_historize_two_runs",
+    "scd2_merge",
+    # relational / TPC-H-style
+    "rel_agg_groupby",
+    "rel_window_rank",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    # events
+    "events_sessionize",
+    # llm-ops
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "text_quality",
+    "emb_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from pandas_etl_framework_spark.harness import REGISTRY
+    from pandas_etl_framework_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm-up: JVM + codegen + parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall seconds (noop-materialized)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,394 @@
+"""Driver-harness query registry: every operator exposed as a
+(spark_callable, duckdb_oracle_sql) pair.
+
+Conventions that keep the Spark result and the DuckDB oracle hash-identical:
+
+- Every computed column is aliased to the same name on both sides.
+- Floating-point aggregates go through ``DECIMAL(18,4)`` accumulation and a
+  final cast to double: decimal addition is exact/associative, so the result
+  is bit-identical regardless of partial-aggregation order on either engine
+  (raw double sums differ in the last ulp between engines).
+- Hash preimages stringify via the same rules as meta_columns.stringify_for_hash
+  (timestamps pinned to 'yyyy-MM-dd HH:mm:ss', NULL → 'nan').
+- Top-k queries always carry a unique tie-break column so LIMIT is
+  deterministic.
+
+The CDC/SCD family synthesizes deterministic "old/new load" pairs from the
+``orders`` table (FIXTURES.md §5): batch1 = orders with o_orderkey % 10 < 8;
+batch2 = orders with o_orderkey % 10 >= 5 where rows with o_orderkey % 3 == 0
+get o_totalprice + 1.0 (the "changed" records).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cdc, scd2
+from .constants import (
+    KEY_HASH,
+    RECORD_HASH,
+    VALID_FROM_MODE_LOAD_DATE,
+    VALID_FROM_MODE_LOWER_BOUND,
+)
+from .meta_columns import add_meta_columns, create_currents
+
+RUN1_TS = "2024-01-10 08:00:00"
+RUN2_TS = "2024-01-11 08:00:00"
+RUN1_ID = "20240110080000"
+RUN2_ID = "20240111080000"
+
+ORDERS_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# CDC batch builders (Spark side)
+# --------------------------------------------------------------------------
+
+def orders_batch1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 < 8)
+
+
+def orders_batch2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 >= 5)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(1.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+
+
+def stamped1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return add_meta_columns(
+        orders_batch1(spark, sf_dir), create_currents(RUN1_TS), ["o_orderkey"]
+    )
+
+
+def stamped2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return add_meta_columns(
+        orders_batch2(spark, sf_dir), create_currents(RUN2_TS), ["o_orderkey"]
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC batch builders (oracle side) — shared SQL CTE prelude
+# --------------------------------------------------------------------------
+
+def _sql_stringify(col: str, dtype: str) -> str:
+    if dtype == "timestamp":
+        return f"coalesce(strftime({col}, '%Y-%m-%d %H:%M:%S'), 'nan')"
+    return f"coalesce(cast({col} as varchar), 'nan')"
+
+_ORDERS_TYPES = {
+    "o_orderkey": "bigint",
+    "o_custkey": "bigint",
+    "o_orderstatus": "varchar",
+    "o_totalprice": "double",
+    "o_orderdate": "timestamp",
+    "o_orderpriority": "varchar",
+}
+
+_RECORD_PREIMAGE = ", ".join(
+    _sql_stringify(c, _ORDERS_TYPES[c]) for c in ORDERS_COLS
+)
+
+
+def _stamp_sql(src: str, run_ts: str, run_id: str) -> str:
+    return f"""
+    SELECT *,
+           md5(coalesce(cast(o_orderkey as varchar), 'nan')) AS KEY_HASH,
+           md5(concat_ws('#?', {_RECORD_PREIMAGE})) AS RECORD_HASH,
+           TIMESTAMP '{run_ts}' AS INSERT_TS,
+           TIMESTAMP '{run_ts}' AS UPDATE_TS,
+           '{run_id}' AS INSERT_RUN_ID,
+           '{run_id}' AS UPDATE_RUN_ID,
+           CAST(NULL AS TIMESTAMP) AS DELETED
+    FROM {src}
+    """
+
+
+CDC_PRELUDE = f"""
+WITH batch1 AS (
+    SELECT * FROM orders WHERE o_orderkey % 10 < 8
+),
+batch2 AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 10 >= 5
+),
+stamped1 AS ({_stamp_sql('batch1', RUN1_TS, RUN1_ID)}),
+stamped2 AS ({_stamp_sql('batch2', RUN2_TS, RUN2_ID)})
+"""
+
+STAMPED_COLS = ORDERS_COLS + [
+    "KEY_HASH",
+    "RECORD_HASH",
+    "INSERT_TS",
+    "UPDATE_TS",
+    "INSERT_RUN_ID",
+    "UPDATE_RUN_ID",
+    "DELETED",
+]
+_S = ", ".join(STAMPED_COLS)
+
+
+# --------------------------------------------------------------------------
+# CDC / SCD2 queries
+# --------------------------------------------------------------------------
+
+def q_cdc_add_meta(spark, sf_dir):
+    return stamped1(spark, sf_dir).select(*STAMPED_COLS)
+
+
+SQL_CDC_ADD_META = CDC_PRELUDE + f"SELECT {_S} FROM stamped1"
+
+
+def q_cdc_delta(spark, sf_dir):
+    return cdc.get_delta(stamped1(spark, sf_dir), stamped2(spark, sf_dir)).select(
+        *STAMPED_COLS
+    )
+
+
+SQL_CDC_DELTA = CDC_PRELUDE + f"""
+SELECT {_S} FROM stamped2 n
+WHERE NOT EXISTS (
+    SELECT 1 FROM stamped1 c
+    WHERE c.KEY_HASH = n.KEY_HASH AND c.RECORD_HASH = n.RECORD_HASH
+)
+"""
+
+
+def q_cdc_inserts(spark, sf_dir):
+    return cdc.get_inserts(stamped1(spark, sf_dir), stamped2(spark, sf_dir)).select(
+        *STAMPED_COLS
+    )
+
+
+SQL_CDC_INSERTS = CDC_PRELUDE + f"""
+SELECT {_S} FROM stamped2 n
+WHERE NOT EXISTS (SELECT 1 FROM stamped1 c WHERE c.KEY_HASH = n.KEY_HASH)
+"""
+
+
+def q_cdc_updates(spark, sf_dir):
+    return cdc.get_updates(stamped1(spark, sf_dir), stamped2(spark, sf_dir)).select(
+        *STAMPED_COLS
+    )
+
+
+SQL_CDC_UPDATES = CDC_PRELUDE + f"""
+SELECT {_S} FROM stamped2 n
+WHERE EXISTS (
+    SELECT 1 FROM stamped1 c
+    WHERE c.KEY_HASH = n.KEY_HASH AND c.RECORD_HASH <> n.RECORD_HASH
+)
+"""
+
+
+def q_cdc_merge_cdc(spark, sf_dir):
+    return cdc.merge_cdc(
+        stamped1(spark, sf_dir), stamped2(spark, sf_dir), [KEY_HASH]
+    ).select(*STAMPED_COLS)
+
+
+SQL_CDC_MERGE = CDC_PRELUDE + f"""
+SELECT {_S} FROM stamped1 c
+WHERE NOT EXISTS (SELECT 1 FROM stamped2 n WHERE n.KEY_HASH = c.KEY_HASH)
+UNION ALL
+SELECT {_S} FROM stamped2
+"""
+
+
+def q_cdc_deleted_by_full_load(spark, sf_dir):
+    return cdc.get_deleted_by_full_load(stamped1(spark, sf_dir), stamped2(spark, sf_dir))
+
+
+SQL_CDC_DELETED = CDC_PRELUDE + """
+SELECT DISTINCT KEY_HASH FROM stamped1 c
+WHERE NOT EXISTS (SELECT 1 FROM stamped2 n WHERE n.KEY_HASH = c.KEY_HASH)
+"""
+
+
+def q_cdc_deletes_by_column(spark, sf_dir):
+    return cdc.get_deletes_by_column(stamped1(spark, sf_dir), "o_orderstatus", "F")
+
+
+SQL_CDC_DELETES_BY_COLUMN = CDC_PRELUDE + """
+SELECT KEY_HASH FROM stamped1 WHERE o_orderstatus = 'F'
+"""
+
+
+def q_cdc_historize_two_runs(spark, sf_dir):
+    """Append-only store content after two runs (LIVE pipeline semantics,
+    computed functionally: run1 delta = all of stamped1; run2 delta =
+    stamped2 ∖ stamped1 on both hashes)."""
+    s1 = stamped1(spark, sf_dir)
+    s2 = stamped2(spark, sf_dir)
+    return s1.select(*STAMPED_COLS).unionByName(
+        cdc.get_delta(s1, s2).select(*STAMPED_COLS)
+    )
+
+
+SQL_CDC_HISTORIZE = CDC_PRELUDE + f"""
+SELECT {_S} FROM stamped1
+UNION ALL
+SELECT {_S} FROM stamped2 n
+WHERE NOT EXISTS (
+    SELECT 1 FROM stamped1 c
+    WHERE c.KEY_HASH = n.KEY_HASH AND c.RECORD_HASH = n.RECORD_HASH
+)
+"""
+
+SCD2_COLS = STAMPED_COLS + ["VALID_FROM", "VALID_TO"]
+_SC = ", ".join(SCD2_COLS)
+
+
+def q_scd2_merge(spark, sf_dir):
+    c1 = create_currents(RUN1_TS)
+    c2 = create_currents(RUN2_TS)
+    store = scd2.historize_dataset(
+        stamped1(spark, sf_dir), None, c1, VALID_FROM_MODE_LOWER_BOUND
+    )
+    return scd2.merge_scd2(
+        store, stamped2(spark, sf_dir), c2, VALID_FROM_MODE_LOAD_DATE
+    ).select(*SCD2_COLS)
+
+
+# Oracle mirrors the reference's 5-way union (SCDHelpers.py:139-216) on the
+# bootstrapped store (all batch1 rows open with VALID_FROM = lower bound).
+SQL_SCD2_MERGE = CDC_PRELUDE + f""",
+store AS (
+    SELECT *, DATE '1900-01-01' AS VALID_FROM, DATE '9999-12-31' AS VALID_TO
+    FROM stamped1
+)
+SELECT {_SC} FROM store c                                   -- current_only
+WHERE NOT EXISTS (SELECT 1 FROM stamped2 n WHERE n.KEY_HASH = c.KEY_HASH)
+   OR c.VALID_TO <> DATE '9999-12-31'
+UNION ALL
+SELECT {", ".join(STAMPED_COLS)},                            -- new_only
+       DATE '{RUN2_TS[:10]}' AS VALID_FROM, DATE '9999-12-31' AS VALID_TO
+FROM stamped2 n
+WHERE n.KEY_HASH NOT IN (SELECT KEY_HASH FROM store)
+UNION ALL
+SELECT c.* FROM store c                                      -- unchanged_current
+JOIN stamped2 n ON c.KEY_HASH = n.KEY_HASH AND c.RECORD_HASH = n.RECORD_HASH
+WHERE c.VALID_TO = DATE '9999-12-31'
+UNION ALL
+SELECT {", ".join("c." + x for x in ORDERS_COLS)},           -- changed_current
+       c.KEY_HASH, c.RECORD_HASH, c.INSERT_TS,
+       TIMESTAMP '{RUN2_TS}' AS UPDATE_TS,
+       c.INSERT_RUN_ID, '{RUN2_ID}' AS UPDATE_RUN_ID, c.DELETED,
+       c.VALID_FROM, DATE '{RUN2_TS[:10]}' - 1 AS VALID_TO
+FROM store c
+JOIN stamped2 n ON c.KEY_HASH = n.KEY_HASH AND c.RECORD_HASH <> n.RECORD_HASH
+WHERE c.VALID_TO = DATE '9999-12-31'
+UNION ALL
+SELECT {", ".join("n." + x for x in STAMPED_COLS)},          -- changed_new
+       DATE '{RUN2_TS[:10]}' AS VALID_FROM, DATE '9999-12-31' AS VALID_TO
+FROM stamped2 n
+JOIN store c ON c.KEY_HASH = n.KEY_HASH AND c.RECORD_HASH <> n.RECORD_HASH
+WHERE c.VALID_TO = DATE '9999-12-31'
+"""
+
+
+def q_scd2_split_active(spark, sf_dir):
+    _, active = scd2.split_merged_dataset(q_scd2_merge(spark, sf_dir))
+    return active
+
+
+def _wrap_scd2(predicate: str) -> str:
+    return (
+        f"SELECT * FROM (\n{SQL_SCD2_MERGE}\n) merged WHERE {predicate}"
+    )
+
+
+SQL_SCD2_SPLIT_ACTIVE = _wrap_scd2("VALID_TO = DATE '9999-12-31'")
+
+
+def q_scd2_split_hist(spark, sf_dir):
+    hist, _ = scd2.split_merged_dataset(q_scd2_merge(spark, sf_dir))
+    return hist
+
+
+SQL_SCD2_SPLIT_HIST = _wrap_scd2("VALID_TO < DATE '9999-12-31'")
+
+
+def q_schema_prepare(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from .schema import prepare_schema
+
+    target = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+            T.StructField("r_comment", T.StringType()),
+            T.StructField("r_priority", T.IntegerType()),
+        ]
+    )
+    return prepare_schema(
+        table(spark, sf_dir, "region"),
+        target,
+        default_values={"r_priority": 7},
+        remove_columns=True,
+    )
+
+
+SQL_SCHEMA_PREPARE = """
+SELECT r_regionkey, r_name,
+       CAST(NULL AS VARCHAR) AS r_comment,
+       CAST(7 AS INTEGER) AS r_priority
+FROM region
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+# name -> (spark_callable, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "cdc_add_meta": (q_cdc_add_meta, SQL_CDC_ADD_META),
+    "cdc_delta": (q_cdc_delta, SQL_CDC_DELTA),
+    "cdc_inserts": (q_cdc_inserts, SQL_CDC_INSERTS),
+    "cdc_updates": (q_cdc_updates, SQL_CDC_UPDATES),
+    "cdc_merge_cdc": (q_cdc_merge_cdc, SQL_CDC_MERGE),
+    "cdc_deleted_by_full_load": (q_cdc_deleted_by_full_load, SQL_CDC_DELETED),
+    "cdc_deletes_by_column": (q_cdc_deletes_by_column, SQL_CDC_DELETES_BY_COLUMN),
+    "cdc_historize_two_runs": (q_cdc_historize_two_runs, SQL_CDC_HISTORIZE),
+    "scd2_merge": (q_scd2_merge, SQL_SCD2_MERGE),
+    "scd2_split_active": (q_scd2_split_active, SQL_SCD2_SPLIT_ACTIVE),
+    "scd2_split_hist": (q_scd2_split_hist, SQL_SCD2_SPLIT_HIST),
+    "schema_prepare": (q_schema_prepare, SQL_SCHEMA_PREPARE),
+}
+
+
+def register(name: str, fn, sql: str | None) -> None:
+    REGISTRY[name] = (fn, sql)
+
+
+# extended families registered on import
+from . import relational as _relational  # noqa: E402,F401
+from .llmops import register_all as _llmops_register_all  # noqa: E402
+
+_relational.register_all()
+_llmops_register_all()

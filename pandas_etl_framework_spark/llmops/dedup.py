@@ -1,0 +1,379 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four families, each with a DuckDB oracle twin:
+
+- exact: group on md5(text) (direct extension of the record-hash machinery).
+- n-gram Jaccard: word-3-gram shingles, distinct-shingle self-join —
+  exact pairwise similarity, the O(n²)-worst-case baseline.
+- MinHash + LSH: k=16 md5-based min-hashes over shingles, banded into 4
+  buckets, candidate pairs via bucket join — the scale path: O(n·k) work +
+  an equi-join on band keys instead of an all-pairs comparison. At 100 TB
+  the band join shuffles only (doc_id, band_key) pairs and AQE handles the
+  skew of hot buckets.
+- SimHash: 32-bit signature from per-shingle md5 bits, near-dup = small
+  Hamming distance; signature computation is one aggregation pass.
+
+All hashing is md5-on-strings so both engines agree bit-for-bit; every
+similarity is a single division of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NUM_MINHASHES = 16
+LSH_BANDS = 4
+ROWS_PER_BAND = NUM_MINHASHES // LSH_BANDS
+SIMHASH_BITS = 32
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Keep the lowest doc_id per exact content hash."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# --------------------------------------------------------------------------
+# Shingling (shared by jaccard / minhash / simhash)
+# --------------------------------------------------------------------------
+
+def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word-n-gram shingles per document: (doc_id, shingle).
+
+    Spark ``sequence(1, 0)`` counts *down*, so the index range is guarded
+    for texts shorter than n tokens.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda t, i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + off) for off in range(n)]
+    )
+    # spread docs across all cores BEFORE the ~100x shingle explosion —
+    # a single-file parquet table otherwise pins the whole blow-up (and the
+    # downstream per-shingle hashing) to one task
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(parallelism)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.transform(idx, lambda i: gram(toks, i)))
+            ).alias("shingle"),
+        )
+    )
+
+
+SQL_SHINGLES = r"""
+toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+idx AS (
+    SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+    FROM toks
+),
+shingles AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM idx
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard pairs
+# --------------------------------------------------------------------------
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    """Exact pairwise Jaccard over 3-gram shingle sets for every pair
+    sharing at least one shingle. Output is (a, b, intersection, jaccard)."""
+    sh = shingles_df(_docs(spark, sf_dir)).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "intersection",
+            (
+                F.col("intersection").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("intersection"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH {SQL_SHINGLES},
+sizes AS (
+    SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, intersection,
+       CAST(intersection AS DOUBLE)
+           / (sa.set_size + sb.set_size - intersection) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_MINHASHES) -> DataFrame:
+    """(doc_id, seed, minhash): min over shingles of md5(seed || '|' || shingle).
+
+    One explode by ``num_hashes`` + a partial-aggregating groupBy — no
+    pairwise work. The md5-per-seed family is a portable stand-in for the
+    usual (a*x+b) mod p permutations; identical across engines.
+    """
+    seeds = F.array(*[F.lit(s) for s in range(num_hashes)])
+    return (
+        sh.select("doc_id", "shingle", F.explode(seeds).alias("seed"))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle")))
+            ).alias("minhash")
+        )
+    )
+
+
+def q_dedup_minhash_bands(spark, sf_dir):
+    """LSH band keys per document: band = seed div 4, band_key = md5 of the
+    '|'-joined seed-ordered minhashes within the band."""
+    sig = minhash_signatures(shingles_df(_docs(spark, sf_dir)))
+    return (
+        sig.withColumn("band", F.expr(f"div(seed, {ROWS_PER_BAND})"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed", "minhash"))
+                        ),
+                        lambda x: x["minhash"],
+                    ),
+                    "|",
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+SQL_MINHASH_BANDS_BODY = f"""
+sig AS (
+    SELECT doc_id, seed,
+           MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
+    FROM shingles,
+         (SELECT unnest(generate_series(0, {NUM_MINHASHES - 1})) AS seed)
+    GROUP BY doc_id, seed
+),
+bands AS (
+    SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
+           md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
+    FROM sig
+    GROUP BY doc_id, seed // {ROWS_PER_BAND}
+)
+"""
+
+SQL_DEDUP_MINHASH_BANDS = (
+    f"WITH {SQL_SHINGLES},{SQL_MINHASH_BANDS_BODY}"
+    "SELECT doc_id, band, band_key FROM bands"
+)
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """Candidate near-dup pairs: documents sharing any LSH band bucket.
+
+    The band table is cached before the self-join — otherwise Spark
+    recomputes the full shingle→signature pipeline for both join sides.
+    """
+    bands = q_dedup_minhash_bands(spark, sf_dir).cache()
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+SQL_DEDUP_MINHASH_PAIRS = (
+    f"WITH {SQL_SHINGLES},{SQL_MINHASH_BANDS_BODY}"
+    """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def _hex_digit_value(col: F.Column) -> F.Column:
+    """Value 0-15 of one lowercase hex character (portable: instr-based)."""
+    return F.instr(F.lit("0123456789abcdef"), col) - 1
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """32-bit SimHash per document from shingle md5 prefixes.
+
+    bit j of a shingle hash = bit (3 - j%4) of hex digit (j div 4); the
+    signature bit is 1 when the sum of (+1/-1) votes over the document's
+    shingles is positive. One aggregation pass, no joins.
+    """
+    sh = shingles_df(_docs(spark, sf_dir))
+    h = F.md5(F.col("shingle"))
+    bit_votes = []
+    for j in range(SIMHASH_BITS):
+        digit = _hex_digit_value(F.substring(h, 1 + j // 4, 1))
+        bit = F.floor(digit / (2 ** (3 - j % 4))) % 2
+        bit_votes.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{j}")
+        )
+    votes = sh.groupBy("doc_id").agg(*bit_votes)
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+def _sql_simhash_votes() -> str:
+    parts = []
+    for j in range(SIMHASH_BITS):
+        digit = f"(instr('0123456789abcdef', substr(md5(shingle), {1 + j // 4}, 1)) - 1)"
+        bit = f"(({digit} // {2 ** (3 - j % 4)}) % 2)"
+        parts.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS v{j}")
+    return ",\n           ".join(parts)
+
+
+_SQL_SIMHASH_COMBINE = " + ".join(
+    f"CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+    for j in range(SIMHASH_BITS)
+)
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {SQL_SHINGLES},
+votes AS (
+    SELECT doc_id,
+           {_sql_simhash_votes()}
+    FROM shingles
+    GROUP BY doc_id
+)
+SELECT doc_id, {_SQL_SIMHASH_COMBINE} AS simhash
+FROM votes
+"""
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs by SimHash Hamming distance <= 6 (self-join + XOR
+    popcount; at scale, pre-bucket by signature prefix instead of the full
+    cross product — this is the exact-verification form)."""
+    sig = q_dedup_simhash(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH {SQL_SHINGLES},
+votes AS (
+    SELECT doc_id,
+           {_sql_simhash_votes()}
+    FROM shingles
+    GROUP BY doc_id
+),
+sig AS (
+    SELECT doc_id, {_SQL_SIMHASH_COMBINE} AS simhash FROM votes
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
+    "dedup_minhash_bands": (q_dedup_minhash_bands, SQL_DEDUP_MINHASH_BANDS),
+    "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
+}

@@ -1,0 +1,198 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two numeric paths:
+
+- ``cosine_topk`` / ``cosine_pairs``: real float cosine via JVM-side
+  ``zip_with`` + ``aggregate`` — the production API. Float summation order
+  differs between engines, so these are *library* operators (tested by
+  pytest against numpy, not the DuckDB oracle).
+- ``emb_*`` harness queries: embeddings quantized to BIGINT
+  (round(x * 10000)) so the dot product is exact integer math — bit-stable
+  across engines, hence oracle-checkable. Same plan shape as the float path.
+
+Scale path: brute-force top-k is one broadcast of the query vector and a
+single pass (O(n·d)); the pairwise variant pre-buckets by LSH sign-bits
+(``lsh_bucket``) so candidate generation is an equi-join, not a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 10000
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# Float-precision library operators (pytest-verified)
+# --------------------------------------------------------------------------
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array<numeric> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector: one scan,
+    no shuffle until the final TakeOrdered(k)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.select(
+            id_col, cosine(F.col(vec_col), q).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# Quantized harness queries (DuckDB-oracle checkable)
+# --------------------------------------------------------------------------
+
+def _quantized(vec: Column) -> Column:
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long")
+    )
+
+
+def _qdot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_emb_topk(spark, sf_dir):
+    """Top-10 nearest to vec_id=0 by quantized dot product."""
+    emb = _emb(spark, sf_dir).withColumn("q", _quantized(F.col("embedding")))
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("query_q")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", _qdot(F.col("q"), F.col("query_q")).alias("qdot"))
+        .orderBy(F.col("qdot").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_SQL_QUANT = (
+    f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT))"
+)
+
+SQL_EMB_TOPK = f"""
+WITH q AS (
+    SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings
+),
+target AS (SELECT qv AS query_q FROM q WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(list_dot_product(qv, query_q) AS BIGINT) AS qdot
+FROM q, target
+WHERE vec_id <> 0
+ORDER BY qdot DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_emb_norms(spark, sf_dir):
+    """Quantized squared L2 norm per vector (exact)."""
+    emb = _emb(spark, sf_dir).withColumn("q", _quantized(F.col("embedding")))
+    return emb.select("vec_id", _qdot(F.col("q"), F.col("q")).alias("sq_norm"))
+
+
+SQL_EMB_NORMS = f"""
+WITH q AS (SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings)
+SELECT vec_id, CAST(list_dot_product(qv, qv) AS BIGINT) AS sq_norm
+FROM q
+"""
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH bucket id: bit i = 1 iff dot(vec, plane_i) > 0."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(vec, p) > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def q_emb_knn_per_label(spark, sf_dir):
+    """For each label group, the 3 mutually-nearest pairs by quantized dot —
+    an IVF-style partitioned search: pairs are only formed *within* a label
+    partition (the coarse quantizer), never across."""
+    emb = _emb(spark, sf_dir).withColumn("q", _quantized(F.col("embedding")))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _qdot(F.col("a.q"), F.col("b.q")).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("qdot").desc(), F.col("vec_a"), F.col("vec_b")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_a", "vec_b", "qdot", "rn")
+    )
+
+
+SQL_EMB_KNN_PER_LABEL = f"""
+WITH q AS (
+    SELECT vec_id, label, {_SQL_QUANT} AS qv FROM embeddings
+),
+pairs AS (
+    SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS qdot
+    FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY label ORDER BY qdot DESC, vec_a, vec_b
+    ) AS rn
+    FROM pairs
+)
+SELECT label, vec_a, vec_b, qdot, rn FROM ranked WHERE rn <= 3
+"""
+
+
+QUERIES = {
+    "emb_topk": (q_emb_topk, SQL_EMB_TOPK),
+    "emb_norms": (q_emb_norms, SQL_EMB_NORMS),
+    "emb_knn_per_label": (q_emb_knn_per_label, SQL_EMB_KNN_PER_LABEL),
+}

@@ -1,0 +1,234 @@
+"""Text analysis operators over the ``documents`` table: token counting,
+quality scoring, language ID (n-gram/stopword heuristic), fingerprinting.
+
+All JVM-side built-ins (split/regexp/aggregate) — no Python UDFs. Each
+query has an exact DuckDB oracle twin; arithmetic is integer-or-single-
+division so results are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    """Whitespace tokenization of trimmed text (empty-safe)."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+# --------------------------------------------------------------------------
+# Token counting
+# --------------------------------------------------------------------------
+
+def q_text_tokens(spark, sf_dir):
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_alpha.cast("double") / n_tokens).alias("avg_token_len"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+SQL_TEXT_TOKENS = r"""
+WITH toks AS (
+    SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+)
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       LEN(t) AS n_tokens,
+       CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / LEN(t)
+           AS avg_token_len,
+       LEN(list_distinct(t)) AS n_unique_tokens
+FROM toks
+"""
+
+
+# --------------------------------------------------------------------------
+# Quality scoring
+# --------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}]"
+
+
+def q_text_quality(spark, sf_dir):
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score. The score formula is fixed arithmetic (single divisions and one
+    multiply-add chain) so both engines produce identical doubles."""
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    )
+    n_punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), _PUNCT_CLASS, "")
+    )
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / F.length("text")
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    score = stop_ratio * 0.3 + uniq_ratio * 0.5 + (1.0 - punct_ratio) * 0.2
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        uniq_ratio.alias("unique_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+_SQL_STOP_PRED = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
+
+SQL_TEXT_QUALITY = rf"""
+WITH toks AS (
+    SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           LEN(t) AS n_tokens,
+           CAST(LEN(list_filter(t, x -> {_SQL_STOP_PRED})) AS DOUBLE) / LEN(t)
+               AS stopword_ratio,
+           CAST(LENGTH(text)
+                - LENGTH(regexp_replace(text, '[.,!?;:''"()\[\]{{}}]', '', 'g'))
+                AS DOUBLE) / LENGTH(text) AS punct_ratio,
+           CAST(LEN(list_distinct(t)) AS DOUBLE) / LEN(t) AS unique_ratio
+    FROM toks
+)
+SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, unique_ratio,
+       stopword_ratio * 0.3 + unique_ratio * 0.5 + (1.0 - punct_ratio) * 0.2
+           AS quality_score
+FROM feat
+"""
+
+
+# --------------------------------------------------------------------------
+# Language ID (marker-word heuristic)
+# --------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def q_text_langid(spark, sf_dir):
+    """Deterministic stopword-hit language scoring; argmax with alphabetical
+    tie-break; 'und' (undetermined) when no marker hits at all."""
+    toks = tokens_col()
+    docs = _docs(spark, sf_dir)
+
+    def marker_filter(words):
+        # single-arg lambda: PySpark binds a Column to every lambda param,
+        # so the word list must be captured by closure, not a default arg
+        return lambda t: t.isin(*words)
+
+    score_cols = {
+        lang: F.size(F.filter(toks, marker_filter(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = None
+    best_score = None
+    # fold langs in reverse-alphabetical order so earlier names win ties
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        s = score_cols[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            best = F.when(s >= best_score, F.lit(lang)).otherwise(best)
+            best_score = F.when(s >= best_score, s).otherwise(best_score)
+    pred = F.when(best_score > 0, best).otherwise(F.lit("und"))
+    return docs.select(
+        "doc_id",
+        *[score_cols[lang].alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+        pred.alias("predicted_lang"),
+    )
+
+
+def _sql_lang_score(words) -> str:
+    pred = " OR ".join(f"x = '{w}'" for w in words)
+    return f"LEN(list_filter(t, x -> {pred}))"
+
+
+_SQL_LANG_SCORES = ",\n           ".join(
+    f"{_sql_lang_score(LANG_MARKERS[lang])} AS score_{lang}"
+    for lang in sorted(LANG_MARKERS)
+)
+
+# same fold as the Spark side: reverse-alphabetical, >= keeps earlier name
+_SQL_LANG_PRED = "CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und' "
+for _lang in sorted(LANG_MARKERS):
+    _others = [f"score_{o}" for o in sorted(LANG_MARKERS) if o < _lang]
+    if _others:
+        _SQL_LANG_PRED += (
+            f"WHEN score_{_lang} > greatest({', '.join(_others)}) "
+            f"AND score_{_lang} >= greatest(score_de, score_en, score_es, score_fr) "
+            f"THEN '{_lang}' "
+        )
+    else:
+        _SQL_LANG_PRED += (
+            f"WHEN score_{_lang} >= greatest(score_de, score_en, score_es, score_fr) "
+            f"THEN '{_lang}' "
+        )
+_SQL_LANG_PRED += "END"
+
+SQL_TEXT_LANGID = rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+scored AS (
+    SELECT doc_id,
+           {_SQL_LANG_SCORES}
+    FROM toks
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+       {_SQL_LANG_PRED} AS predicted_lang
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# Fingerprinting
+# --------------------------------------------------------------------------
+
+def q_text_fingerprint(spark, sf_dir):
+    """Normalization fingerprint: lowercase, strip punctuation, collapse
+    whitespace, md5 — near-dup detection key for formatting-only variants."""
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), _PUNCT_CLASS, ""),
+        r"\s+",
+        " ",
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5(normalized).alias("fingerprint")
+    )
+
+
+SQL_TEXT_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(regexp_replace(
+           regexp_replace(lower(trim(text)), '[.,!?;:''"()\[\]{}]', '', 'g'),
+           '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_langid": (q_text_langid, SQL_TEXT_LANGID),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+}
