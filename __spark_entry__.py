@@ -21,14 +21,24 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the LIVE pipeline's append-only CDC historization result
     after two order loads on /root/testdata/sf0.001 (SURVEY.md §2.7 C5/C6)."""
     from pandas_etl_framework_spark.harness import q_cdc_historize_two_runs
+    from pandas_etl_framework_spark.session import ensure_package_shipped
 
+    ensure_package_shipped(spark)
     return q_cdc_historize_two_runs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pandas_etl_framework_spark.harness import REGISTRY
+    from pandas_etl_framework_spark.session import ensure_package_shipped
 
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    def shipped(fn):
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_package_shipped(spark)
+            return fn(spark, sf_dir)
+
+        return wrapper
+
+    return {name: shipped(fn) for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

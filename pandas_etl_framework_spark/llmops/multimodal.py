@@ -1,0 +1,190 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas UDFs over
+``mapInPandas``.
+
+The container has no image/audio codecs, so the actual decode step is a
+STUB: ``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
+a deterministic fake decoder is injected (tests do exactly that). Everything
+Spark-side — schemas, batch iteration, partition sizing, UDF signatures,
+metadata propagation — is real and tested; swapping in PIL/ffmpeg later
+changes only the inner per-batch function.
+
+Scale posture: media blobs are large, so batches are bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` and the repartition knob on
+``process_media`` — at 100 TB you size partitions so (rows_per_partition ×
+avg_blob_bytes) fits executor memory, and the pipeline never collects blobs
+to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime_type", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("content_sha", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_pixel", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_image(content: bytes) -> "object":
+    """STUB — no image codec in this environment. Replace with PIL/opencv;
+    tests inject ``fake_decoder`` instead."""
+    raise NotImplementedError("no image codec available in this environment")
+
+
+def decode_audio(content: bytes) -> "object":
+    """STUB — no audio codec in this environment."""
+    raise NotImplementedError("no audio codec available in this environment")
+
+
+def fake_decoder(content: bytes) -> dict:
+    """Deterministic stand-in decoder: derives 'pixels' from the bytes
+    themselves so tests are reproducible without codecs."""
+    if content is None:
+        return {"width": 0, "height": 0, "mean_pixel": None}
+    n = len(content)
+    return {
+        "width": max(1, n % 64),
+        "height": max(1, (n // 64) % 64 + 1),
+        "mean_pixel": (sum(content) / n) if n else 0.0,
+    }
+
+
+def extract_image_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Decode + feature-extract image rows via ``mapInPandas``.
+
+    Arrow ships each partition as pandas batches; the UDF yields one output
+    frame per input batch (constant memory in the number of rows). Non-image
+    rows are filtered *before* the Python boundary so the JVM-side scan
+    prunes them (predicate pushdown still applies to the parquet source).
+    """
+    decode = decoder or decode_image
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            decoded = [decode(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": [
+                        len(c) if c is not None else 0 for c in pdf["content"]
+                    ],
+                    "content_sha": [
+                        hashlib.sha256(c).hexdigest() if c is not None else None
+                        for c in pdf["content"]
+                    ],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "mean_pixel": [d["mean_pixel"] for d in decoded],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        per_batch, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def resize_images(
+    media: DataFrame,
+    target_width: int,
+    target_height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize pipeline: same plumbing shape as feature extraction but
+    binary→binary, preserving the media schema with updated dimensions."""
+
+    def default_resizer(content: bytes, w: int, h: int) -> bytes:
+        raise NotImplementedError("no image codec available in this environment")
+
+    resize = resizer or default_resizer
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["content"] = [
+                resize(c, target_width, target_height) if c is not None else None
+                for c in pdf["content"]
+            ]
+            out["width"] = target_width
+            out["height"] = target_height
+            yield out
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        per_batch, MEDIA_SCHEMA
+    )
+
+
+def sample_video_frames(
+    media: DataFrame,
+    every_ms: int,
+    frame_extractor: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Frame sampling: one row in → N frame rows out (flat-map shape).
+    Output schema: (media_id, frame_index, frame_ts_ms, frame binary)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_index", T.IntegerType(), False),
+            T.StructField("frame_ts_ms", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+    )
+
+    def default_extractor(content: bytes, every: int) -> list[bytes]:
+        raise NotImplementedError("no video codec available in this environment")
+
+    extract = frame_extractor or default_extractor
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_index": [], "frame_ts_ms": [], "frame": []}
+            for _, r in pdf.iterrows():
+                frames = extract(r["content"], every_ms)
+                for i, frame in enumerate(frames):
+                    rows["media_id"].append(r["media_id"])
+                    rows["frame_index"].append(i)
+                    rows["frame_ts_ms"].append(i * every_ms)
+                    rows["frame"].append(frame)
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        per_batch, out_schema
+    )
+
+
+def media_summary(media: DataFrame) -> DataFrame:
+    """JVM-side metadata aggregation (no Python boundary): per kind, blob
+    count/bytes — the cheap pre-flight before any decode pass."""
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.length(F.col("content"))).alias("total_bytes"),
+        F.avg(F.length(F.col("content"))).alias("avg_bytes"),
+    )

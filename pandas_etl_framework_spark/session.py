@@ -9,8 +9,39 @@ and Arrow makes any Pandas-UDF fallback paths cheap.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Distribute this package to executor Python workers via addPyFile.
+
+    Pandas-UDF closures reference module-level functions, which cloudpickle
+    serializes *by reference* (module path) — so every Python worker must be
+    able to import the package. On a real cluster this is the standard
+    --py-files deployment; locally it makes the library usable from any cwd.
+    Idempotent per session.
+    """
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"pandas_etl_framework_spark_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if fname.endswith(".py"):
+                    full = os.path.join(root, fname)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_SESSIONS.add(key)
 
 
 def get_spark(
@@ -41,4 +72,6 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ensure_package_shipped(spark)
+    return spark

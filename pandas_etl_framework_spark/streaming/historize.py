@@ -1,0 +1,55 @@
+"""Streaming CDC historization: readStream → foreachBatch(historize_append).
+
+Each micro-batch is stamped and delta-merged with the same batch operators
+(cdc.historize_append), so the store invariant — one row per distinct
+(KEY_HASH, RECORD_HASH) — holds under continuous ingestion exactly as under
+the reference's simulated run loop (main.py:26-34). foreachBatch is the
+right tool because the merge needs a point-in-time read of the accumulated
+store, which pure streaming operators cannot express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..cdc import historize_append
+from ..meta_columns import create_currents
+
+
+def streaming_historize_append(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    key_columns: list[str],
+    record_hash_exclude_columns: list[str] | None = None,
+    trigger_once: bool = False,
+):
+    """Attach the append-only CDC historization to a streaming DataFrame.
+
+    Returns the started StreamingQuery. Each micro-batch gets its own
+    ``currents`` context (run id = wall clock at batch start, disambiguated
+    by batch id), mirroring one reference "run" per micro-batch.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        currents = create_currents()
+        historize_append(
+            spark,
+            batch_df,
+            store_path,
+            key_columns,
+            currents=currents,
+            record_hash_exclude_columns=record_hash_exclude_columns,
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(process_batch)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,132 @@
+"""Streaming windowed aggregation and stateful sessionization.
+
+Streaming counterparts of the batch ``events_hourly`` / ``events_sessionize``
+harness queries (relational.py): tumbling-window counts with a watermark for
+late data, and gap-based sessions via ``applyInPandasWithState``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_SECONDS = 1800
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window per-type counts with late-data watermark.
+
+    Works on both batch and streaming DataFrames (same plan); on a stream
+    the watermark bounds state so dropped-late rows cap memory at any scale.
+    """
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ts", T.DoubleType()),
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _session_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: per-user open-session state; emits a session
+    row whenever the inter-event gap exceeds SESSION_GAP_SECONDS or the
+    processing-time timeout closes an idle session."""
+    import datetime
+
+    (user_id,) = key
+
+    if state.hasTimedOut:
+        start_ts, last_ts, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [datetime.datetime.utcfromtimestamp(start_ts)],
+                "session_end": [datetime.datetime.utcfromtimestamp(last_ts)],
+                "n_events": [n],
+            }
+        )
+        return
+
+    ts_values: list[float] = []
+    for pdf in pdfs:
+        ts_values.extend(t.timestamp() for t in pdf["ts"])
+    ts_values.sort()
+
+    if state.exists:
+        start_ts, last_ts, n = state.get
+    else:
+        start_ts, last_ts, n = None, None, 0
+
+    closed = {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
+    for t in ts_values:
+        if start_ts is None:
+            start_ts, last_ts, n = t, t, 1
+        elif t - last_ts > SESSION_GAP_SECONDS:
+            closed["user_id"].append(user_id)
+            closed["session_start"].append(datetime.datetime.utcfromtimestamp(start_ts))
+            closed["session_end"].append(datetime.datetime.utcfromtimestamp(last_ts))
+            closed["n_events"].append(n)
+            start_ts, last_ts, n = t, t, 1
+        else:
+            last_ts, n = t, n + 1
+
+    state.update((start_ts, last_ts, n))
+    state.setTimeoutDuration(SESSION_GAP_SECONDS * 1000)
+    if closed["user_id"]:
+        yield pd.DataFrame(closed)
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    (``applyInPandasWithState``): the streaming twin of the batch
+    ``events_sessionize`` harness query. State is one small tuple per user —
+    bounded by the active-user cardinality, not the event volume.
+    """
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,178 @@
+"""LLM-ops library tests: float cosine vs numpy, multimodal plumbing,
+dedup properties (SURVEY.md §7 phase 3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_etl_framework_spark.llmops import multimodal
+from pandas_etl_framework_spark.llmops.dedup import (
+    minhash_signatures,
+    shingles_df,
+)
+from pandas_etl_framework_spark.llmops.similarity import (
+    cosine,
+    cosine_topk,
+    dot,
+    lsh_bucket,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_dot_and_cosine_match_numpy(spark, embeddings):
+    rows = embeddings.orderBy("vec_id").limit(5).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    out = (
+        embeddings.filter(F.col("vec_id").isin(list(vecs)))
+        .select(
+            "vec_id",
+            dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in q])).alias("d"),
+            cosine(
+                F.col("embedding"), F.array(*[F.lit(float(x)) for x in q])
+            ).alias("c"),
+        )
+        .collect()
+    )
+    for r in out:
+        expected_d = float(vecs[r["vec_id"]] @ q)
+        expected_c = expected_d / (
+            np.linalg.norm(vecs[r["vec_id"]]) * np.linalg.norm(q)
+        )
+        assert abs(r["d"] - expected_d) < 1e-9
+        assert abs(r["c"] - expected_c) < 1e-9
+
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    rows = embeddings.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = mat[list(ids).index(0)]
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(-sims, ids))
+    expected_top = [int(i) for _, i in order[:5]]
+
+    got = cosine_topk(embeddings, list(q), k=5)
+    got_ids = [r["vec_id"] for r in got.collect()]
+    assert got_ids == expected_top
+
+
+def test_lsh_bucket_is_deterministic_and_bounded(spark, embeddings):
+    rng = np.random.default_rng(7)
+    planes = rng.normal(size=(4, 64)).tolist()
+    out = embeddings.select(
+        "vec_id", lsh_bucket(F.col("embedding"), planes).alias("bucket")
+    )
+    buckets = {r["vec_id"]: r["bucket"] for r in out.collect()}
+    assert all(0 <= b < 16 for b in buckets.values())
+    again = {
+        r["vec_id"]: r["bucket"]
+        for r in embeddings.select(
+            "vec_id", lsh_bucket(F.col("embedding"), planes).alias("bucket")
+        ).collect()
+    }
+    assert buckets == again
+
+
+def test_shingles_short_text_safe(spark):
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, "a b c d"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = shingles_df(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["shingle"])
+    assert 1 not in by_doc  # < 3 tokens → no shingles
+    assert sorted(by_doc[2]) == ["a b c", "b c d"]
+    assert 3 not in by_doc
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "entirely different words appear in this one here")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(shingles_df(docs)).collect()
+    by_doc = {}
+    for r in sig:
+        by_doc.setdefault(r["doc_id"], {})[r["seed"]] = r["minhash"]
+    assert by_doc[1] == by_doc[2]
+    assert by_doc[1] != by_doc[3]
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, "image", b"\x01\x02\x03\x04" * 10, "image/png", None, None, None),
+        (2, "image", b"\xff" * 100, "image/jpeg", None, None, None),
+        (3, "audio", b"\x00" * 50, "audio/wav", None, None, 5000),
+        (4, "video", b"\x10\x20" * 200, "video/mp4", None, None, 60000),
+        (5, "image", None, "image/png", None, None, None),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_extract_image_features_with_fake_decoder(media_df):
+    out = multimodal.extract_image_features(
+        media_df, decoder=multimodal.fake_decoder
+    ).collect()
+    assert {r["media_id"] for r in out} == {1, 2, 5}  # images only
+    r1 = next(r for r in out if r["media_id"] == 1)
+    assert r1["n_bytes"] == 40
+    assert len(r1["content_sha"]) == 64
+    fake = multimodal.fake_decoder(b"\x01\x02\x03\x04" * 10)
+    assert r1["width"] == fake["width"]
+    assert abs(r1["mean_pixel"] - fake["mean_pixel"]) < 1e-12
+    r5 = next(r for r in out if r["media_id"] == 5)
+    assert r5["content_sha"] is None and r5["mean_pixel"] is None
+
+
+def test_decode_stub_raises(media_df):
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+        multimodal.extract_image_features(media_df).collect()
+
+
+def test_resize_images_plumbing(media_df):
+    def fake_resize(content, w, h):
+        return content[: w * h]
+
+    out = multimodal.resize_images(media_df, 4, 5, resizer=fake_resize).collect()
+    assert all(r["width"] == 4 and r["height"] == 5 for r in out)
+    r2 = next(r for r in out if r["media_id"] == 2)
+    assert len(bytes(r2["content"])) == 20
+
+
+def test_sample_video_frames_flatmap(media_df):
+    def fake_frames(content, every_ms):
+        return [content[:4], content[4:8], content[8:12]]
+
+    out = multimodal.sample_video_frames(
+        media_df, 1000, frame_extractor=fake_frames
+    ).collect()
+    assert len(out) == 3  # one video row → 3 frames
+    assert [r["frame_ts_ms"] for r in sorted(out, key=lambda r: r["frame_index"])] == [
+        0,
+        1000,
+        2000,
+    ]
+
+
+def test_media_summary_jvm_side(media_df):
+    out = {r["kind"]: r for r in multimodal.media_summary(media_df).collect()}
+    assert out["image"]["n_items"] == 3
+    assert out["video"]["total_bytes"] == 400

@@ -1,0 +1,142 @@
+"""Structured Streaming tests: foreachBatch CDC historization, watermarked
+windowed aggregation, stateful sessionization (SURVEY.md §7 phase 3/4)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_etl_framework_spark import read_parquet_df
+from pandas_etl_framework_spark.streaming import (
+    sessionize_stream,
+    streaming_historize_append,
+    windowed_event_counts,
+)
+from tests.conftest import GRADES_SCHEMA, BASE_ROWS, NEW_KEY_ROWS, CHANGED_FRANKLIN
+
+
+def _wait(query, timeout=60):
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(timeout)
+
+
+def test_streaming_historize_append(spark, tmp_path):
+    """File-source stream: two micro-batch files flow through the same
+    delta-anti-join core; store ends with 17 distinct versions."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    checkpoint = str(tmp_path / "ckpt")
+
+    batch1 = spark.createDataFrame(BASE_ROWS, GRADES_SCHEMA)
+    batch1.coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(GRADES_SCHEMA).option(
+        "pathGlobFilter", "*.parquet"
+    ).parquet(f"{src}/*")
+
+    q = streaming_historize_append(
+        spark,
+        stream,
+        store,
+        checkpoint,
+        key_columns=["Lastname", "Firstname"],
+    )
+    q.processAllAvailable()
+    assert read_parquet_df(spark, store).count() == 14
+
+    time.sleep(1.1)  # distinct second-granularity run ids per micro-batch
+    batch2 = spark.createDataFrame(
+        NEW_KEY_ROWS + [CHANGED_FRANKLIN], GRADES_SCHEMA
+    )
+    batch2.coalesce(1).write.parquet(str(src / "b2"))
+    q.processAllAvailable()
+    q.stop()
+
+    final = read_parquet_df(spark, store)
+    assert final.count() == 17
+    assert final.select("KEY_HASH", "RECORD_HASH").distinct().count() == 17
+
+
+def test_windowed_event_counts_batch_parity(spark):
+    """The streaming windowed agg runs identically on a batch frame."""
+    from pandas_etl_framework_spark.relational import load_events
+
+    events = load_events(spark, "/root/testdata/sf0.001")
+    out = windowed_event_counts(events, "1 hour", "10 minutes")
+    total = out.agg(F.sum("n")).first()[0]
+    assert total == events.count()
+    row = out.first()
+    assert (row["window_end"] - row["window_start"]).total_seconds() == 3600
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path):
+    from pandas_etl_framework_spark.relational import load_events
+
+    events = load_events(spark, "/root/testdata/sf0.001")
+    src = str(tmp_path / "events_src")
+    events.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_event_counts(stream, "1 hour", "10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has passed; with a single
+    # batch the final windows stay open, so just assert the query ran and
+    # produced a consistent subset
+    result = spark.sql("select * from win_counts")
+    batch = windowed_event_counts(events, "1 hour", "10 minutes")
+    assert result.count() <= batch.count()
+    if result.count() > 0:
+        joined = result.join(
+            batch, ["window_start", "window_end", "event_type", "n"], "left_anti"
+        )
+        assert joined.count() == 0  # every emitted row matches batch truth
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions match the
+    batch gap logic."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # user 7: two sessions separated by a 2h gap; second session still open
+    for i in range(3):
+        rows.append((7, base + datetime.timedelta(minutes=5 * i)))
+    for i in range(2):
+        rows.append((7, base + datetime.timedelta(hours=3, minutes=i)))
+    # user 8: one long session, never closed in-batch
+    rows.append((8, base,))
+    src = str(tmp_path / "sess_src")
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    closed = spark.sql("select * from sessions").collect()
+    # only user 7's first session closes within the batch (gap observed)
+    assert len(closed) == 1
+    s = closed[0]
+    assert s["user_id"] == 7
+    assert s["n_events"] == 3
+    assert (s["session_end"] - s["session_start"]).total_seconds() == 600
