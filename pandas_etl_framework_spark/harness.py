@@ -265,6 +265,8 @@ _SC = ", ".join(SCD2_COLS)
 def q_scd2_merge(spark, sf_dir):
     c1 = create_currents(RUN1_TS)
     c2 = create_currents(RUN2_TS)
+    # bootstrap is a join-free stamping projection, so the 3x consumption
+    # inside merge_scd2 just re-scans the (pruned) parquet source
     store = scd2.historize_dataset(
         stamped1(spark, sf_dir), None, c1, VALID_FROM_MODE_LOWER_BOUND
     )

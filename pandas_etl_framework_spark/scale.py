@@ -1,0 +1,130 @@
+"""Scale utilities: skew salting, bucketed stores, small-file compaction.
+
+AQE (enabled by session.get_spark) already splits skewed join partitions at
+runtime; these helpers cover the cases AQE cannot fix by itself —
+skewed *aggregation* keys, planned co-location for repeated joins, and the
+small-file accumulation inherent to incremental append stores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Join a skew-keyed big side against a small side by salting: the big
+    side gets a random salt in [0, n), the small side is replicated n times,
+    and the join key becomes (keys + salt) — a hot key's rows spread over n
+    tasks instead of one straggler.
+
+    Use when the small side is too big to broadcast but the big side has
+    hot keys; for broadcast-able small sides just use F.broadcast.
+    """
+    salted_big = skewed.withColumn(
+        SALT_COL, F.floor(F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salts = F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    replicated_small = small.withColumn(SALT_COL, salts)
+    return salted_big.join(
+        replicated_small, on=keys + [SALT_COL], how=how
+    ).drop(SALT_COL)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+    count_alias: str = "n",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: partial-aggregate on
+    (keys + salt), then final-aggregate on keys. Hash aggregation already
+    does map-side partials; salting additionally splits a hot *reduce*
+    key across ``salt_buckets`` reducers. Algebraic aggregates only
+    (count + sums)."""
+    sum_cols = sum_cols or []
+    salted = df.withColumn(
+        SALT_COL, F.floor(F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*group_cols, SALT_COL).agg(
+        F.count("*").alias("__pn"),
+        *[F.sum(c).alias(f"__ps_{c}") for c in sum_cols],
+    )
+    return partial.groupBy(*group_cols).agg(
+        F.sum("__pn").alias(count_alias),
+        *[F.sum(f"__ps_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
+def write_bucketed_store(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    mode: str = "append",
+) -> None:
+    """Persist as a bucketed table so repeated joins/aggregations on
+    ``bucket_cols`` (e.g. KEY_HASH for the delta anti-join) skip the
+    shuffle: both sides read pre-partitioned buckets. Requires the session
+    catalog (bucketing metadata lives in the metastore, not the files)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    target_files: int | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Rewrite an append-accumulated store into few large files. Incremental
+    historization appends one file-set per run; at 1000s of runs the store
+    becomes a small-file swamp that throttles every scan. Run compaction
+    out-of-band (the rewrite is atomic-by-rename only on HDFS-like FS;
+    object stores need a staging dir + swap)."""
+    df = spark.read.parquet(path)
+    n = target_files or max(1, spark.sparkContext.defaultParallelism)
+    staged = path.rstrip("/") + "__compacting"
+    writer = df.repartition(n).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staged)
+    # swap via Hadoop FS (works for local + HDFS)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+    p_old = jvm.org.apache.hadoop.fs.Path(path)
+    p_new = jvm.org.apache.hadoop.fs.Path(staged)
+    fs.delete(p_old, True)
+    fs.rename(p_new, p_old)
+
+
+def explain_summary(df: DataFrame) -> dict:
+    """Plan introspection for tests/tuning: operator counts + scan schemas."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    counts: dict[str, int] = {}
+    for op in (
+        "Exchange",
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "FileScan",
+        "WholeStageCodegen",
+    ):
+        counts[op] = sum(op in line for line in plan.splitlines())
+    return counts

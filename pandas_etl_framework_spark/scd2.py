@@ -162,9 +162,23 @@ def historize_dataset(
     valid_from_mode: int,
     valid_from_date: str | None = None,
 ) -> DataFrame:
-    """merge_scd2 with empty-store bootstrap. ref: SCDHelpers.py:297-301."""
+    """merge_scd2 with empty-store bootstrap. ref: SCDHelpers.py:297-301.
+
+    The empty-store case short-circuits: merging against an empty current
+    degenerates to "every new row is new_only", so the rows are stamped
+    directly — no join, no shuffle (the reference runs the full 5-way merge
+    against the empty frame, SCDHelpers.py:297-301).
+    """
     if current_df is None:
-        current_df = create_empty_hist_dataframe(new_df)
+        valid_from = F.to_date(
+            F.lit(get_valid_from_date(valid_from_mode, valid_from_date, currents))
+        )
+        return new_df.withColumns(
+            {
+                VALID_FROM: valid_from,
+                VALID_TO: F.to_date(F.lit(SCD2_UPPER_BOUND)),
+            }
+        )
     return merge_scd2(current_df, new_df, currents, valid_from_mode, valid_from_date)
 
 

@@ -1,0 +1,101 @@
+"""Scale-utility tests: salting correctness, compaction, plan introspection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandas_etl_framework_spark.scale import (
+    compact_store,
+    explain_summary,
+    salted_aggregate,
+    salted_join,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    plain = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).count()
+    salted = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        customer,
+        ["c_custkey"],
+        salt_buckets=4,
+    ).count()
+    assert salted == plain
+
+
+def test_salted_aggregate_matches_plain(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plain = {
+        (r["l_returnflag"]): (r["n"], r["s"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"]): (r["n"], r["sum_l_quantity"])
+        for r in salted_aggregate(
+            li, ["l_returnflag"], sum_cols=["l_quantity"], salt_buckets=4
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][0] == salted[k][0]
+        assert abs(plain[k][1] - salted[k][1]) < 1e-6
+
+
+def test_compact_store(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    # simulate 10 incremental appends → many small files
+    for _ in range(10):
+        df.write.mode("append").parquet(path)
+    import os
+
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    compact_store(spark, path, target_files=2)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after <= 2 < n_before
+    assert spark.read.parquet(path).count() == 10000
+
+
+def test_explain_summary_detects_broadcast(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    s = explain_summary(joined)
+    assert s["BroadcastHashJoin"] == 1
+    assert s["SortMergeJoin"] == 0
+
+
+def test_delta_join_store_scan_is_column_pruned(spark, tmp_path):
+    """The 100 TB guarantee: the delta anti-join reads only the two hash
+    columns of the store, never the full rows."""
+    import pandas_etl_framework_spark as etl
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    stamped = etl.add_meta_columns(
+        orders, etl.create_currents("2024-01-10 08:00:00"), ["o_orderkey"]
+    )
+    store = str(tmp_path / "store")
+    stamped.write.parquet(store)
+    cur = etl.read_parquet_df(spark, store)
+    delta = etl.get_delta(cur, stamped)
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    store_scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and "store" in line
+    ]
+    assert store_scans
+    for line in store_scans:
+        cols = line.split("FileScan parquet ")[1].split("]")[0]
+        assert "KEY_HASH" in cols and "RECORD_HASH" in cols
+        assert "o_totalprice" not in cols
