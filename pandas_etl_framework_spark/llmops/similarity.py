@@ -191,8 +191,57 @@ SELECT label, vec_a, vec_b, qdot, rn FROM ranked WHERE rn <= 3
 """
 
 
+def q_emb_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup candidates: top-20 most-similar pairs by
+    quantized cosine. The cosine is sqrt-based but every input to the sqrt
+    is an exact integer, so both engines compute identical doubles.
+
+    Brute-force O(n²) verification form; at scale, generate candidates via
+    ``lsh_bucket`` sign-bit buckets first and only score within buckets.
+    """
+    emb = _emb(spark, sf_dir).withColumn("q", _quantized(F.col("embedding")))
+    scored = emb.select(
+        "vec_id", "q", _qdot(F.col("q"), F.col("q")).alias("sq_norm")
+    )
+    a = scored.alias("a")
+    b = scored.alias("b")
+    cos = _qdot(F.col("a.q"), F.col("b.q")) / (
+        F.sqrt(F.col("a.sq_norm").cast("double"))
+        * F.sqrt(F.col("b.sq_norm").cast("double"))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("qcos"),
+        )
+        .orderBy(F.col("qcos").desc(), F.col("vec_a"), F.col("vec_b"))
+        .limit(20)
+    )
+
+
+SQL_EMB_NEARDUP_PAIRS = f"""
+WITH q AS (
+    SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings
+),
+scored AS (
+    SELECT vec_id, qv, CAST(list_dot_product(qv, qv) AS BIGINT) AS sq_norm
+    FROM q
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+           / (sqrt(CAST(a.sq_norm AS DOUBLE)) * sqrt(CAST(b.sq_norm AS DOUBLE)))
+           AS qcos
+FROM scored a JOIN scored b ON a.vec_id < b.vec_id
+ORDER BY qcos DESC, vec_a, vec_b
+LIMIT 20
+"""
+
+
 QUERIES = {
     "emb_topk": (q_emb_topk, SQL_EMB_TOPK),
     "emb_norms": (q_emb_norms, SQL_EMB_NORMS),
     "emb_knn_per_label": (q_emb_knn_per_label, SQL_EMB_KNN_PER_LABEL),
+    "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
 }

@@ -226,9 +226,74 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# BPE-ish tokenization + winnowing fingerprint
+# --------------------------------------------------------------------------
+
+# GPT-style pre-tokenizer shape: word pieces, numbers, or single non-space
+# symbols (shared regex dialect between Spark/Java and DuckDB/RE2)
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q_text_tokens_bpe(spark, sf_dir):
+    """Token counting with a BPE-ish regex pre-tokenizer (vs the whitespace
+    splitter in text_tokens) — the count an LLM-data pipeline budgets by."""
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(pieces)).alias("n_unique_bpe_tokens"),
+    )
+
+
+SQL_TEXT_TOKENS_BPE = f"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '{BPE_PATTERN}')) AS INTEGER)
+           AS n_bpe_tokens,
+       CAST(LEN(list_distinct(regexp_extract_all(text, '{BPE_PATTERN}')))
+           AS INTEGER) AS n_unique_bpe_tokens
+FROM documents
+"""
+
+WINNOW_WINDOW = 16
+
+
+def q_text_winnow_fingerprint(spark, sf_dir):
+    """Winnowing-style rolling-hash fingerprint: the minimum md5 over all
+    ``WINNOW_WINDOW``-char substrings — robust to edits at the document
+    edges, unlike whole-document hashing. One scan, no joins; texts shorter
+    than the window fingerprint as NULL."""
+    text = F.trim(F.col("text"))
+    n_windows = F.greatest(F.length(text) - (WINNOW_WINDOW - 1), F.lit(0))
+    idx = F.when(n_windows > 0, F.sequence(F.lit(1), n_windows)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(idx, lambda i: F.md5(text.substr(i, F.lit(WINNOW_WINDOW))))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_min(hashes).alias("winnow_fp"),
+        n_windows.cast("int").alias("n_windows"),
+    )
+
+
+SQL_TEXT_WINNOW = f"""
+SELECT doc_id,
+       list_aggregate(
+           list_transform(
+               generate_series(1, greatest(length(trim(text)) - {WINNOW_WINDOW - 1}, 0)),
+               i -> md5(substr(trim(text), i, {WINNOW_WINDOW}))
+           ), 'min') AS winnow_fp,
+       CAST(greatest(length(trim(text)) - {WINNOW_WINDOW - 1}, 0) AS INTEGER)
+           AS n_windows
+FROM documents
+"""
+
+
 QUERIES = {
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_tokens_bpe": (q_text_tokens_bpe, SQL_TEXT_TOKENS_BPE),
+    "text_winnow_fingerprint": (q_text_winnow_fingerprint, SQL_TEXT_WINNOW),
 }

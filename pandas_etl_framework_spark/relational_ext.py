@@ -1,0 +1,233 @@
+"""Extended relational coverage: scalar/date function parity (SURVEY.md
+§2.5 F4-F10), remaining join types (cross, full outer), string functions,
+and a Pandas-UDF variant proving the Arrow path exact against the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_scalar_date_funcs(spark, sf_dir):
+    """The reference's date-function vocabulary (SURVEY.md §2.5 F4-F10):
+    to_date, date_format, date_sub/add, unix epoch, literal stamping —
+    as one projection over orders."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.date_sub(F.to_date("o_orderdate"), 1).alias("day_before"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.year("o_orderdate").alias("order_year"),
+        F.unix_timestamp("o_orderdate").alias("epoch_seconds"),
+        F.to_date(F.lit("9999-12-31")).alias("upper_bound"),
+        F.datediff(
+            F.to_date(F.lit("2002-01-01")), F.to_date("o_orderdate")
+        ).alias("age_days"),
+    )
+
+
+SQL_SCALAR_DATE_FUNCS = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       strftime(o_orderdate, '%Y-%m') AS order_month,
+       CAST(o_orderdate AS DATE) - 1 AS day_before,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_seconds,
+       DATE '9999-12-31' AS upper_bound,
+       CAST(DATE '2002-01-01' - CAST(o_orderdate AS DATE) AS INTEGER) AS age_days
+FROM orders
+"""
+
+
+def q_string_funcs(spark, sf_dir):
+    """String-function vocabulary: case, substring, concat_ws, like,
+    regexp_replace, length, instr."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").like("%green%").alias("is_green"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+        F.length("p_name").alias("name_len"),
+        (F.instr(F.col("p_type"), "BRASS") > 0).alias("has_brass"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       lower(p_type) AS type_lower,
+       substr(p_name, 1, 8) AS name_prefix,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       p_name LIKE '%green%' AS is_green,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+       LENGTH(p_name) AS name_len,
+       instr(p_type, 'BRASS') > 0 AS has_brass
+FROM part
+"""
+
+
+def q_case_when(spark, sf_dir):
+    """Conditional routing (the SCD2 row-router's scalar form)."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 400000, "high")
+        .when(F.col("o_totalprice") > 150000, "medium")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("?")).alias(
+            "status_or_unknown"
+        ),
+    )
+
+
+SQL_CASE_WHEN = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 400000 THEN 'high'
+            WHEN o_totalprice > 150000 THEN 'medium'
+            ELSE 'low' END AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'P'), '?') AS status_or_unknown
+FROM orders
+"""
+
+
+def q_cross_join(spark, sf_dir):
+    """Explicit cartesian product (dims only — never facts)."""
+    region = _t(spark, sf_dir, "region").select("r_name")
+    status = (
+        _t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    )
+    return region.crossJoin(status)
+
+
+SQL_CROSS_JOIN = """
+SELECT r_name, o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+"""
+
+
+def q_full_outer_join(spark, sf_dir):
+    """Full outer: per-nation customer vs supplier counts, keeping nations
+    present on either side only."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+        .filter(F.col("nationkey") % 3 != 0)
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+        .filter(F.col("nationkey") % 3 != 1)
+    )
+    return cust.join(supp, ["nationkey"], "full_outer").select(
+        "nationkey",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+SQL_FULL_OUTER_JOIN = """
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM (
+    SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+    FROM customer GROUP BY c_nationkey HAVING (c_nationkey % 3) <> 0
+) c
+FULL OUTER JOIN (
+    SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+    FROM supplier GROUP BY s_nationkey HAVING (s_nationkey % 3) <> 1
+) s ON c.nationkey = s.nationkey
+"""
+
+
+def q_having(spark, sf_dir):
+    """Post-aggregation filter (HAVING)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 20)
+    )
+
+
+SQL_HAVING = """
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Pandas-UDF variant proved against the oracle
+# --------------------------------------------------------------------------
+
+_TOKENS_UDF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("n_chars", T.IntegerType()),
+    ]
+)
+
+
+def q_text_tokens_pandas_udf(spark, sf_dir):
+    """Token counting through the Arrow/Pandas-UDF path (mapInPandas) —
+    same oracle as the JVM-side variant, demonstrating that results from
+    the Python boundary are exact, not approximately equal."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["text"].str.strip().str.split().str.len(),
+                    "n_chars": pdf["text"].str.len(),
+                }
+            )
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(per_batch, _TOKENS_UDF_SCHEMA)
+    )
+
+
+SQL_TEXT_TOKENS_PANDAS_UDF = r"""
+SELECT doc_id,
+       CAST(LEN(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+       CAST(LENGTH(text) AS INTEGER) AS n_chars
+FROM documents
+"""
+
+
+QUERIES = {
+    "rel_scalar_date_funcs": (q_scalar_date_funcs, SQL_SCALAR_DATE_FUNCS),
+    "rel_string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
+    "rel_case_when": (q_case_when, SQL_CASE_WHEN),
+    "rel_cross_join": (q_cross_join, SQL_CROSS_JOIN),
+    "rel_full_outer_join": (q_full_outer_join, SQL_FULL_OUTER_JOIN),
+    "rel_having": (q_having, SQL_HAVING),
+    "text_tokens_pandas_udf": (q_text_tokens_pandas_udf, SQL_TEXT_TOKENS_PANDAS_UDF),
+}
+
+
+def register_all() -> None:
+    from . import harness
+
+    for name, (fn, sql) in QUERIES.items():
+        harness.register(name, fn, sql)
