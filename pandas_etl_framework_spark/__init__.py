@@ -52,8 +52,10 @@ from .scd2 import (  # noqa: F401
     get_valid_from_date,
     historize_dataset,
     merge_scd2,
+    merge_scd2_open,
     split_merged_dataset,
 )
+from .scd2_store import Scd2Store  # noqa: F401
 from .schema import (  # noqa: F401
     create_empty_hist_dataframe,
     prepare_schema,

@@ -239,9 +239,109 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path: candidates via equi-join, not cross join)
+# --------------------------------------------------------------------------
+
+EMB_DIM = 64
+N_PLANES = 8
+
+
+def _det_planes() -> list[list[int]]:
+    """Deterministic odd-integer hyperplanes derived from md5 — reproducible
+    in any engine/driver without a random-state dependency. Components
+    2*digit-15 are always odd, so no component is zero and plane dot
+    products over even/odd integer grids rarely land exactly on zero."""
+    import hashlib
+
+    return [
+        [
+            2 * int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[0], 16) - 15
+            for j in range(EMB_DIM)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+PLANES = _det_planes()
+
+
+def _bucket_expr(qcol: Column) -> Column:
+    """Sign-bit bucket id over the quantized embedding (exact int math)."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(PLANES):
+        arr = F.array(*[F.lit(v).cast("long") for v in plane])
+        bucket = bucket + F.when(
+            _qdot(qcol, arr) > 0, F.lit(2**p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def _sql_bucket(qv: str = "qv") -> str:
+    terms = []
+    for p, plane in enumerate(PLANES):
+        lits = "[" + ", ".join(str(v) for v in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({qv}, {lits}) > 0 "
+            f"THEN CAST({2**p} AS BIGINT) ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def q_emb_lsh_buckets(spark, sf_dir):
+    """Per-vector LSH bucket id: 2^8 sign-bit buckets from the deterministic
+    planes — one scan, no joins. This is the coarse index build."""
+    emb = _emb(spark, sf_dir).withColumn("q", _quantized(F.col("embedding")))
+    return emb.select("vec_id", _bucket_expr(F.col("q")).alias("bucket"))
+
+
+SQL_EMB_LSH_BUCKETS = f"""
+WITH q AS (SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings)
+SELECT vec_id, {_sql_bucket()} AS bucket FROM q
+"""
+
+
+def q_emb_ann_lsh(spark, sf_dir):
+    """ANN search for vec_id=0: candidates restricted to the query's LSH
+    bucket (equi-join on bucket id), exact quantized-dot scoring within.
+    At 100 TB the bucket join shuffles only (vec_id, bucket) + vectors of
+    one bucket — never the all-pairs product the brute-force path needs."""
+    emb = _emb(spark, sf_dir).withColumn("q", _quantized(F.col("embedding")))
+    bucketed = emb.select("vec_id", "q", _bucket_expr(F.col("q")).alias("bucket"))
+    query = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("query_q"), F.col("bucket").alias("query_bucket")
+    )
+    return (
+        bucketed.filter(F.col("vec_id") != 0)
+        .join(
+            F.broadcast(query),
+            F.col("bucket") == F.col("query_bucket"),
+        )
+        .select("vec_id", _qdot(F.col("q"), F.col("query_q")).alias("qdot"))
+        .orderBy(F.col("qdot").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+SQL_EMB_ANN_LSH = f"""
+WITH q AS (SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings),
+bucketed AS (SELECT vec_id, qv, {_sql_bucket()} AS bucket FROM q),
+target AS (
+    SELECT qv AS query_q, bucket AS query_bucket FROM bucketed WHERE vec_id = 0
+)
+SELECT vec_id, CAST(list_dot_product(qv, query_q) AS BIGINT) AS qdot
+FROM bucketed, target
+WHERE vec_id <> 0 AND bucket = query_bucket
+ORDER BY qdot DESC, vec_id
+LIMIT 5
+"""
+
+
 QUERIES = {
     "emb_topk": (q_emb_topk, SQL_EMB_TOPK),
     "emb_norms": (q_emb_norms, SQL_EMB_NORMS),
     "emb_knn_per_label": (q_emb_knn_per_label, SQL_EMB_KNN_PER_LABEL),
     "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
+    "emb_lsh_buckets": (q_emb_lsh_buckets, SQL_EMB_LSH_BUCKETS),
+    "emb_ann_lsh": (q_emb_ann_lsh, SQL_EMB_ANN_LSH),
 }

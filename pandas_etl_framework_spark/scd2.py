@@ -72,20 +72,24 @@ def get_valid_from_date(
     raise ValueError(f"unknown valid_from_mode: {valid_from_mode}")
 
 
-def merge_scd2(
-    current_df: DataFrame,
+def merge_scd2_open(
+    cur_open: DataFrame,
     new_df: DataFrame,
     currents: dict,
     valid_from_mode: int,
     valid_from_date: str | None = None,
+    closed_keys: DataFrame | None = None,
 ) -> DataFrame:
-    """Five-way SCD2 merge in a single pass. ref: SCDHelpers.py:129-220.
+    """Route the five SCD2 branches out of one full-outer join over the
+    *open* slice of the store (closed rows are the caller's concern — they
+    pass through unchanged and, at scale, should never be re-read or
+    re-written; see Scd2Store).
 
-    ``current_df`` must carry the meta columns plus VALID_FROM/VALID_TO;
-    ``new_df`` must carry the meta columns (add_meta_columns output).
-    Output columns = ``current_df``'s columns.
+    ``closed_keys`` — one-column (KEY_HASH) frame of keys that exist only
+    as closed rows; new rows for those keys are dropped (reference NOT-IN
+    parity, SCDHelpers.py:154-156). Pass None when no closed rows exist.
     """
-    out_cols = current_df.columns
+    out_cols = cur_open.columns
     upper = F.to_date(F.lit(SCD2_UPPER_BOUND))
     run_day = F.to_date(F.lit(currents[CURRENT_RUN_DAY]))
     run_ts = F.to_timestamp(F.lit(currents[CURRENT_RUN_TS]), "yyyy-MM-dd HH:mm:ss")
@@ -98,15 +102,15 @@ def merge_scd2(
         if col not in new_prepped.columns:
             new_prepped = new_prepped.withColumn(col, F.lit(None).cast("date"))
 
-    cur_open = current_df.filter(F.col(VALID_TO) == upper)
-    cur_closed = current_df.filter(F.col(VALID_TO) != upper)
-
-    # Reference parity: a new key that exists in current ONLY as closed rows
-    # is NOT re-inserted (NOT IN spans all of current, SCDHelpers.py:154-156).
-    closed_keys = cur_closed.select(KEY_HASH).distinct().withColumn(
-        "__KEY_IN_CLOSED", F.lit(True)
-    )
-    new_flagged = new_prepped.join(closed_keys, on=[KEY_HASH], how="left")
+    if closed_keys is not None:
+        flagged = closed_keys.select(KEY_HASH).distinct().withColumn(
+            "__KEY_IN_CLOSED", F.lit(True)
+        )
+        new_flagged = new_prepped.join(flagged, on=[KEY_HASH], how="left")
+    else:
+        new_flagged = new_prepped.withColumn(
+            "__KEY_IN_CLOSED", F.lit(None).cast("boolean")
+        )
 
     c = cur_open.alias("c")
     n = new_flagged.alias("n")
@@ -151,8 +155,37 @@ def merge_scd2(
         .otherwise(F.array(closed_current_row, changed_new_row))
         .alias("__rows")
     )
-    exploded = routed.select(F.explode("__rows").alias("__r")).select("__r.*")
-    return exploded.unionByName(cur_closed.select(out_cols))
+    return routed.select(F.explode("__rows").alias("__r")).select("__r.*")
+
+
+def merge_scd2(
+    current_df: DataFrame,
+    new_df: DataFrame,
+    currents: dict,
+    valid_from_mode: int,
+    valid_from_date: str | None = None,
+) -> DataFrame:
+    """Five-way SCD2 merge in a single pass. ref: SCDHelpers.py:129-220.
+
+    ``current_df`` must carry the meta columns plus VALID_FROM/VALID_TO;
+    ``new_df`` must carry the meta columns (add_meta_columns output).
+    Output columns = ``current_df``'s columns. The store is consumed three
+    times (open slice, closed slice, closed-key set) — cheap pruned
+    re-scans for a parquet-backed store; for a plan-backed store cache it,
+    or use Scd2Store which keeps the slices in separate partitions.
+    """
+    upper = F.to_date(F.lit(SCD2_UPPER_BOUND))
+    cur_open = current_df.filter(F.col(VALID_TO) == upper)
+    cur_closed = current_df.filter(F.col(VALID_TO) != upper)
+    merged_open = merge_scd2_open(
+        cur_open,
+        new_df,
+        currents,
+        valid_from_mode,
+        valid_from_date,
+        closed_keys=cur_closed.select(KEY_HASH),
+    )
+    return merged_open.unionByName(cur_closed.select(current_df.columns))
 
 
 def historize_dataset(
