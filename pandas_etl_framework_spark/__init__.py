@@ -63,6 +63,7 @@ from .schema import (  # noqa: F401
 )
 from .io import (  # noqa: F401
     create_dataframe_with_schema,
+    delete_store,
     read_csv,
     read_current_hashes,
     read_parquet_df,

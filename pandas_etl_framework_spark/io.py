@@ -80,6 +80,22 @@ def write_store(
     writer.parquet(path)
 
 
+def delete_store(spark: SparkSession, path: str) -> bool:
+    """Remove a store directory (simulation/bootstrap reset).
+
+    ref: main.py:27-28 (shutil.rmtree) — via the Hadoop FS API so it works
+    on HDFS/object stores, not just the local filesystem. Returns whether
+    anything was deleted.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    if fs.exists(hpath):
+        return bool(fs.delete(hpath, True))
+    return False
+
+
 def create_dataframe_with_schema(
     spark: SparkSession, schema: T.StructType
 ) -> DataFrame:

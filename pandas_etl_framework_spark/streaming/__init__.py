@@ -9,5 +9,8 @@ operators (hash stamping, delta anti-join), so batch and streaming results
 agree by construction.
 """
 
-from .historize import streaming_historize_append  # noqa: F401
+from .historize import (  # noqa: F401
+    streaming_historize_append,
+    streaming_scd2_merge,
+)
 from .windows import sessionize_stream, windowed_event_counts  # noqa: F401

@@ -53,3 +53,41 @@ def streaming_historize_append(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_scd2_merge(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    key_columns: list[str],
+    valid_from_mode: int = 2,  # VALID_FROM_MODE_LOAD_DATE
+    record_hash_exclude_columns: list[str] | None = None,
+    trigger_once: bool = False,
+):
+    """Continuous SCD Type 2: each micro-batch is stamped and merged into an
+    Scd2Store (open-partition overwrite + closed-partition append), so the
+    one-open-row-per-key invariant holds at every micro-batch boundary.
+    """
+    from ..meta_columns import add_meta_columns
+    from ..scd2_store import Scd2Store
+
+    store = Scd2Store(spark, store_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        currents = create_currents()
+        stamped = add_meta_columns(
+            batch_df, currents, key_columns, record_hash_exclude_columns
+        )
+        store.merge(stamped, currents=currents, valid_from_mode=valid_from_mode)
+
+    writer = (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(process_batch)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
