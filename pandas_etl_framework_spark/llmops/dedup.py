@@ -190,27 +190,48 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_MINHASHES) -> DataFr
     )
 
 
+def minhash_signatures_wide(
+    sh: DataFrame, num_hashes: int = NUM_MINHASHES
+) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}): the whole signature in ONE aggregation.
+
+    Unlike the explode-by-seed form (minhash_signatures), the seed dimension
+    lives in columns, so the k per-shingle hashes are folded by map-side
+    partial aggregation — the shuffle carries one row per document, not
+    |shingles| × k rows. This is the form every scale path should use; the
+    long form exists for API parity and per-seed inspection.
+    """
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle")))
+            ).alias(f"mh{s}")
+            for s in range(num_hashes)
+        ]
+    )
+
+
 def q_dedup_minhash_bands(spark, sf_dir):
     """LSH band keys per document: band = seed div 4, band_key = md5 of the
-    '|'-joined seed-ordered minhashes within the band."""
-    sig = minhash_signatures(shingles_df(_docs(spark, sf_dir)))
-    return (
-        sig.withColumn("band", F.expr(f"div(seed, {ROWS_PER_BAND})"))
-        .groupBy("doc_id", "band")
-        .agg(
+    '|'-joined seed-ordered minhashes within the band. Built on the wide
+    signature (one aggregation, one doc-sized shuffle)."""
+    sig = minhash_signatures_wide(shingles_df(_docs(spark, sf_dir)))
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "minhash"))
-                        ),
-                        lambda x: x["minhash"],
-                    ),
+                F.concat_ws(
                     "|",
+                    *[f"mh{b * ROWS_PER_BAND + i}" for i in range(ROWS_PER_BAND)],
                 )
-            ).alias("band_key")
+            ).alias("band_key"),
         )
-    )
+        for b in range(LSH_BANDS)
+    ]
+    # all 4 band keys in one projection + explode — sig is computed once
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
 
 
 SQL_MINHASH_BANDS_BODY = f"""

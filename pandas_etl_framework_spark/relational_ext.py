@@ -215,6 +215,59 @@ FROM documents
 """
 
 
+def q_events_json_extract(spark, sf_dir):
+    """Semi-structured access: pull a typed field out of the JSON props
+    column and aggregate on it (JVM-side get_json_object — no Python)."""
+    from .relational import load_events
+
+    events = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+        )
+    )
+
+
+SQL_EVENTS_JSON_EXTRACT = """
+SELECT event_type, COUNT(*) AS n,
+       MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_udaf_pandas(spark, sf_dir):
+    """User-defined aggregate through the Arrow path: a pandas Series
+    aggregation per group (integer-exact, so oracle-comparable). The UDAF
+    surface the reference lacks entirely (SURVEY.md §2.6)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .relational import load_events
+
+    @pandas_udf("long")
+    def quantized_abs_sum(v: pd.Series) -> int:
+        return int((v * 10000).round().astype("int64").abs().sum())
+
+    events = load_events(spark, sf_dir)
+    return events.groupBy("event_type").agg(
+        quantized_abs_sum(F.col("value")).alias("abs_value_q")
+    )
+
+
+SQL_EVENTS_UDAF_PANDAS = """
+SELECT event_type,
+       SUM(abs(CAST(round(value * 10000) AS BIGINT))) AS abs_value_q
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "rel_scalar_date_funcs": (q_scalar_date_funcs, SQL_SCALAR_DATE_FUNCS),
     "rel_string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
@@ -223,6 +276,8 @@ QUERIES = {
     "rel_full_outer_join": (q_full_outer_join, SQL_FULL_OUTER_JOIN),
     "rel_having": (q_having, SQL_HAVING),
     "text_tokens_pandas_udf": (q_text_tokens_pandas_udf, SQL_TEXT_TOKENS_PANDAS_UDF),
+    "events_json_extract": (q_events_json_extract, SQL_EVENTS_JSON_EXTRACT),
+    "events_udaf_pandas": (q_events_udaf_pandas, SQL_EVENTS_UDAF_PANDAS),
 }
 
 
