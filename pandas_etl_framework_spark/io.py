@@ -80,6 +80,74 @@ def write_store(
     writer.parquet(path)
 
 
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    """Generic source: parquet / orc / json / csv / text by format name.
+
+    The reference supports only CSV in + parquet out (requirements.txt:1-3);
+    the extra formats come free from Spark's DataSource API and share the
+    same pushdown/pruning machinery where the format allows it (parquet,
+    orc)."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Generic sink mirroring read_table."""
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound=None,
+    upper_bound=None,
+    **properties,
+) -> DataFrame:
+    """JDBC source with parallel partitioned reads. Untested here (no
+    database in this environment) — thin declarative wrapper over
+    spark.read.jdbc; partition bounds split the table into
+    ``num_partitions`` concurrent range scans instead of one serial cursor.
+    """
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in properties.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def delete_store(spark: SparkSession, path: str) -> bool:
     """Remove a store directory (simulation/bootstrap reset).
 

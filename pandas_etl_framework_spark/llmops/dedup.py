@@ -36,6 +36,30 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact dedup
 # --------------------------------------------------------------------------
 
+def deduplicate(
+    df: DataFrame,
+    content_cols: list[str],
+    order_col: str,
+    keep: str = "first",
+) -> DataFrame:
+    """Deterministic exact dedup: keep exactly one full row per distinct
+    ``content_cols`` value, chosen by ``order_col`` (``dropDuplicates``
+    keeps an *arbitrary* row, which changes run-to-run under shuffles —
+    unusable when results must be reproducible). One shuffle on the content
+    hash."""
+    from pyspark.sql import Window
+
+    order = F.col(order_col).asc() if keep == "first" else F.col(order_col).desc()
+    w = Window.partitionBy(
+        F.md5(F.concat_ws("\x01", *[F.col(c).cast("string") for c in content_cols]))
+    ).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Keep the lowest doc_id per exact content hash."""
     return (
