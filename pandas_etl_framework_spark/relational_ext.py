@@ -268,6 +268,107 @@ FROM events GROUP BY event_type
 """
 
 
+_ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("z", T.DoubleType()),
+    ]
+)
+
+
+def q_events_grouped_map_zscore(spark, sf_dir):
+    """Grouped-map operator (applyInPandas): per-event z-score within its
+    event_type. All statistics derive from exact integer sums (Python
+    arbitrary-precision in the UDF, HUGEINT in the oracle), so the final
+    doubles are bit-identical: z = (n*v - sum) / sqrt(n*sumsq - sum²)."""
+    import math
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        vq = (pdf["value"] * 10000).round().astype("int64")
+        n = len(pdf)
+        s = int(vq.sum())
+        ss = sum(int(v) * int(v) for v in vq)
+        den2 = n * ss - s * s
+        den = math.sqrt(float(den2)) if den2 > 0 else float("nan")
+        z = [float(int(v) * n - s) / den for v in vq]
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": z}
+        )
+
+    from .relational import load_events
+
+    return (
+        load_events(spark, sf_dir)
+        .select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(zscore, _ZSCORE_SCHEMA)
+    )
+
+
+SQL_EVENTS_ZSCORE = """
+WITH q AS (
+    SELECT event_id, event_type, CAST(round(value * 10000) AS BIGINT) AS vq
+    FROM events
+),
+g AS (
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(vq AS HUGEINT)) AS s,
+           SUM(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT)) AS ss
+    FROM q GROUP BY event_type
+)
+SELECT event_id, q.event_type,
+       CAST(CAST(vq AS HUGEINT) * n - s AS DOUBLE)
+           / sqrt(CAST(n * ss - s * s AS DOUBLE)) AS z
+FROM q JOIN g ON q.event_type = g.event_type
+"""
+
+
+def q_cdc_changed_columns(spark, sf_dir):
+    """Column-level change detection: for each updated key, the
+    comma-joined (schema-ordered) list of business columns whose value
+    changed between the current and new version — the drill-down the
+    record-hash comparison can't answer by itself."""
+    from .harness import ORDERS_COLS, stamped1, stamped2
+
+    a = stamped1(spark, sf_dir).alias("a")
+    b = stamped2(spark, sf_dir).alias("b")
+    changed_markers = [
+        F.when(
+            ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")), F.lit(c)
+        )
+        for c in ORDERS_COLS
+    ]
+    return (
+        a.join(
+            b,
+            (F.col("a.KEY_HASH") == F.col("b.KEY_HASH"))
+            & (F.col("a.RECORD_HASH") != F.col("b.RECORD_HASH")),
+        )
+        .select(
+            F.col("a.o_orderkey").alias("o_orderkey"),
+            F.concat_ws(",", *changed_markers).alias("changed_columns"),
+        )
+    )
+
+
+def _sql_changed_columns() -> str:
+    from .harness import CDC_PRELUDE, ORDERS_COLS
+
+    markers = ", ".join(
+        f"CASE WHEN a.{c} IS DISTINCT FROM b.{c} THEN '{c}' END"
+        for c in ORDERS_COLS
+    )
+    return (
+        CDC_PRELUDE
+        + f"""
+SELECT a.o_orderkey, concat_ws(',', {markers}) AS changed_columns
+FROM stamped1 a JOIN stamped2 b
+  ON a.KEY_HASH = b.KEY_HASH AND a.RECORD_HASH <> b.RECORD_HASH
+"""
+    )
+
+
 QUERIES = {
     "rel_scalar_date_funcs": (q_scalar_date_funcs, SQL_SCALAR_DATE_FUNCS),
     "rel_string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
@@ -278,6 +379,7 @@ QUERIES = {
     "text_tokens_pandas_udf": (q_text_tokens_pandas_udf, SQL_TEXT_TOKENS_PANDAS_UDF),
     "events_json_extract": (q_events_json_extract, SQL_EVENTS_JSON_EXTRACT),
     "events_udaf_pandas": (q_events_udaf_pandas, SQL_EVENTS_UDAF_PANDAS),
+    "events_grouped_map_zscore": (q_events_grouped_map_zscore, SQL_EVENTS_ZSCORE),
 }
 
 
@@ -286,3 +388,6 @@ def register_all() -> None:
 
     for name, (fn, sql) in QUERIES.items():
         harness.register(name, fn, sql)
+    harness.register(
+        "cdc_changed_columns", q_cdc_changed_columns, _sql_changed_columns()
+    )
