@@ -24,12 +24,23 @@ from .io import read_parquet_df, write_store
 from .meta_columns import add_meta_columns, create_currents
 
 
+def _require_hashes(*dfs: DataFrame) -> None:
+    for df in dfs:
+        missing = [c for c in (KEY_HASH, RECORD_HASH) if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"DataFrame lacks meta columns {missing} — run add_meta_columns "
+                f"first (columns present: {df.columns})"
+            )
+
+
 def get_delta(current_data: DataFrame, new_data: DataFrame) -> DataFrame:
     """Rows of ``new_data`` that are new keys OR changed records — i.e. not
     present in current as the exact (KEY_HASH, RECORD_HASH) pair.
 
     ref: main.py:12 (LIVE sqldf query) and MetaColumnHelpers.py:180-184.
     """
+    _require_hashes(current_data, new_data)
     return new_data.join(
         current_data.select(KEY_HASH, RECORD_HASH),
         on=[KEY_HASH, RECORD_HASH],

@@ -141,6 +141,16 @@ def add_meta_columns(
     (the reference types it as NaT, not boolean — MetaColumnHelpers.py:150);
     preserved for store compatibility.
     """
+    missing = [c for c in key_columns if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"key columns {missing} not in DataFrame columns {df.columns}"
+        )
+    for key in (CURRENT_RUN_TS, CURRENT_RUN_ID):
+        if key not in currents:
+            raise ValueError(
+                f"currents is missing '{key}' — build it with create_currents()"
+            )
     run_ts = F.to_timestamp(F.lit(currents[CURRENT_RUN_TS]), "yyyy-MM-dd HH:mm:ss")
     df = add_key_hash(df, key_columns)
     df = add_record_hash(df, record_hash_exclude_columns)

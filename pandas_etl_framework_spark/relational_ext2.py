@@ -1,0 +1,171 @@
+"""Second coverage extension: multiset set-ops, native pivot, range window
+frames, ntile/percent_rank, and a Python UDTF (table function) — completing
+the §2.4/§2.6 capability matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_intersect_all(spark, sf_dir):
+    """Multiset intersect (duplicates preserved)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_suppkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return a.intersectAll(b)
+
+
+SQL_INTERSECT_ALL = """
+SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+INTERSECT ALL
+SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+def q_except_all(spark, sf_dir):
+    """Multiset difference (per-occurrence subtraction)."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 40).select("l_suppkey")
+    b = li.filter(F.col("l_quantity") > 45).select("l_suppkey")
+    return a.exceptAll(b)
+
+
+SQL_EXCEPT_ALL = """
+SELECT l_suppkey FROM lineitem WHERE l_quantity > 40
+EXCEPT ALL
+SELECT l_suppkey FROM lineitem WHERE l_quantity > 45
+"""
+
+
+def q_pivot_native(spark, sf_dir):
+    """Spark's native pivot API (vs the conditional-aggregation form in
+    rel_pivot) with an explicit value list so the plan is a single pass."""
+    out = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_P"),
+    )
+
+
+SQL_PIVOT_NATIVE = """
+SELECT o_orderpriority,
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_F,
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_O,
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_window_range_frame(spark, sf_dir):
+    """RANGE frame: count of same-customer orders within ±30 days of each
+    order (value-based frame, not row-based)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 30 * 86400)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).alias("orders_within_30d"),
+    )
+
+
+SQL_WINDOW_RANGE_FRAME = """
+SELECT o_orderkey, o_custkey,
+       COUNT(*) OVER (
+           PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+           RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING
+       ) AS orders_within_30d
+FROM orders
+"""
+
+
+def q_window_distribution(spark, sf_dir):
+    """ntile + percent_rank + cume_dist over a deterministic ordering."""
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+SQL_WINDOW_DISTRIBUTION = """
+SELECT o_orderkey,
+       NTILE(10) OVER w AS decile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+CHUNK_SIZE = 100
+
+
+def q_text_chunks_udtf(spark, sf_dir):
+    """Python UDTF (table function): split each document into fixed-size
+    character chunks — one input row to N output rows through the UDTF
+    surface (the reference has no UDTF at all, SURVEY.md §2.6). Chunking is
+    the canonical LLM-pipeline pre-embedding step."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id: bigint, chunk_index: int, chunk: string")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            for i in range(0, len(text), CHUNK_SIZE):
+                yield doc_id, i // CHUNK_SIZE, text[i : i + CHUNK_SIZE]
+
+    docs = _t(spark, sf_dir, "documents")
+    # lateral-join the UDTF over the documents table
+    docs.createOrReplaceTempView("__docs_for_udtf")
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_index, c.chunk "
+        "FROM __docs_for_udtf d, LATERAL chunk_doc(d.doc_id, d.text) c"
+    )
+
+
+SQL_TEXT_CHUNKS_UDTF = f"""
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_index,
+       substr(text, i * {CHUNK_SIZE} + 1, {CHUNK_SIZE}) AS chunk
+FROM documents,
+     LATERAL (
+        SELECT unnest(generate_series(0, (length(text) - 1) // {CHUNK_SIZE})) AS i
+     )
+"""
+
+
+QUERIES = {
+    "rel_intersect_all": (q_intersect_all, SQL_INTERSECT_ALL),
+    "rel_except_all": (q_except_all, SQL_EXCEPT_ALL),
+    "rel_pivot_native": (q_pivot_native, SQL_PIVOT_NATIVE),
+    "rel_window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
+    "rel_window_distribution": (q_window_distribution, SQL_WINDOW_DISTRIBUTION),
+    "text_chunks_udtf": (q_text_chunks_udtf, SQL_TEXT_CHUNKS_UDTF),
+}
+
+
+def register_all() -> None:
+    from . import harness
+
+    for name, (fn, sql) in QUERIES.items():
+        harness.register(name, fn, sql)
