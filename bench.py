@@ -25,6 +25,8 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
     # events
     "events_sessionize",
     # llm-ops

@@ -587,6 +587,78 @@ GROUP BY n_name
 """
 
 
+def q_tpch_q10(spark, sf_dir):
+    """Returned-item reporting: 4-table join, group, top-20 by revenue.
+    Customer/nation broadcast; lineitem filter pushed to the scan."""
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Large-volume customers: aggregate-subquery semi-join (HAVING over a
+    grouped fact feeding a join back to the facts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big_orders, orders.o_orderkey == big_orders.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (
+    SELECT l_orderkey, {_sql_dsum('l_quantity', 'total_qty')}
+    FROM lineitem GROUP BY l_orderkey HAVING
+        CAST(SUM(CAST(round((l_quantity) * 10000) AS BIGINT)) AS DOUBLE) / 10000 > 150
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
 def q_tpch_q6(spark, sf_dir):
     """Forecast-revenue: pure scan + filter + single aggregate; entire
     predicate pushes to parquet."""
@@ -720,6 +792,8 @@ QUERIES = {
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
+    "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
 }
