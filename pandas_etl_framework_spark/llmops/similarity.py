@@ -240,6 +240,98 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# IVF index: k-means coarse quantizer + probe-limited search
+# --------------------------------------------------------------------------
+
+def _dist_sq(vec: Column, centroid: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    diff = F.zip_with(vec, c, lambda a, b: a.cast("double") - b)
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def assign_to_centroids(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add ``centroid_id`` = argmin squared-L2 over the centroid list.
+    Centroids are literals (driver-side, k×d values), so assignment is one
+    JVM-side scan — no join, no shuffle.
+
+    argmin is array_position(dists, array_min(dists)): a chained
+    when/otherwise fold would nest every prior step inside the next and
+    blow up the expression tree exponentially in k (k=16 already stalls
+    analysis); the array form is linear."""
+    dists = F.array(*[_dist_sq(F.col(vec_col), cen) for cen in centroids])
+    best = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return df.withColumn("centroid_id", best)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    k: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer via Lloyd's k-means expressed as DataFrame ops:
+    assignment is a literal-centroid scan, the update step aggregates
+    element-wise means via posexplode + groupBy — only k×d numbers ever
+    reach the driver per iteration. Deterministic init (first k by id).
+
+    Returns (assignments, centroids): the partitioned index plus its
+    driver-side centroid table.
+    """
+    centroids = [
+        [float(x) for x in r[0]]
+        for r in df.orderBy(id_col).limit(k).select(vec_col).collect()
+    ]
+    assigned = None
+    for _ in range(iterations):
+        assigned = assign_to_centroids(df, centroids, vec_col)
+        rows = (
+            assigned.select("centroid_id", F.posexplode(F.col(vec_col)))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("v"))
+            .collect()
+        )
+        new_centroids = {cid: list(cen) for cid, cen in enumerate(centroids)}
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["centroid_id"], {})[r["pos"]] = r["v"]
+        for cid, dims in by_cluster.items():
+            new_centroids[cid] = [dims[i] for i in range(len(dims))]
+        centroids = [new_centroids[i] for i in range(k)]
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe-limited ANN: score only the ``nprobe`` nearest clusters to the
+    query (centroid ranking is driver-side over k rows), then exact cosine
+    top-k within them. Scanned fraction ≈ nprobe/k of the corpus — the
+    partition-pruning analogue for vector search: at scale, write the index
+    partitioned by centroid_id and the probe filter prunes whole files."""
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(centroids[i], query_vec)),
+    )
+    probes = order[:nprobe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("centroid_id").isin(probes))
+        .select(id_col, cosine(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
 # LSH-bucketed ANN (the scale path: candidates via equi-join, not cross join)
 # --------------------------------------------------------------------------
 
@@ -337,8 +429,57 @@ LIMIT 5
 """
 
 
+def q_emb_topk_batch(spark, sf_dir):
+    """Batched similarity search: top-3 neighbors for EACH of the first 8
+    query vectors in one job — broadcast the query block, score all
+    (query, candidate) pairs, window-rank per query. The shape that serves
+    a whole retrieval workload rather than one lookup."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir).withColumn("q", _quantized(F.col("embedding")))
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("query_q")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _qdot(F.col("q"), F.col("query_q")).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+SQL_EMB_TOPK_BATCH = f"""
+WITH q AS (SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings),
+queries AS (SELECT vec_id AS query_id, qv AS query_q FROM q WHERE vec_id < 8),
+scored AS (
+    SELECT query_id, vec_id,
+           CAST(list_dot_product(qv, query_q) AS BIGINT) AS qdot
+    FROM q CROSS JOIN queries
+    WHERE vec_id <> query_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY qdot DESC, vec_id
+    ) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "emb_topk": (q_emb_topk, SQL_EMB_TOPK),
+    "emb_topk_batch": (q_emb_topk_batch, SQL_EMB_TOPK_BATCH),
     "emb_norms": (q_emb_norms, SQL_EMB_NORMS),
     "emb_knn_per_label": (q_emb_knn_per_label, SQL_EMB_KNN_PER_LABEL),
     "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),

@@ -289,8 +289,80 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Dataset splitting + distribution reporting
+# --------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 80
+
+
+def split_bucket(key_col: F.Column, buckets: int = 100) -> F.Column:
+    """Deterministic hash bucket in [0, buckets): md5 of the key, first 8
+    hex chars as an int, mod buckets. Unlike randomSplit, membership is a
+    pure function of the key — stable across runs, engines, partitionings,
+    and dataset growth (a document keeps its split when new data arrives)."""
+    h = F.conv(F.substring(F.md5(key_col.cast("string")), 1, 6), 16, 10)
+    return (h.cast("long") % buckets).cast("int")
+
+
+def q_data_split(spark, sf_dir):
+    """80/20 train/holdout assignment by content-stable hash bucket."""
+    bucket = split_bucket(F.col("doc_id"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_PCT, "train").otherwise("holdout").alias(
+            "split"
+        ),
+    )
+
+
+# hex→int via digit arithmetic (DuckDB's from_hex yields a BLOB, not an int)
+_SQL_HEX6 = " + ".join(
+    f"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+    f" * {16 ** (5 - i)}"
+    for i in range(6)
+)
+
+SQL_DATA_SPLIT = f"""
+WITH b AS (
+    SELECT doc_id,
+           CAST(({_SQL_HEX6}) % 100 AS INTEGER) AS bucket
+    FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train' ELSE 'holdout' END
+           AS split
+FROM b
+"""
+
+
+def q_text_length_histogram(spark, sf_dir):
+    """Token-length distribution in buckets of 20 — the length profile a
+    curation pipeline filters on."""
+    n_tokens = F.size(tokens_col())
+    bucket = F.floor(n_tokens / 20).cast("int")
+    return (
+        _docs(spark, sf_dir)
+        .select((bucket * 20).alias("bucket_start"))
+        .groupBy("bucket_start")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_TEXT_LENGTH_HISTOGRAM = r"""
+SELECT CAST((LEN(string_split_regex(trim(text), '\s+')) // 20) * 20 AS INTEGER)
+           AS bucket_start,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "data_split": (q_data_split, SQL_DATA_SPLIT),
+    "text_length_histogram": (q_text_length_histogram, SQL_TEXT_LENGTH_HISTOGRAM),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
