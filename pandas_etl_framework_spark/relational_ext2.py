@@ -115,6 +115,24 @@ WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
 """
 
 
+def q_limit_offset(spark, sf_dir):
+    """Keyset-free pagination: rows 101-200 of a deterministic total order."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(100)
+        .limit(100)
+    )
+
+
+SQL_LIMIT_OFFSET = """
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100 OFFSET 100
+"""
+
+
 CHUNK_SIZE = 100
 
 
@@ -160,6 +178,7 @@ QUERIES = {
     "rel_pivot_native": (q_pivot_native, SQL_PIVOT_NATIVE),
     "rel_window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
     "rel_window_distribution": (q_window_distribution, SQL_WINDOW_DISTRIBUTION),
+    "rel_limit_offset": (q_limit_offset, SQL_LIMIT_OFFSET),
     "text_chunks_udtf": (q_text_chunks_udtf, SQL_TEXT_CHUNKS_UDTF),
 }
 

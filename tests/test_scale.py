@@ -99,3 +99,31 @@ def test_delta_join_store_scan_is_column_pruned(spark, tmp_path):
         cols = line.split("FileScan parquet ")[1].split("]")[0]
         assert "KEY_HASH" in cols and "RECORD_HASH" in cols
         assert "o_totalprice" not in cols
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A 90%-hot key lands in one task partition unsalted; salting spreads
+    the hot key's rows across ~salt_buckets partitions."""
+    from pyspark.sql import functions as F2
+
+    hot = spark.range(9000).select(F2.lit(1).alias("k"), F2.col("id").alias("v"))
+    cold = spark.range(1000).select(
+        (F2.col("id") % 50 + 2).alias("k"), F2.col("id").alias("v")
+    )
+    big = hot.unionByName(cold)
+    small = spark.createDataFrame(
+        [(k,) for k in range(1, 52)], "k long"
+    ).withColumn("tag", F2.lit("x"))
+
+    joined = salted_join(big, small, ["k"], salt_buckets=8)
+    assert joined.count() == 10000
+    # the shuffle key is (k, __salt): the hot key must fan out over (nearly)
+    # all salt values, so no single reducer owns its 9000 rows. (Post-join
+    # partition ids are useless here — AQE coalesces tiny outputs to one.)
+    salted = big.withColumn(
+        "__salt", F2.floor(F2.rand(seed=42) * 8).cast("int")
+    )
+    n_salts = (
+        salted.filter(F2.col("k") == 1).select("__salt").distinct().count()
+    )
+    assert n_salts >= 6

@@ -140,3 +140,49 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     assert s["user_id"] == 7
     assert s["n_events"] == 3
     assert (s["session_end"] - s["session_start"]).total_seconds() == 600
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Rows arriving later than the watermark delay behind the max seen
+    event time are excluded from their (already-finalized) window."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    # batch 1: events in hour 0 and hour 3 (watermark advances to 02:50)
+    b1 = [
+        (1, base + datetime.timedelta(minutes=m), "click", 1.0) for m in (0, 10)
+    ] + [(1, base + datetime.timedelta(hours=3), "click", 1.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(
+        spark.createDataFrame(b1, schema).schema
+    ).parquet(f"{src}/*")
+    q = (
+        windowed_event_counts(stream, "1 hour", "10 minutes")
+        .writeStream.format("memory")
+        .queryName("late_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: a LATE row for hour 0 — far behind watermark (03:00 - 10min)
+    b2 = [(1, base + datetime.timedelta(minutes=30), "click", 1.0)]
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    q.processAllAvailable()
+    # batch 3: advance event time so hour-0/hour-3 windows finalize
+    b3 = [(1, base + datetime.timedelta(hours=6), "click", 1.0)]
+    spark.createDataFrame(b3, schema).coalesce(1).write.parquet(str(src / "b3"))
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {
+        r["window_start"].hour: r["n"]
+        for r in spark.sql("select * from late_counts").collect()
+    }
+    # hour-0 window finalized with the 2 on-time rows; the late row was dropped
+    assert rows.get(0) == 2
+    assert rows.get(3) == 1
