@@ -172,8 +172,52 @@ FROM documents,
 """
 
 
+def q_array_agg(spark, sf_dir):
+    """Array aggregation: per return flag, the sorted distinct status values
+    and priority list sizes (array column output — both engines hand back
+    plain lists)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.size(F.array_sort(F.collect_set("l_suppkey"))).alias("n_suppliers"),
+    )
+
+
+SQL_ARRAY_AGG = """
+SELECT l_returnflag,
+       list_sort(list(DISTINCT l_linestatus)) AS statuses,
+       CAST(LEN(list_sort(list(DISTINCT l_suppkey))) AS INTEGER) AS n_suppliers
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: both (1-g)*lo + g*hi over the sorted set)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        )
+    )
+
+
+SQL_PERCENTILES = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "rel_intersect_all": (q_intersect_all, SQL_INTERSECT_ALL),
+    "rel_array_agg": (q_array_agg, SQL_ARRAY_AGG),
+    "rel_percentiles": (q_percentiles, SQL_PERCENTILES),
     "rel_except_all": (q_except_all, SQL_EXCEPT_ALL),
     "rel_pivot_native": (q_pivot_native, SQL_PIVOT_NATIVE),
     "rel_window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
