@@ -235,6 +235,23 @@ def minhash_signatures_wide(
     )
 
 
+def minhash_signatures_fast(
+    sh: DataFrame, num_hashes: int = NUM_MINHASHES
+) -> DataFrame:
+    """Production MinHash: xxhash64(seed, shingle) instead of md5 — same
+    wide-aggregation shape, ~an order of magnitude less hash CPU (xxhash is
+    a 64-bit non-crypto hash evaluated natively in codegen; md5 allocates a
+    digest per call). Spark-only (no portable oracle — DuckDB's hash()
+    differs), so the oracle-paired queries keep the md5 family and this is
+    the variant to deploy at 100 TB."""
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"mh{s}")
+            for s in range(num_hashes)
+        ]
+    )
+
+
 def q_dedup_minhash_bands(spark, sf_dir):
     """LSH band keys per document: band = seed div 4, band_key = md5 of the
     '|'-joined seed-ordered minhashes within the band. Built on the wide

@@ -659,6 +659,67 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 """
 
 
+def q_tpch_q4(spark, sf_dir):
+    """Order-priority checking (EXISTS correlated subquery → left_semi):
+    orders in a quarter having at least one late-shipped line."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Promotion effect: conditional-aggregate share over a fact-dim join
+    (single row; both numerator and denominator decimal-exact)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * (
+                F.sum(F.round(promo * 10000).cast("long")).cast("double")
+                / F.sum(F.round(rev * 10000).cast("long")).cast("double")
+            )
+        ).alias("promo_revenue_pct")
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT 100.0 * (
+    CAST(SUM(CAST(round(CASE WHEN p_type LIKE 'PROMO%'
+        THEN l_extendedprice * (1 - l_discount) END * 10000) AS BIGINT)) AS DOUBLE)
+    / CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
 def q_tpch_q6(spark, sf_dir):
     """Forecast-revenue: pure scan + filter + single aggregate; entire
     predicate pushes to parquet."""
@@ -744,6 +805,65 @@ GROUP BY user_id, session_seq
 """
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel: users who did view → click → purchase in that
+    temporal order. min-timestamp per stage + monotonicity filter — one
+    shuffle on user_id, no self-joins (the n-way join formulation shuffles
+    the fact table once per stage)."""
+    events = load_events(spark, sf_dir)
+    stage_min = events.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in ("view", "click", "purchase")
+        ]
+    )
+    return (
+        stage_min.withColumn(
+            "reached",
+            F.when(
+                F.col("t_view").isNotNull()
+                & F.col("t_click").isNotNull()
+                & F.col("t_purchase").isNotNull()
+                & (F.col("t_view") <= F.col("t_click"))
+                & (F.col("t_click") <= F.col("t_purchase")),
+                3,
+            )
+            .when(
+                F.col("t_view").isNotNull()
+                & F.col("t_click").isNotNull()
+                & (F.col("t_view") <= F.col("t_click")),
+                2,
+            )
+            .when(F.col("t_view").isNotNull(), 1)
+            .otherwise(0),
+        )
+        .groupBy("reached")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH stage_min AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT CASE
+         WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+              AND t_purchase IS NOT NULL
+              AND t_view <= t_click AND t_click <= t_purchase THEN 3
+         WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+              AND t_view <= t_click THEN 2
+         WHEN t_view IS NOT NULL THEN 1
+         ELSE 0 END AS reached,
+       COUNT(*) AS n_users
+FROM stage_min
+GROUP BY 1
+"""
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window aggregation (batch form of the streaming windowed agg)."""
     return (
@@ -792,10 +912,13 @@ QUERIES = {
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
+    "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
 }
 
 

@@ -226,3 +226,24 @@ def test_ivf_search_scans_fraction(spark, embeddings):
     assert total == embeddings.count()
     # no empty-cluster collapse with deterministic init on this data
     assert len(probe_counts) >= 4
+
+
+def test_minhash_fast_variant_properties(spark):
+    """xxhash64 MinHash: identical docs get identical signatures, distinct
+    docs differ, and timing-relevant shape (one row per doc) holds."""
+    from pandas_etl_framework_spark.llmops.dedup import (
+        minhash_signatures_fast,
+        shingles_df,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "entirely different words appear in this one here")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures_fast(shingles_df(docs))
+    rows = {r["doc_id"]: tuple(r)[1:] for r in sig.collect()}
+    assert len(rows) == 3
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
