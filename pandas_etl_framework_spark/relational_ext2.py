@@ -115,6 +115,51 @@ WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
 """
 
 
+PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+]
+
+
+def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Data-quality profile: per column, row count, null count, distinct
+    count. ONE aggregation pass computes every column's stats (wide agg),
+    then an explode unpivots to (column, n_rows, n_nulls, n_distinct) —
+    never one job per column."""
+    aggs = [F.count("*").alias("__n")]
+    for c in columns:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+            )
+            for c in columns
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def q_profile_orders(spark, sf_dir):
+    return profile_table(_t(spark, sf_dir, "orders"), PROFILE_COLS)
+
+
+SQL_PROFILE_ORDERS = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column, COUNT(*) AS n_rows, "
+    f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+    f"COUNT(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in PROFILE_COLS
+)
+
+
 def q_limit_offset(spark, sf_dir):
     """Keyset-free pagination: rows 101-200 of a deterministic total order."""
     return (
@@ -223,6 +268,7 @@ QUERIES = {
     "rel_window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
     "rel_window_distribution": (q_window_distribution, SQL_WINDOW_DISTRIBUTION),
     "rel_limit_offset": (q_limit_offset, SQL_LIMIT_OFFSET),
+    "rel_profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
     "text_chunks_udtf": (q_text_chunks_udtf, SQL_TEXT_CHUNKS_UDTF),
 }
 

@@ -10,6 +10,7 @@ agree by construction.
 """
 
 from .historize import (  # noqa: F401
+    streaming_dedup,
     streaming_historize_append,
     streaming_scd2_merge,
 )

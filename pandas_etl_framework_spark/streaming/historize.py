@@ -55,6 +55,27 @@ def streaming_historize_append(
     return writer.start()
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_columns: list[str],
+    event_time_col: str | None = None,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup on ingest: drop rows whose key was already seen.
+
+    With an event-time column the dedup state is watermark-bounded (keys
+    older than the delay are forgotten — bounded memory at any scale, the
+    right trade for at-least-once upstream sources whose duplicates arrive
+    close together). Without one, state grows with distinct keys —
+    only for genuinely finite key domains.
+    """
+    if event_time_col is not None:
+        return stream_df.withWatermark(event_time_col, watermark_delay).dropDuplicates(
+            key_columns + [event_time_col]
+        )
+    return stream_df.dropDuplicates(key_columns)
+
+
 def streaming_scd2_merge(
     spark: SparkSession,
     stream_df: DataFrame,

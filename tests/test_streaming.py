@@ -186,3 +186,37 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # hour-0 window finalized with the 2 on-time rows; the late row was dropped
     assert rows.get(0) == 2
     assert rows.get(3) == 1
+
+
+def test_streaming_dedup_drops_repeats(spark, tmp_path):
+    """Duplicate keys arriving in later micro-batches are suppressed."""
+    import datetime
+
+    from pandas_etl_framework_spark.streaming import streaming_dedup
+
+    base = datetime.datetime(2024, 1, 1)
+    schema = "k long, ts timestamp"
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    b1 = [(1, base), (2, base), (3, base)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(
+        spark.createDataFrame(b1, schema).schema
+    ).parquet(f"{src}/*")
+    q = (
+        streaming_dedup(stream, ["k"], event_time_col="ts")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: repeats of keys 1,2 (same event time) + a new key
+    b2 = [(1, base), (2, base), (9, base)]
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    q.processAllAvailable()
+    q.stop()
+    out = sorted(r["k"] for r in spark.sql("select * from dedup_out").collect())
+    assert out == [1, 2, 3, 9]
