@@ -1,0 +1,92 @@
+"""As-of (temporal lookup) join — an operator the DataFrame API lacks,
+composed from existing primitives (SURVEY-prompt category (a)): for every
+left row, the single latest right row whose time <= the left row's time,
+per key.
+
+The naive formulation — non-equi join on (key, right_ts <= left_ts) + a
+per-left-row max — explodes to |left|×|matching rights| intermediate rows
+and at 100 TB is a broadcast-nested-loop disaster. This composition is the
+scalable one:
+
+  union both sides tagged → ONE shuffle on the key → per-key ordered window
+  → ``last(right payload, ignorenulls=True)`` carries the most recent right
+  values forward onto each left row.
+
+Work is O((|L|+|R|) log partition) with no intermediate blow-up, and the
+single partitioning is reused by both the sort and the window. Ties
+(right_ts == left_ts) match, like DuckDB's ASOF JOIN (the oracle for the
+harness query) and pandas merge_asof's default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"  # 0 = right (sorts first on ties → inclusive match)
+_TS = "__asof_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: ``left``'s columns plus, per right value column,
+    ``<col><suffix>`` holding the value from the latest right row at or
+    before the left row's time (NULL when no right row precedes it)."""
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c not in on and c != right_time
+    ]
+    overlap = set(right_value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right value columns {sorted(overlap)} collide with left columns; "
+            "rename or pass right_value_cols explicitly"
+        )
+
+    l_tagged = left.select(
+        *on,
+        F.col(left_time).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c) for c in left.columns if c not in on],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_value_cols],
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_time).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in left.columns
+            if c not in on
+        ],
+        *[F.col(c) for c in right_value_cols],
+    )
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(_TS, _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_value_cols
+        ],
+    )
+    left_cols = [c for c in left.columns]
+    return (
+        carried.filter(F.col(_SIDE) == 1)
+        .select(
+            *on,
+            F.col(_TS).alias(left_time),
+            *[c for c in left_cols if c not in on and c != left_time],
+            *[f"{c}{suffix}" for c in right_value_cols],
+        )
+    )

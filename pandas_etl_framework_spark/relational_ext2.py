@@ -160,6 +160,40 @@ SQL_PROFILE_ORDERS = "\nUNION ALL\n".join(
 )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: every purchase event matched to the user's latest view
+    at or before it (temporal lookup — verified against DuckDB's native
+    ASOF JOIN)."""
+    from .asof import asof_join
+    from .relational import load_events
+
+    events = load_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts_src"), F.col("ts").alias("view_ts")
+    )
+    return asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_time="ts",
+        right_time="view_ts_src",
+        right_value_cols=["view_ts"],
+    ).select(
+        "user_id", "event_id", "ts", F.col("view_ts_asof").alias("last_view_ts")
+    )
+
+
+SQL_EVENTS_ASOF = """
+SELECT p.user_id, p.event_id, p.ts, v.ts AS last_view_ts
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
 def q_limit_offset(spark, sf_dir):
     """Keyset-free pagination: rows 101-200 of a deterministic total order."""
     return (
@@ -269,6 +303,7 @@ QUERIES = {
     "rel_window_distribution": (q_window_distribution, SQL_WINDOW_DISTRIBUTION),
     "rel_limit_offset": (q_limit_offset, SQL_LIMIT_OFFSET),
     "rel_profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
+    "events_asof_join": (q_events_asof, SQL_EVENTS_ASOF),
     "text_chunks_udtf": (q_text_chunks_udtf, SQL_TEXT_CHUNKS_UDTF),
 }
 

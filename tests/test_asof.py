@@ -1,0 +1,57 @@
+"""asof_join edge cases: no-predecessor nulls, tie inclusion, key isolation."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from pandas_etl_framework_spark.asof import asof_join
+
+
+def ts(minute):
+    return datetime.datetime(2024, 1, 1, 0, minute)
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, ts(10), "p1"),   # after right rows at 5 → matches 5
+            (1, ts(20), "p2"),   # matches 15
+            (1, ts(3), "p0"),    # before any right row → NULL
+            (2, ts(10), "p3"),   # key 2: matches its own right row, not key 1's
+            (3, ts(10), "p4"),   # key 3 has no right rows at all → NULL
+        ],
+        "k long, t timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(5), 50.0),
+            (1, ts(15), 150.0),
+            (2, ts(10), 999.0),  # tie with left p3's time → inclusive match
+        ],
+        "k long, rt timestamp, price double",
+    )
+    return left, right
+
+
+def test_asof_basic_matching(spark, frames):
+    left, right = frames
+    out = {
+        r["name"]: r["price_asof"]
+        for r in asof_join(left, right, ["k"], "t", "rt").collect()
+    }
+    assert out == {"p1": 50.0, "p2": 150.0, "p0": None, "p3": 999.0, "p4": None}
+
+
+def test_asof_preserves_left_rowcount(spark, frames):
+    left, right = frames
+    assert asof_join(left, right, ["k"], "t", "rt").count() == left.count()
+
+
+def test_asof_rejects_column_collision(spark, frames):
+    left, right = frames
+    bad_right = right.withColumnRenamed("price", "name")  # collides with left
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, bad_right, ["k"], "t", "rt")
