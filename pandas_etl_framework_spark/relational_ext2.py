@@ -194,6 +194,61 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
 """
 
 
+def q_events_range_join(spark, sf_dir):
+    """Range join: assign each error event to the session interval that
+    contains it (sessions derived by the batch sessionizer). Bucketized
+    equi-join + residual BETWEEN — verified against DuckDB's plain
+    inequality join."""
+    from .range_join import range_join
+    from .relational import load_events, q_events_sessionize
+
+    sessions = q_events_sessionize(spark, sf_dir).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+    errors = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "error"
+    ).select("event_id", "user_id", "ts")
+    return range_join(
+        errors,
+        sessions,
+        on=["user_id"],
+        point_col="ts",
+        start_col="session_start",
+        end_col="session_end",
+        bucket_seconds=3600,
+    ).select("event_id", "user_id", "ts", "session_seq")
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH flagged AS (
+    SELECT *,
+           CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER w) IS NULL
+                  OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+with_id AS (
+    SELECT *,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM flagged
+),
+sessions AS (
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM with_id GROUP BY user_id, session_seq
+)
+SELECT e.event_id, e.user_id, e.ts, s.session_seq
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+JOIN sessions s
+  ON e.user_id = s.user_id
+ AND e.ts >= s.session_start AND e.ts <= s.session_end
+"""
+
+
 def q_limit_offset(spark, sf_dir):
     """Keyset-free pagination: rows 101-200 of a deterministic total order."""
     return (
@@ -304,6 +359,7 @@ QUERIES = {
     "rel_limit_offset": (q_limit_offset, SQL_LIMIT_OFFSET),
     "rel_profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
     "events_asof_join": (q_events_asof, SQL_EVENTS_ASOF),
+    "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "text_chunks_udtf": (q_text_chunks_udtf, SQL_TEXT_CHUNKS_UDTF),
 }
 
