@@ -864,6 +864,50 @@ GROUP BY 1
 """
 
 
+def q_events_sessionize_native(spark, sf_dir):
+    """Gap-based sessions via Spark's built-in ``session_window`` (merges
+    events closer than the gap — same 30-min semantics as the
+    window-function formulation, and the operator that runs unchanged on a
+    stream). Output keyed by (user, first event ts) for oracle comparison."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), f"{SESSION_GAP_SECONDS} seconds"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+SQL_EVENTS_SESSIONIZE_NATIVE = f"""
+WITH flagged AS (
+    SELECT *,
+           CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER w) IS NULL
+                  OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > {SESSION_GAP_SECONDS}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+with_id AS (
+    SELECT *,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM with_id
+GROUP BY user_id, session_seq
+"""
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window aggregation (batch form of the streaming windowed agg)."""
     return (
@@ -917,6 +961,10 @@ QUERIES = {
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_sessionize_native": (
+        q_events_sessionize_native,
+        SQL_EVENTS_SESSIONIZE_NATIVE,
+    ),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
 }
