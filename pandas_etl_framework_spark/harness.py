@@ -334,6 +334,21 @@ def q_scd2_split_hist(spark, sf_dir):
 SQL_SCD2_SPLIT_HIST = _wrap_scd2("VALID_TO < DATE '9999-12-31'")
 
 
+def q_scd2_snapshot(spark, sf_dir):
+    """Historical state: the two-run SCD2 store as it was on the day of
+    run 1 — changed keys must show their ORIGINAL version (new run-2
+    versions only become valid the next day)."""
+    return scd2.snapshot_at(q_scd2_merge(spark, sf_dir), RUN1_TS[:10]).select(
+        *SCD2_COLS
+    )
+
+
+SQL_SCD2_SNAPSHOT = (
+    f"SELECT * FROM (\n{SQL_SCD2_MERGE}\n) merged\n"
+    f"WHERE VALID_FROM <= DATE '{RUN1_TS[:10]}' AND VALID_TO >= DATE '{RUN1_TS[:10]}'"
+)
+
+
 def q_schema_prepare(spark, sf_dir):
     from pyspark.sql import types as T
 
@@ -380,6 +395,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "scd2_merge": (q_scd2_merge, SQL_SCD2_MERGE),
     "scd2_split_active": (q_scd2_split_active, SQL_SCD2_SPLIT_ACTIVE),
     "scd2_split_hist": (q_scd2_split_hist, SQL_SCD2_SPLIT_HIST),
+    "scd2_snapshot": (q_scd2_snapshot, SQL_SCD2_SNAPSHOT),
     "schema_prepare": (q_schema_prepare, SQL_SCHEMA_PREPARE),
 }
 

@@ -318,6 +318,28 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_groupwise_min(spark, sf_dir):
+    """Group-wise minimum (TPC-H Q2's correlated-subquery shape): parts
+    priced at their brand's minimum — window min beats a self-join
+    (one shuffle on the group key, no second scan)."""
+    w = Window.partitionBy("p_brand")
+    return (
+        _t(spark, sf_dir, "part")
+        .withColumn("brand_min", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("brand_min"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+SQL_GROUPWISE_MIN = """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice = (
+    SELECT MIN(p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+"""
+
+
 def q_agg_distinct(spark, sf_dir):
     return (
         _t(spark, sf_dir, "lineitem")
@@ -944,6 +966,8 @@ QUERIES = {
     "rel_except": (q_except, SQL_EXCEPT),
     "rel_distinct": (q_distinct, SQL_DISTINCT),
     "rel_agg_groupby": (q_agg_groupby, SQL_AGG_GROUPBY),
+    "tpch_q1": (q_agg_groupby, SQL_AGG_GROUPBY),
+    "rel_groupwise_min": (q_groupwise_min, SQL_GROUPWISE_MIN),
     "rel_agg_distinct": (q_agg_distinct, SQL_AGG_DISTINCT),
     "rel_agg_stats": (q_agg_stats, SQL_AGG_STATS),
     "rel_rollup": (q_rollup, SQL_ROLLUP),

@@ -215,6 +215,16 @@ def historize_dataset(
     return merge_scd2(current_df, new_df, currents, valid_from_mode, valid_from_date)
 
 
+def snapshot_at(df: DataFrame, as_of_date: str) -> DataFrame:
+    """Point-in-time read of an SCD2 dataset: the row version of each key
+    that was valid on ``as_of_date`` (VALID_FROM <= d <= VALID_TO). The
+    read-side payoff of SCD2 historization: any past state of the table is
+    one filter away — on a store partitioned or sorted by validity, both
+    predicates push into the scan."""
+    d = F.to_date(F.lit(as_of_date))
+    return df.filter((F.col(VALID_FROM) <= d) & (F.col(VALID_TO) >= d))
+
+
 def split_merged_dataset(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split into (historized, active) by VALID_TO against the upper bound.
 
