@@ -334,6 +334,39 @@ def q_scd2_split_hist(spark, sf_dir):
 SQL_SCD2_SPLIT_HIST = _wrap_scd2("VALID_TO < DATE '9999-12-31'")
 
 
+def q_cdc_store_diff(spark, sf_dir):
+    """Store reconciliation: symmetric diff of two stores by version
+    identity — per key-hash class (only_left / only_right / both-changed /
+    identical), the row counts. The ops tool for 'do these two replicas
+    agree, and how do they differ'."""
+    a = stamped1(spark, sf_dir).select(KEY_HASH, RECORD_HASH)
+    b = stamped2(spark, sf_dir).select(
+        F.col(KEY_HASH).alias("kh_b"), F.col(RECORD_HASH).alias("rh_b")
+    )
+    joined = a.join(b, a[KEY_HASH] == b["kh_b"], "full_outer")
+    klass = (
+        F.when(F.col("kh_b").isNull(), "only_left")
+        .when(F.col(KEY_HASH).isNull(), "only_right")
+        .when(F.col(RECORD_HASH) == F.col("rh_b"), "identical")
+        .otherwise("changed")
+    )
+    return joined.select(klass.alias("diff_class")).groupBy("diff_class").agg(
+        F.count("*").alias("n")
+    )
+
+
+SQL_CDC_STORE_DIFF = CDC_PRELUDE + """
+SELECT CASE
+         WHEN b.KEY_HASH IS NULL THEN 'only_left'
+         WHEN a.KEY_HASH IS NULL THEN 'only_right'
+         WHEN a.RECORD_HASH = b.RECORD_HASH THEN 'identical'
+         ELSE 'changed' END AS diff_class,
+       COUNT(*) AS n
+FROM stamped1 a FULL OUTER JOIN stamped2 b ON a.KEY_HASH = b.KEY_HASH
+GROUP BY 1
+"""
+
+
 def q_scd2_snapshot(spark, sf_dir):
     """Historical state: the two-run SCD2 store as it was on the day of
     run 1 — changed keys must show their ORIGINAL version (new run-2
@@ -392,6 +425,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cdc_deleted_by_full_load": (q_cdc_deleted_by_full_load, SQL_CDC_DELETED),
     "cdc_deletes_by_column": (q_cdc_deletes_by_column, SQL_CDC_DELETES_BY_COLUMN),
     "cdc_historize_two_runs": (q_cdc_historize_two_runs, SQL_CDC_HISTORIZE),
+    "cdc_store_diff": (q_cdc_store_diff, SQL_CDC_STORE_DIFF),
     "scd2_merge": (q_scd2_merge, SQL_SCD2_MERGE),
     "scd2_split_active": (q_scd2_split_active, SQL_SCD2_SPLIT_ACTIVE),
     "scd2_split_hist": (q_scd2_split_hist, SQL_SCD2_SPLIT_HIST),

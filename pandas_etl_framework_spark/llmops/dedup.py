@@ -431,6 +431,77 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 """
 
 
+# --------------------------------------------------------------------------
+# Near-dup clustering: candidate pairs → connected components → keepers
+# --------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every node
+    starts labeled with its own id; each round, nodes adopt the minimum
+    label among themselves and their neighbors; converged when no label
+    changes. Rounds needed = graph diameter (near-dup clusters are shallow,
+    so a handful). Each round is two shuffles (propagate + min-aggregate);
+    the frontier is localCheckpoint-ed so lineage doesn't stack across
+    iterations.
+
+    Returns (node, component) where component = min node id in the cluster.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("component", F.col("node"))
+    undirected = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+
+    for _ in range(max_iterations):
+        neighbor_labels = (
+            undirected.join(labels, undirected.v == labels.node)
+            .select(F.col("u").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame, candidate_pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Full near-dup pipeline tail: cluster the candidate pairs and pick the
+    minimum id per cluster as the keeper. Docs in no pair keep themselves.
+    Output: (doc_id, keeper_doc_id, is_keeper)."""
+    comp = connected_components(candidate_pairs)
+    joined = docs.select(F.col(id_col).alias("node")).join(comp, "node", "left")
+    resolved = joined.select(
+        F.col("node").alias(id_col),
+        F.coalesce("component", F.col("node")).alias("keeper_doc_id"),
+    )
+    return resolved.withColumn(
+        "is_keeper", F.col(id_col) == F.col("keeper_doc_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),

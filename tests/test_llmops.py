@@ -247,3 +247,37 @@ def test_minhash_fast_variant_properties(spark):
     assert len(rows) == 3
     assert rows[1] == rows[2]
     assert rows[1] != rows[3]
+
+
+def test_connected_components_and_dedup_clusters(spark):
+    from pandas_etl_framework_spark.llmops.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # two clusters {1,2,3,4} (chain) and {10,11}, plus isolated doc 20
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 20)], "doc_id long")
+    out = {r["doc_id"]: (r["keeper_doc_id"], r["is_keeper"]) for r in dedup_clusters(docs, edges).collect()}
+    assert out[1] == (1, True)
+    assert out[4] == (1, False)
+    assert out[10] == (10, True)
+    assert out[11] == (10, False)
+    assert out[20] == (20, True)  # isolated doc keeps itself
+
+
+def test_connected_components_long_chain_converges(spark):
+    from pandas_etl_framework_spark.llmops.dedup import connected_components
+
+    # a 12-node path: diameter 11 > default-ish rounds — min label must
+    # still reach the far end within max_iterations
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges, max_iterations=15).collect()}
+    assert set(comp.values()) == {0}
