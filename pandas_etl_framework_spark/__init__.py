@@ -58,6 +58,7 @@ from .scd2 import (  # noqa: F401
 from .scd2_store import Scd2Store  # noqa: F401
 from .asof import asof_join  # noqa: F401
 from .range_join import range_join  # noqa: F401
+from .versioned_store import VersionedStore  # noqa: F401
 from .schema import (  # noqa: F401
     create_empty_hist_dataframe,
     prepare_schema,

@@ -334,6 +334,42 @@ def q_scd2_split_hist(spark, sf_dir):
 SQL_SCD2_SPLIT_HIST = _wrap_scd2("VALID_TO < DATE '9999-12-31'")
 
 
+def q_cdc_version_history(spark, sf_dir):
+    """Per-key version timeline over the append-only store: each version
+    numbered in arrival order with its run id — the lineage view of what
+    the CDC capture accumulated (ref semantics: SURVEY.md §2.7)."""
+    from pyspark.sql import Window
+
+    store = q_cdc_historize_two_runs(spark, sf_dir)
+    w = Window.partitionBy(KEY_HASH).orderBy("INSERT_RUN_ID", RECORD_HASH)
+    return store.select(
+        KEY_HASH,
+        RECORD_HASH,
+        "INSERT_RUN_ID",
+        F.row_number().over(w).alias("version_number"),
+        F.count("*").over(Window.partitionBy(KEY_HASH)).alias("n_versions"),
+    )
+
+
+SQL_CDC_VERSION_HISTORY = CDC_PRELUDE + """,
+store AS (
+    SELECT * FROM stamped1
+    UNION ALL
+    SELECT * FROM stamped2 n
+    WHERE NOT EXISTS (
+        SELECT 1 FROM stamped1 c
+        WHERE c.KEY_HASH = n.KEY_HASH AND c.RECORD_HASH = n.RECORD_HASH
+    )
+)
+SELECT KEY_HASH, RECORD_HASH, INSERT_RUN_ID,
+       ROW_NUMBER() OVER (
+           PARTITION BY KEY_HASH ORDER BY INSERT_RUN_ID, RECORD_HASH
+       ) AS version_number,
+       COUNT(*) OVER (PARTITION BY KEY_HASH) AS n_versions
+FROM store
+"""
+
+
 def q_cdc_store_diff(spark, sf_dir):
     """Store reconciliation: symmetric diff of two stores by version
     identity — per key-hash class (only_left / only_right / both-changed /
@@ -426,6 +462,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cdc_deletes_by_column": (q_cdc_deletes_by_column, SQL_CDC_DELETES_BY_COLUMN),
     "cdc_historize_two_runs": (q_cdc_historize_two_runs, SQL_CDC_HISTORIZE),
     "cdc_store_diff": (q_cdc_store_diff, SQL_CDC_STORE_DIFF),
+    "cdc_version_history": (q_cdc_version_history, SQL_CDC_VERSION_HISTORY),
     "scd2_merge": (q_scd2_merge, SQL_SCD2_MERGE),
     "scd2_split_active": (q_scd2_split_active, SQL_SCD2_SPLIT_ACTIVE),
     "scd2_split_hist": (q_scd2_split_hist, SQL_SCD2_SPLIT_HIST),
