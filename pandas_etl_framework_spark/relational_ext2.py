@@ -348,8 +348,80 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_null_semantics(spark, sf_dir):
+    """Three-valued-logic parity: aggregates and predicates over an
+    engineered nullable column (NULL-skipping counts, null-safe equality,
+    NULL ordering in min/max)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "maybe_price",
+        F.when(F.col("o_orderkey") % 4 == 0, None).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.count("maybe_price").alias("n_nonnull"),
+        F.min("maybe_price").alias("min_price"),  # NULLs ignored
+        F.sum(
+            (F.col("maybe_price") > 200000).cast("long")
+        ).alias("n_big"),  # NULL > x → NULL → excluded from sum? cast NULL stays NULL, sum skips
+        F.sum(
+            F.col("maybe_price").eqNullSafe(F.lit(None)).cast("long")
+        ).alias("n_null_safe_eq"),
+    )
+
+
+SQL_NULL_SEMANTICS = """
+WITH o AS (
+    SELECT o_orderstatus,
+           CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_totalprice END
+               AS maybe_price
+    FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       COUNT(maybe_price) AS n_nonnull,
+       MIN(maybe_price) AS min_price,
+       SUM(CAST(maybe_price > 200000 AS BIGINT)) AS n_big,
+       SUM(CAST(maybe_price IS NOT DISTINCT FROM NULL AS BIGINT))
+           AS n_null_safe_eq
+FROM o GROUP BY o_orderstatus
+"""
+
+
+def q_window_first_last(spark, sf_dir):
+    """first_value / last_value with an explicit full-partition frame
+    (last_value over the default frame is a classic wrong-answer trap —
+    it returns the CURRENT row's value; the frame must be unbounded both
+    ways)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate"), F.col("o_orderkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.first_value(F.col("o_orderkey")).over(w_full).alias("first_order"),
+        F.last_value(F.col("o_orderkey")).over(w_full).alias("last_order"),
+    )
+
+
+SQL_WINDOW_FIRST_LAST = """
+SELECT o_orderkey, o_custkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAST_VALUE(o_orderkey) OVER w AS last_order
+FROM orders
+WINDOW w AS (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
 QUERIES = {
     "rel_intersect_all": (q_intersect_all, SQL_INTERSECT_ALL),
+    "rel_null_semantics": (q_null_semantics, SQL_NULL_SEMANTICS),
+    "rel_window_first_last": (q_window_first_last, SQL_WINDOW_FIRST_LAST),
     "rel_array_agg": (q_array_agg, SQL_ARRAY_AGG),
     "rel_percentiles": (q_percentiles, SQL_PERCENTILES),
     "rel_except_all": (q_except_all, SQL_EXCEPT_ALL),
