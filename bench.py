@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "text_quality",
+    "curation_pipeline",
     "emb_topk",
 ]
 

@@ -359,8 +359,90 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# End-to-end curation pipeline
+# --------------------------------------------------------------------------
+
+CURATION_MIN_TOKENS = 20
+CURATION_MAX_TOKENS = 200
+CURATION_MIN_UNIQUE_RATIO = 0.25
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The flagship LLM-data composition: normalize-fingerprint dedup (keep
+    lowest doc_id), token-length band filter, repetitiveness filter
+    (unique-token ratio), and train/holdout assignment — one declarative
+    plan, one pass over the corpus plus one dedup shuffle. Output is the
+    curated training set with its audit columns."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col()
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), _PUNCT_CLASS, ""),
+        r"\s+",
+        " ",
+    )
+    featured = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(normalized).alias("fingerprint"),
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "unique_ratio"
+        ),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = featured.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    bucket = split_bucket(F.col("doc_id"))
+    return (
+        deduped.filter(
+            (F.col("n_tokens") >= CURATION_MIN_TOKENS)
+            & (F.col("n_tokens") <= CURATION_MAX_TOKENS)
+            & (F.col("unique_ratio") >= CURATION_MIN_UNIQUE_RATIO)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "unique_ratio",
+            F.when(bucket < SPLIT_TRAIN_PCT, "train")
+            .otherwise("holdout")
+            .alias("split"),
+        )
+    )
+
+
+SQL_CURATION_PIPELINE = rf"""
+WITH featured AS (
+    SELECT doc_id, lang,
+           md5(regexp_replace(
+               regexp_replace(lower(trim(text)), '[.,!?;:''"()\[\]{{}}]', '', 'g'),
+               '\s+', ' ', 'g')) AS fingerprint,
+           LEN(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           CAST(LEN(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+               / LEN(string_split_regex(trim(text), '\s+')) AS unique_ratio
+    FROM documents
+),
+deduped AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM featured
+)
+SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens, unique_ratio,
+       CASE WHEN ({_SQL_HEX6}) % 100 < {SPLIT_TRAIN_PCT}
+            THEN 'train' ELSE 'holdout' END AS split
+FROM deduped
+WHERE rn = 1
+  AND n_tokens BETWEEN {CURATION_MIN_TOKENS} AND {CURATION_MAX_TOKENS}
+  AND unique_ratio >= {CURATION_MIN_UNIQUE_RATIO}
+"""
+
+
 QUERIES = {
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "data_split": (q_data_split, SQL_DATA_SPLIT),
     "text_length_histogram": (q_text_length_histogram, SQL_TEXT_LENGTH_HISTOGRAM),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
