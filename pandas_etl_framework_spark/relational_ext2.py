@@ -389,6 +389,36 @@ FROM o GROUP BY o_orderstatus
 """
 
 
+def q_sort_nulls(spark, sf_dir):
+    """NULL placement in ORDER BY must be explicit: Spark defaults to nulls
+    FIRST ascending, DuckDB to NULLS LAST — silent cross-engine divergence
+    unless pinned. Top-50 with engineered nulls sorted NULLS LAST +
+    unique tie-break."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "maybe_price",
+        F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return (
+        o.orderBy(
+            F.col("maybe_price").asc_nulls_last(), F.col("o_orderkey")
+        )
+        .select("o_orderkey", "maybe_price")
+        .limit(50)
+    )
+
+
+SQL_SORT_NULLS = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END
+           AS maybe_price
+FROM orders
+ORDER BY maybe_price ASC NULLS LAST, o_orderkey
+LIMIT 50
+"""
+
+
 def q_window_first_last(spark, sf_dir):
     """first_value / last_value with an explicit full-partition frame
     (last_value over the default frame is a classic wrong-answer trap —
@@ -421,6 +451,7 @@ WINDOW w AS (
 QUERIES = {
     "rel_intersect_all": (q_intersect_all, SQL_INTERSECT_ALL),
     "rel_null_semantics": (q_null_semantics, SQL_NULL_SEMANTICS),
+    "rel_sort_nulls": (q_sort_nulls, SQL_SORT_NULLS),
     "rel_window_first_last": (q_window_first_last, SQL_WINDOW_FIRST_LAST),
     "rel_array_agg": (q_array_agg, SQL_ARRAY_AGG),
     "rel_percentiles": (q_percentiles, SQL_PERCENTILES),
