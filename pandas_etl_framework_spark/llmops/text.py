@@ -440,8 +440,58 @@ WHERE rn = 1
 """
 
 
+def q_text_token_entropy(spark, sf_dir):
+    """Shannon entropy of each document's token distribution (nats) — the
+    repetitiveness signal a curation pipeline thresholds on (low entropy =
+    boilerplate/spam). Exact integer counts feed the log, so the doubles
+    are engine-identical."""
+    toks = tokens_col()
+    counts = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    # each p*ln(p) term is engine-identical; the SUM is not (order-dependent
+    # last-ulp drift) — quantize terms to 1e-12 and accumulate as integers
+    term_q = F.round(p * F.log(p) * 1_000_000_000_000).cast("long")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            (-F.sum(term_q).cast("double") / 1_000_000_000_000).alias(
+                "token_entropy"
+            )
+        )
+    )
+
+
+SQL_TEXT_TOKEN_ENTROPY = r"""
+WITH counts AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents
+),
+grouped AS (
+    SELECT doc_id, token, COUNT(*) AS c FROM counts GROUP BY doc_id, token
+),
+totals AS (
+    SELECT doc_id, SUM(c) AS n FROM grouped GROUP BY doc_id
+)
+SELECT g.doc_id,
+       -CAST(SUM(CAST(round(
+            (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+            * 1000000000000) AS BIGINT)) AS DOUBLE) / 1000000000000
+           AS token_entropy
+FROM grouped g JOIN totals t ON g.doc_id = t.doc_id
+GROUP BY g.doc_id
+"""
+
+
 QUERIES = {
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_token_entropy": (q_text_token_entropy, SQL_TEXT_TOKEN_ENTROPY),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "data_split": (q_data_split, SQL_DATA_SPLIT),
     "text_length_histogram": (q_text_length_histogram, SQL_TEXT_LENGTH_HISTOGRAM),

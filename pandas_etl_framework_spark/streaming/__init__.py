@@ -13,5 +13,6 @@ from .historize import (  # noqa: F401
     streaming_dedup,
     streaming_historize_append,
     streaming_scd2_merge,
+    streaming_versioned_append,
 )
 from .windows import sessionize_stream, windowed_event_counts  # noqa: F401

@@ -76,6 +76,37 @@ def streaming_dedup(
     return stream_df.dropDuplicates(key_columns)
 
 
+def streaming_versioned_append(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    trigger_once: bool = False,
+):
+    """Stream into a VersionedStore: every micro-batch commits one atomic
+    version (manifest rename), so readers never observe a torn batch and
+    any past stream position stays time-travelable. Combined with the
+    checkpoint, a retried batch at worst commits a duplicate version —
+    detectable by the audit columns, never a partial file set."""
+    from ..versioned_store import VersionedStore
+
+    store = VersionedStore(spark, store_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.write(batch_df, mode="append")
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(process_batch)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_scd2_merge(
     spark: SparkSession,
     stream_df: DataFrame,

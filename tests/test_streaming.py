@@ -220,3 +220,26 @@ def test_streaming_dedup_drops_repeats(spark, tmp_path):
     q.stop()
     out = sorted(r["k"] for r in spark.sql("select * from dedup_out").collect())
     assert out == [1, 2, 3, 9]
+
+
+def test_streaming_versioned_append(spark, tmp_path):
+    """Each micro-batch commits one atomic version; time travel shows the
+    stream's history."""
+    from pandas_etl_framework_spark.versioned_store import VersionedStore
+    from pandas_etl_framework_spark.streaming import streaming_versioned_append
+
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    spark.range(10).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema("id long").parquet(f"{src}/*")
+    q = streaming_versioned_append(
+        spark, stream, str(tmp_path / "vstore"), str(tmp_path / "vckpt")
+    )
+    q.processAllAvailable()
+    spark.range(10, 25).coalesce(1).write.parquet(str(src / "b2"))
+    q.processAllAvailable()
+    q.stop()
+
+    store = VersionedStore(spark, str(tmp_path / "vstore"))
+    assert store.read().count() == 25
+    assert store.read(version=0).count() == 10  # time travel to batch 1
