@@ -1,0 +1,853 @@
+"""Remaining TPC-H queries (Q2, Q7-Q9, Q11-Q13, Q15-Q17, Q19-Q22), adapted
+to the fixture schema.
+
+The reference exposes the whole SQL dialect through pandasql
+(SURVEY.md §2.6, ref: requirements.txt:2), so the full analytical-join
+vocabulary — correlated EXISTS/NOT EXISTS, scalar subqueries in HAVING,
+min-per-group lookups, disjunctive join predicates — is capability surface a
+reference user can reach today. tpch_q1/3/4/5/6/10/14/18 live in
+relational.py; this module completes the suite.
+
+Fixture adaptations (the testdata has no partsupp table and no
+comment/phone/shipmode/receiptdate columns):
+- partsupp-derived facts (Q2/Q11/Q16/Q20) are re-derived from lineitem,
+  which is the part×supplier relation that does exist;
+- lateness (Q12/Q21) is ``l_shipdate > o_orderdate + 60 days`` instead of
+  receipt-vs-commit;
+- Q13's comment filter and Q22's phone country code use o_orderpriority and
+  the fixed-width c_name tail instead.
+The operator SHAPE of each query — the part the engine must execute — is
+unchanged, and every query keeps a DuckDB oracle twin.
+
+Determinism: float aggregates accumulate round(x*10^4) as BIGINT (see
+relational.dsum); comparisons against scaled averages are cross-multiplied
+so both engines compare integers, never doubles.
+
+Scale posture: region/nation/supplier/part are broadcast (≤ a few hundred
+MB even at SF100); customer/orders/lineitem shuffle on their join keys
+once each; Q11's global total uses decimal(38,0) because a SUM of
+10^4-scaled revenue over 10^11 rows overflows int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F
+
+from .relational import _sql_dsum, _t, dsum
+
+_S = 10_000
+
+
+def _q(col) -> F.Column:
+    """round(x * 10^4) as BIGINT — the shared quantization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * _S).cast("long")
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (min-per-group lookup)
+# --------------------------------------------------------------------------
+
+def q_tpch_q2(spark, sf_dir):
+    """For each LARGE size-15 part, the European supplier(s) achieving the
+    minimum unit cost. partsupp is re-derived from lineitem as
+    min(l_extendedprice/l_quantity) per (part, supplier); the correlated
+    min subquery becomes a grouped min joined back on integer equality
+    (doubles are quantized first, so the equality is exact)."""
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    eur = (
+        _t(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_q(F.col("l_extendedprice") / F.col("l_quantity"))).alias("cost_q"))
+    )
+    ec = costs.join(F.broadcast(eur), costs.l_suppkey == F.col("s_suppkey"))
+    mins = ec.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("cost_q").alias("min_cost_q")
+    )
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_type") == "LARGE") & (F.col("p_size") == 15)
+        )
+    )
+    return (
+        ec.join(mins, (ec.l_partkey == mins.mk) & (ec.cost_q == mins.min_cost_q))
+        .join(part, ec.l_partkey == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            (F.col("cost_q").cast("double") / _S).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH costs AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(CAST(round(l_extendedprice / l_quantity * 10000) AS BIGINT)) AS cost_q
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eur AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+),
+ec AS (SELECT * FROM costs JOIN eur ON l_suppkey = s_suppkey),
+mins AS (SELECT l_partkey AS mk, MIN(cost_q) AS min_cost_q FROM ec GROUP BY l_partkey)
+SELECT s_acctbal, s_name, n_name, p_partkey,
+       CAST(cost_q AS DOUBLE) / 10000 AS supply_cost
+FROM ec
+JOIN mins ON ec.l_partkey = mins.mk AND ec.cost_q = mins.min_cost_q
+JOIN part ON ec.l_partkey = p_partkey
+WHERE p_type = 'LARGE' AND p_size = 15
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations
+# --------------------------------------------------------------------------
+
+def q_tpch_q7(spark, sf_dir):
+    """Bidirectional nation-pair trade volume by year. Supplier and both
+    nation lookups broadcast; the only shuffles are the two fact joins and
+    the final aggregate."""
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, customer.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_TPCH_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {_sql_dsum('volume', 'revenue')}
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share
+# --------------------------------------------------------------------------
+
+def q_tpch_q8(spark, sf_dir):
+    """NATION_3's share of ECONOMY-part revenue sold into ASIA, by order
+    year. Share = conditional-sum / sum over the same quantized terms, so
+    the ratio is double-division of identical integers on both engines."""
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    )
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    supp_n = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    asian_cust = (
+        _t(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev_q = _q(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(asian_cust, orders.o_custkey == F.col("c_custkey"))
+        .join(supp_n, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("supp_nation") == "NATION_3", rev_q)),
+                    F.lit(0),
+                ).cast("double")
+                / F.sum(rev_q).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_TPCH_Q8 = """
+SELECT year(o_orderdate) AS o_year,
+       CAST(COALESCE(SUM(CASE WHEN n_name = 'NATION_3'
+                THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+            END), 0) AS DOUBLE)
+       / CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+              AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND o_custkey IN (
+      SELECT c_custkey FROM customer
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+  )
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit
+# --------------------------------------------------------------------------
+
+def q_tpch_q9(spark, sf_dir):
+    """Profit by supplier nation and order year over '%gear%' parts. The
+    fixture has no ps_supplycost; p_retailprice*l_quantity/10 is the
+    documented stand-in cost term — the 5-way join + two-key aggregate
+    shape is what matters."""
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    )
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") / F.lit(10.0)
+    )
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .join(supplier, li.l_suppkey == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(amount, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+SQL_TPCH_Q9 = f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       {_sql_dsum(
+           'l_extendedprice * (1 - l_discount)'
+           ' - p_retailprice * l_quantity / 10.0',
+           'sum_profit',
+       )}
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# Q11 — important parts (scalar subquery in HAVING)
+# --------------------------------------------------------------------------
+
+def q_tpch_q11(spark, sf_dir):
+    """Parts whose European-supplied revenue value exceeds 0.1% of the
+    global total. The scalar subquery becomes a broadcast cross-join of a
+    1-row aggregate; the threshold compare is cross-multiplied integers
+    (value_q * 1000 > total_q), never a double. The global total uses
+    decimal(38,0): a 10^4-scaled revenue sum over ~10^11 rows at SF100
+    overflows int64."""
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    eur = (
+        _t(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vals = (
+        li.join(F.broadcast(eur), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(_q(F.col("l_extendedprice") * F.col("l_quantity"))).alias("sum_q"))
+    )
+    total = vals.agg(
+        F.sum(F.col("sum_q").cast("decimal(38,0)")).alias("total_q")
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("sum_q").cast("decimal(38,0)") * 1000 > F.col("total_q"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("sum_q").cast("double") / _S).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH eur AS (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+),
+vals AS (
+    SELECT l_partkey,
+           SUM(CAST(round(l_extendedprice * l_quantity * 10000) AS BIGINT)) AS sum_q
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM eur)
+    GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, CAST(sum_q AS DOUBLE) / 10000 AS part_value
+FROM vals
+WHERE sum_q * 1000 > (SELECT SUM(sum_q) FROM vals)
+ORDER BY part_value DESC, partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q12 — late lines by priority class
+# --------------------------------------------------------------------------
+
+def q_tpch_q12(spark, sf_dir):
+    """Late shipments (>60 days after order) in 1997, split into
+    high/low-priority counts per return flag. Lateness adapts
+    receipt-vs-commit to the columns the fixture has; the join +
+    conditional-count shape is Q12's."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+           AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution
+# --------------------------------------------------------------------------
+
+def q_tpch_q13(spark, sf_dir):
+    """Histogram of orders-per-customer (two-level aggregate over a left
+    outer join with a predicate INSIDE the join condition, so order-less
+    customers survive into the c_count=0 bucket)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        AND o_orderpriority <> '4-NOT SPECIFIED'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier (max-revenue scalar subquery)
+# --------------------------------------------------------------------------
+
+def q_tpch_q15(spark, sf_dir):
+    """Supplier(s) with the maximum revenue in 1997H1. The revenue view's
+    max is a 1-row broadcast aggregate joined back on exact integer
+    equality — ties all surface, as in the spec."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(_q(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "rev_q"
+            )
+        )
+    )
+    top = revenue.agg(F.max("rev_q").alias("max_q"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_q") == F.col("max_q"))
+        .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_q").cast("double") / _S).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+               AS rev_q
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_q AS DOUBLE) / 10000 AS total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE rev_q = (SELECT MAX(rev_q) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier diversity per part group (NOT IN + COUNT DISTINCT)
+# --------------------------------------------------------------------------
+
+def q_tpch_q16(spark, sf_dir):
+    """Distinct supplier count per (brand, type, size), excluding
+    blacklisted suppliers. The NOT IN subquery is a broadcast left-anti
+    join (the blacklist column is never NULL, so NOT IN and anti-join
+    agree); supplier-part pairs come from lineitem."""
+    bad = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36, 45, 49))
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(bad, li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated average)
+# --------------------------------------------------------------------------
+
+def q_tpch_q17(spark, sf_dir):
+    """Average yearly revenue from lines under 20% of their part's mean
+    quantity. The correlated avg subquery is a grouped (sum, count) joined
+    back; ``l_quantity < 0.2 * avg`` cross-multiplies to
+    ``quantity_q * count * 5 < sum_q`` — integer on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_partkey").alias("sk")).agg(
+        F.sum(_q("l_quantity")).alias("qsum"), F.count("*").alias("qcnt")
+    )
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10)
+        )
+    )
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .join(stats, li.l_partkey == F.col("sk"))
+        .filter(_q("l_quantity") * F.col("qcnt") * 5 < F.col("qsum"))
+        .agg(
+            (
+                F.sum(_q("l_extendedprice")).cast("double") / _S / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+SQL_TPCH_Q17 = """
+WITH stats AS (
+    SELECT l_partkey AS sk,
+           SUM(CAST(round(l_quantity * 10000) AS BIGINT)) AS qsum,
+           COUNT(*) AS qcnt
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE)
+       / 10000 / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN stats ON l_partkey = sk
+WHERE p_brand = 'Brand#3' AND p_size < 10
+  AND CAST(round(l_quantity * 10000) AS BIGINT) * qcnt * 5 < qsum
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19 — disjunctive join predicate (OR-of-ANDs)
+# --------------------------------------------------------------------------
+
+def q_tpch_q19(spark, sf_dir):
+    """Revenue under three alternative brand/size/quantity regimes. The
+    equi-join on partkey is extracted so Catalyst hash-joins; the OR-of-ANDs
+    remains a post-join filter (the spec's shape without a nested loop)."""
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(part, li.l_partkey == F.col("p_partkey"))
+    regime = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(regime).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
+SQL_TPCH_Q19 = f"""
+SELECT {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential part promotion (nested IN chain)
+# --------------------------------------------------------------------------
+
+def q_tpch_q20(spark, sf_dir):
+    """European suppliers who moved excess volume (>50 units to one part)
+    of red parts in 1997. The nested IN subqueries become semi-joins; the
+    partsupp availability check is re-derived from shipped volume."""
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    red_parts = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    movers = (
+        li.join(red_parts, li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_q("l_quantity")).alias("qty_q"))
+        .filter(F.col("qty_q") > 50 * _S)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+SQL_TPCH_Q20 = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(round(l_quantity * 10000) AS BIGINT)) > 500000
+  )
+ORDER BY s_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# --------------------------------------------------------------------------
+
+def q_tpch_q21(spark, sf_dir):
+    """NATION_0 suppliers whose line was late (>60 days) on a finished
+    multi-supplier order where NO other supplier was late. The correlated
+    EXISTS is a semi-join and the NOT EXISTS an anti-join against the same
+    derived late-lines relation — each lineitem pass is a hash join, no
+    nested loop."""
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    supp0 = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_0")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = late.join(supp0, late.l_suppkey == F.col("s_suppkey"))
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    l1 = l1.join(
+        others,
+        (l1.l_orderkey == others.o2_orderkey)
+        & (l1.l_suppkey != others.o2_suppkey),
+        "left_semi",
+    )
+    l1 = l1.join(
+        late_others,
+        (l1.l_orderkey == late_others.o3_orderkey)
+        & (l1.l_suppkey != late_others.o3_suppkey),
+        "left_anti",
+    )
+    return (
+        l1.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name = 'NATION_0'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Q22 — global sales opportunity (anti-join + scalar average)
+# --------------------------------------------------------------------------
+
+def q_tpch_q22(spark, sf_dir):
+    """Above-average-balance customers with no URGENT orders, grouped by a
+    country code cut from the fixed-width c_name tail (the fixture has no
+    c_phone). ``c_acctbal > avg`` cross-multiplies to integer cents
+    (bal_q * count > sum_q); the NOT EXISTS is an anti-join."""
+    customer = _t(spark, sf_dir, "customer")
+    code = F.substring("c_name", 17, 2)
+    bal_q = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_q).alias("psum"), F.count("*").alias("pcnt")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        customer.filter(code.isin("13", "31", "23", "29", "30", "18", "17"))
+        .crossJoin(F.broadcast(pos))
+        .filter(bal_q * F.col("pcnt") > F.col("psum"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(code.alias("cntrycode"))
+        .agg(F.count("*").alias("numcust"), dsum("c_acctbal", "totacctbal"))
+        .orderBy("cntrycode")
+    )
+
+
+SQL_TPCH_Q22 = f"""
+WITH pos AS (
+    SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS psum,
+           COUNT(*) AS pcnt
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT substring(c_name, 17, 2) AS cntrycode,
+       COUNT(*) AS numcust,
+       {_sql_dsum('c_acctbal', 'totacctbal')}
+FROM customer, pos
+WHERE substring(c_name, 17, 2) IN ('13', '31', '23', '29', '30', '18', '17')
+  AND CAST(round(c_acctbal * 100) AS BIGINT) * pcnt > psum
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+QUERIES = {
+    "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
+    "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
+    "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
+    "tpch_q9": (q_tpch_q9, SQL_TPCH_Q9),
+    "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
+    "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
+    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
+    "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
+    "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
+    "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
+    "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
+    "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
+    "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
+}
+
+
+def register_all() -> None:
+    from . import harness
+
+    for name, (fn, sql) in QUERIES.items():
+        harness.register(name, fn, sql)
