@@ -22,8 +22,10 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class VersionedStore:
@@ -82,6 +84,72 @@ class VersionedStore:
         self._commit(version, dirs, mode)
         return version
 
+    def _affected_dirs(self, cur: DataFrame, match: DataFrame | None,
+                       condition=None, key_columns: list[str] | None = None
+                       ) -> list[str]:
+        """Data dirs of the current version that contain at least one row
+        matched by ``condition`` or by a key semi-join against ``match``.
+        The distinct file list is tiny relative to the data (one entry per
+        parquet file), so collecting it on the driver is safe at any scale."""
+        probe = cur.withColumn("__file", F.input_file_name())
+        if condition is not None:
+            probe = probe.filter(condition)
+        if match is not None:
+            probe = probe.join(
+                match.select(*key_columns).distinct(), key_columns, "left_semi"
+            )
+        files = [r["__file"] for r in probe.select("__file").distinct().collect()]
+        return sorted({os.path.dirname(urlparse(f).path or f) for f in files})
+
+    def merge(self, source: DataFrame, key_columns: list[str]) -> int:
+        """Delta-style MERGE (upsert) with directory-granular copy-on-write:
+        matched keys take the source row, unmatched store rows survive, new
+        keys insert. Only data dirs that actually contain a matched key are
+        rewritten — untouched dirs carry over into the new manifest by
+        reference, so merge cost scales with the touched fraction, not the
+        table size. Source must not carry duplicate keys (last-writer
+        ambiguity); callers dedup first."""
+        latest = self.latest_version()
+        if latest is None:
+            return self.write(source, mode="overwrite")
+        cur = self.read()
+        affected = self._affected_dirs(cur, source, key_columns=key_columns)
+        keep_dirs = [
+            d for d in self._manifest(latest)["data_dirs"] if d not in affected
+        ]
+        version = latest + 1
+        new_dir = os.path.join(self._data_dir, f"v{version:010d}")
+        if affected:
+            survivors = self.spark.read.parquet(*affected).join(
+                source.select(*key_columns).distinct(), key_columns, "left_anti"
+            )
+            survivors.unionByName(source).write.parquet(new_dir)
+        else:
+            source.write.parquet(new_dir)
+        self._commit(version, keep_dirs + [new_dir], "merge")
+        return version
+
+    def delete_where(self, condition) -> int:
+        """Delete rows matching ``condition`` (a Column), copy-on-write at
+        directory granularity: only dirs containing a matching row are
+        rewritten without those rows; the rest carry over by reference."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError("delete_where on an empty store")
+        cur = self.read()
+        affected = self._affected_dirs(cur, None, condition=condition)
+        keep_dirs = [
+            d for d in self._manifest(latest)["data_dirs"] if d not in affected
+        ]
+        version = latest + 1
+        if affected:
+            new_dir = os.path.join(self._data_dir, f"v{version:010d}")
+            survivors = self.spark.read.parquet(*affected).filter(~condition)
+            survivors.write.parquet(new_dir)
+            keep_dirs = keep_dirs + [new_dir]
+        self._commit(version, keep_dirs, "delete")
+        return version
+
     # -- reads -------------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame | None:
@@ -92,6 +160,37 @@ class VersionedStore:
                 return None
         manifest = self._manifest(version)
         return self.spark.read.parquet(*manifest["data_dirs"])
+
+    def changes(self, since_version: int, to_version: int | None = None
+                ) -> DataFrame:
+        """Change data feed: rows that differ between ``since_version`` and
+        ``to_version`` (default latest), tagged ``_change_type``
+        'insert'/'delete' (an update surfaces as a delete+insert pair).
+
+        Fast path: when every dir of the old version is still referenced by
+        the new one (pure appends), the feed reads ONLY the added dirs — no
+        scan of pre-existing data. Otherwise (merge/delete/overwrite in
+        between) it falls back to a distributed multiset diff (exceptAll),
+        which is exact but scans both snapshots."""
+        if to_version is None:
+            to_version = self.latest_version()
+        old_dirs = list(self._manifest(since_version)["data_dirs"])
+        new_dirs = list(self._manifest(to_version)["data_dirs"])
+        added = [d for d in new_dirs if d not in old_dirs]
+        if all(d in new_dirs for d in old_dirs):
+            if not added:
+                base = self.read(to_version)
+                return base.filter(F.lit(False)).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            return self.spark.read.parquet(*added).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        old = self.read(since_version)
+        new = self.read(to_version)
+        inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        return inserts.unionByName(deletes)
 
     # -- maintenance -------------------------------------------------------
 

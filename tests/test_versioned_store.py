@@ -60,6 +60,56 @@ def test_append_does_not_rewrite_existing_files(spark, store):
     assert before == after
 
 
+def test_merge_upserts_and_rewrites_only_touched_dirs(spark, store):
+    """MERGE replaces matched keys, keeps unmatched rows, inserts new keys —
+    and carries untouched data dirs into the new manifest by reference."""
+    df = lambda rows: spark.createDataFrame(rows, "k int, v string")  # noqa: E731
+    store.write(df([(1, "a"), (2, "b")]), mode="append")          # v0: dir A
+    store.write(df([(3, "c"), (4, "d")]), mode="append")          # v1: dir B
+    v2 = store.merge(df([(3, "C"), (9, "z")]), key_columns=["k"])
+    assert v2 == 2
+    got = {(r["k"], r["v"]) for r in store.read().collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "C"), (4, "d"), (9, "z")}
+    # dir A (keys 1,2) had no matched key: referenced untouched, not rewritten
+    v0_dir = os.path.join(store.path, "data", f"v{0:010d}")
+    assert v0_dir in store._manifest(2)["data_dirs"]
+    # dir B (contained key 3) was replaced by the rewrite dir
+    v1_dir = os.path.join(store.path, "data", f"v{1:010d}")
+    assert v1_dir not in store._manifest(2)["data_dirs"]
+    # time travel still sees the pre-merge state
+    assert {r["k"] for r in store.read(version=1).collect()} == {1, 2, 3, 4}
+
+
+def test_merge_into_empty_store_bootstraps(spark, store):
+    v = store.merge(spark.range(5), key_columns=["id"])
+    assert v == 0
+    assert store.read().count() == 5
+
+
+def test_delete_where_copy_on_write(spark, store):
+    store.write(spark.range(0, 10), mode="append")    # v0
+    store.write(spark.range(10, 20), mode="append")   # v1
+    store.delete_where(F.col("id") % 2 == 0)
+    got = sorted(r["id"] for r in store.read().collect())
+    assert got == [1, 3, 5, 7, 9, 11, 13, 15, 17, 19]
+    assert store.read(version=1).count() == 20  # history intact
+
+
+def test_changes_append_fast_path_and_merge_diff(spark, store):
+    df = lambda rows: spark.createDataFrame(rows, "k int, v string")  # noqa: E731
+    store.write(df([(1, "a"), (2, "b")]), mode="append")   # v0
+    store.write(df([(3, "c")]), mode="append")             # v1
+    feed = store.changes(0, 1)
+    assert [(r["k"], r["_change_type"]) for r in feed.collect()] == [(3, "insert")]
+    store.merge(df([(2, "B")]), key_columns=["k"])         # v2
+    diff = {
+        (r["k"], r["v"], r["_change_type"]) for r in store.changes(1, 2).collect()
+    }
+    assert diff == {(2, "B", "insert"), (2, "b", "delete")}
+    # no-op window
+    assert store.changes(2, 2).count() == 0
+
+
 def test_vacuum_keeps_latest_and_shared_dirs(spark, store):
     store.write(spark.range(10), mode="append")        # v0
     store.write(spark.range(10, 15), mode="append")    # v1 references v0's dir
