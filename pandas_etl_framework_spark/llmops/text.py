@@ -489,8 +489,137 @@ GROUP BY g.doc_id
 """
 
 
+def q_text_gopher_rules(spark, sf_dir):
+    """Gopher-style repetition/quality gates (Rae et al. 2021, adapted to
+    the fixture's single-line documents): word-count bounds, mean word
+    length, alpha-word ratio, top-token and top-bigram mass, stopword
+    presence, and the conjunctive ``passes`` flag a curation pipeline
+    filters on. Ratios are exact-integer numerators/denominators divided
+    identically on both engines."""
+    toks = tokens_col()
+    n = F.size(toks)
+    n_alpha_chars = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    # bigrams: element_at is 1-indexed; guard n<2 (sequence(1,0) counts DOWN)
+    bigrams = F.when(
+        n >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text", toks.alias("t"))
+        .select(
+            "doc_id",
+            n.alias("n_words"),
+            (n_alpha_chars.cast("double") / n).alias("mean_word_len"),
+            (alpha_words.cast("double") / n).alias("alpha_word_ratio"),
+            F.size(F.filter(F.col("t"), lambda t: t.isin(*STOPWORDS))).alias(
+                "stopword_count"
+            ),
+            F.col("t"),
+            bigrams.alias("bg"),
+        )
+    )
+    tok_top = (
+        base.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("top_token_ratio")
+        )
+    )
+    bg_top = (
+        base.select("doc_id", F.explode("bg").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_ratio")
+        )
+    )
+    feat = (
+        base.drop("t", "bg")
+        .join(tok_top, "doc_id")
+        .join(bg_top, "doc_id", "left")
+        .withColumn(
+            "top_bigram_ratio", F.coalesce("top_bigram_ratio", F.lit(0.0))
+        )
+    )
+    passes = (
+        F.col("n_words").between(10, 100000)
+        & F.col("mean_word_len").between(2.0, 10.0)
+        & (F.col("alpha_word_ratio") >= 0.8)
+        & (F.col("stopword_count") >= 1)
+        & (F.col("top_token_ratio") <= 0.2)
+        & (F.col("top_bigram_ratio") <= 0.1)
+    )
+    return feat.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_word_ratio",
+        "stopword_count", "top_token_ratio", "top_bigram_ratio",
+        passes.alias("passes"),
+    )
+
+
+_SQL_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+SQL_TEXT_GOPHER_RULES = rf"""
+WITH base AS (
+    SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           LEN(t) AS n_words,
+           CAST(LENGTH(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / LEN(t)
+               AS mean_word_len,
+           CAST(LEN(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / LEN(t) AS alpha_word_ratio,
+           LEN(list_filter(t, x -> x IN ({_SQL_STOP_LIST}))) AS stopword_count,
+           t,
+           CASE WHEN LEN(t) >= 2 THEN
+               list_transform(generate_series(1, LEN(t) - 1),
+                              i -> t[i] || ' ' || t[i + 1])
+           ELSE [] END AS bg
+    FROM base
+),
+tok_top AS (
+    SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_ratio
+    FROM (
+        SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS w FROM feat)
+        GROUP BY doc_id, w
+    ) GROUP BY doc_id
+),
+bg_top AS (
+    SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_ratio
+    FROM (
+        SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(bg) AS w FROM feat)
+        GROUP BY doc_id, w
+    ) GROUP BY doc_id
+)
+SELECT f.doc_id, n_words, mean_word_len, alpha_word_ratio, stopword_count,
+       tok_top.top_token_ratio,
+       COALESCE(bg_top.top_bigram_ratio, 0.0) AS top_bigram_ratio,
+       (n_words BETWEEN 10 AND 100000
+        AND mean_word_len BETWEEN 2.0 AND 10.0
+        AND alpha_word_ratio >= 0.8
+        AND stopword_count >= 1
+        AND tok_top.top_token_ratio <= 0.2
+        AND COALESCE(bg_top.top_bigram_ratio, 0.0) <= 0.1) AS passes
+FROM feat f
+JOIN tok_top ON f.doc_id = tok_top.doc_id
+LEFT JOIN bg_top ON f.doc_id = bg_top.doc_id
+"""
+
+
 QUERIES = {
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_gopher_rules": (q_text_gopher_rules, SQL_TEXT_GOPHER_RULES),
     "text_token_entropy": (q_text_token_entropy, SQL_TEXT_TOKEN_ENTROPY),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "data_split": (q_data_split, SQL_DATA_SPLIT),
