@@ -235,6 +235,55 @@ def minhash_signatures_wide(
     )
 
 
+_MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+# Fixed permutation constants (a*x + b) mod P, a < 2^30 so a*base < 2^62 —
+# no int64 overflow in either engine (DuckDB errors on overflow, Spark wraps;
+# staying under 2^63 keeps them agreeing).
+import random as _random_mod
+
+_rng = _random_mod.Random(20240813)
+_MINHASH_AB = [
+    (_rng.randrange(1, 1 << 30), _rng.randrange(0, _MINHASH_P))
+    for _ in range(NUM_MINHASHES)
+]
+del _rng
+
+
+def _shingle_base() -> F.Column:
+    """32-bit integer base hash of a shingle: first 8 hex digits of its md5.
+    ONE md5 per shingle; the k permutations are pure arithmetic on top."""
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+
+
+def _sql_hex_base(col: str = "md5(shingle)", digits: int = 8) -> str:
+    """DuckDB twin of _shingle_base: fold hex digits via instr arithmetic
+    (DuckDB has no conv())."""
+    expr = "0"
+    for i in range(digits):
+        d = f"(instr('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        expr = f"({expr} * 16 + {d})"
+    return expr
+
+
+def minhash_signatures_perm(
+    sh: DataFrame, num_hashes: int = NUM_MINHASHES
+) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) via the classic permutation family
+    min((a_s * h(x) + b_s) mod P) over ONE md5-derived base hash per
+    shingle. Replaces the md5-per-seed family (k md5 calls per shingle)
+    with 1 md5 + k multiply-add-mods — the arithmetic is codegen'd JVM-side
+    and portable, so the DuckDB oracle stays bit-identical. Same wide
+    map-side-combining aggregation shape as minhash_signatures_wide."""
+    base = _shingle_base()
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * base + F.lit(b)) % _MINHASH_P).alias(f"mh{s}")
+            for s, (a, b) in enumerate(_MINHASH_AB[:num_hashes])
+        ]
+    )
+
+
 def minhash_signatures_fast(
     sh: DataFrame, num_hashes: int = NUM_MINHASHES
 ) -> DataFrame:
@@ -253,18 +302,20 @@ def minhash_signatures_fast(
 
 
 def q_dedup_minhash_bands(spark, sf_dir):
-    """LSH band keys per document: band = seed div 4, band_key = md5 of the
-    '|'-joined seed-ordered minhashes within the band. Built on the wide
-    signature (one aggregation, one doc-sized shuffle)."""
-    sig = minhash_signatures_wide(shingles_df(_docs(spark, sf_dir)))
+    """LSH band keys per document: band_key = '|'-joined minhashes of the
+    band's 4 permutations. Built on the permutation signature (ONE md5 per
+    shingle, one aggregation, one doc-sized shuffle); the band key is a
+    plain concat — hashing it again would only burn CPU."""
+    sig = minhash_signatures_perm(shingles_df(_docs(spark, sf_dir)))
     band_structs = [
         F.struct(
             F.lit(b).cast("long").alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[f"mh{b * ROWS_PER_BAND + i}" for i in range(ROWS_PER_BAND)],
-                )
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh{b * ROWS_PER_BAND + i}").cast("string")
+                    for i in range(ROWS_PER_BAND)
+                ],
             ).alias("band_key"),
         )
         for b in range(LSH_BANDS)
@@ -275,19 +326,33 @@ def q_dedup_minhash_bands(spark, sf_dir):
     ).select("doc_id", "bk.band", "bk.band_key")
 
 
+_SQL_PERM_MINS = ",\n           ".join(
+    f"MIN(({a} * base + {b}) % {_MINHASH_P}) AS mh{s}"
+    for s, (a, b) in enumerate(_MINHASH_AB)
+)
+
+_SQL_BAND_SELECTS = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, CAST({b} AS BIGINT) AS band, "
+    + " || '|' || ".join(
+        f"CAST(mh{b * ROWS_PER_BAND + i} AS VARCHAR)"
+        for i in range(ROWS_PER_BAND)
+    )
+    + " AS band_key FROM sig"
+    for b in range(LSH_BANDS)
+)
+
 SQL_MINHASH_BANDS_BODY = f"""
+sigbase AS (
+    SELECT doc_id, {_sql_hex_base()} AS base FROM shingles
+),
 sig AS (
-    SELECT doc_id, seed,
-           MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash
-    FROM shingles,
-         (SELECT unnest(generate_series(0, {NUM_MINHASHES - 1})) AS seed)
-    GROUP BY doc_id, seed
+    SELECT doc_id,
+           {_SQL_PERM_MINS}
+    FROM sigbase
+    GROUP BY doc_id
 ),
 bands AS (
-    SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
-           md5(string_agg(minhash, '|' ORDER BY seed)) AS band_key
-    FROM sig
-    GROUP BY doc_id, seed // {ROWS_PER_BAND}
+{_SQL_BAND_SELECTS}
 )
 """
 
