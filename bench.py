@@ -38,6 +38,43 @@ BENCH_QUERIES = [
 ]
 
 
+def bench_streaming(spark, sf_dir: str) -> float:
+    """Run the events table through the REAL micro-batch engine (availableNow
+    trigger, watermarked tumbling-window aggregation, noop sink) and return
+    wall seconds. This measures streaming-path overhead vs the batch twin
+    (events_hourly), not just plan quality."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source needs a DIRECTORY; events.parquet is one file,
+    # so stream the sf dir with a glob pinned to it
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("div(ts, 1000)")))
+
+    from pandas_etl_framework_spark.streaming import windowed_event_counts
+
+    ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+    t0 = time.time()
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -59,6 +96,8 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+
+    timings["streaming_windowed_counts"] = bench_streaming(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
