@@ -1,0 +1,32 @@
+"""Portable-HLL accuracy and grouping behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandas_etl_framework_spark.sketches import hll_distinct
+
+
+def test_hll_estimate_within_tolerance(spark):
+    """Raw HLL with m=256 has ~1.04/sqrt(m) ≈ 6.5% std error; assert 3 sigma."""
+    df = spark.range(20_000).select((F.col("id") % 5_000).alias("v"))
+    est = hll_distinct(df, "v").collect()[0]["hll_estimate"]
+    assert abs(est - 5_000) / 5_000 < 0.20
+
+
+def test_hll_grouped(spark):
+    df = spark.range(10_000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 1_000).alias("v")
+    )
+    rows = {r["g"]: r["hll_estimate"] for r in
+            hll_distinct(df, "v", group_by=["g"]).collect()}
+    assert set(rows) == {0, 1}
+    for est in rows.values():
+        assert abs(est - 500) / 500 < 0.25
+
+
+def test_hll_deterministic(spark):
+    df = spark.range(5_000).select((F.col("id") % 700).alias("v"))
+    a = hll_distinct(df.repartition(16), "v").collect()[0]["hll_estimate"]
+    b = hll_distinct(df.coalesce(1), "v").collect()[0]["hll_estimate"]
+    assert a == b  # partitioning-independent, bit-exact
