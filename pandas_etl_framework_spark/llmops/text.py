@@ -508,8 +508,24 @@ def q_text_gopher_rules(spark, sf_dir):
             " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = (
-        _docs(spark, sf_dir)
+    # top-element mass via nested higher-order functions: for each distinct
+    # token, count its occurrences, take the max — a per-row array pass with
+    # NO explode, NO shuffle, NO self-join (docs are short; the O(u·n)
+    # per-row cost beats three shuffled subtrees by an order of magnitude)
+    def top_ratio(arr: F.Column) -> F.Column:
+        counts = F.transform(
+            F.array_distinct(arr),
+            lambda u: F.size(F.filter(arr, lambda x: x == u)),
+        )
+        return F.when(
+            F.size(arr) > 0,
+            F.array_max(counts).cast("double") / F.size(arr),
+        ).otherwise(F.lit(0.0))
+
+    docs = _docs(spark, sf_dir)
+    # spread the single-file scan across cores before the array-heavy pass
+    feat = (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .select("doc_id", "text", toks.alias("t"))
         .select(
             "doc_id",
@@ -519,34 +535,8 @@ def q_text_gopher_rules(spark, sf_dir):
             F.size(F.filter(F.col("t"), lambda t: t.isin(*STOPWORDS))).alias(
                 "stopword_count"
             ),
-            F.col("t"),
-            bigrams.alias("bg"),
-        )
-    )
-    tok_top = (
-        base.select("doc_id", F.explode("t").alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            (F.max("c").cast("double") / F.sum("c")).alias("top_token_ratio")
-        )
-    )
-    bg_top = (
-        base.select("doc_id", F.explode("bg").alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_ratio")
-        )
-    )
-    feat = (
-        base.drop("t", "bg")
-        .join(tok_top, "doc_id")
-        .join(bg_top, "doc_id", "left")
-        .withColumn(
-            "top_bigram_ratio", F.coalesce("top_bigram_ratio", F.lit(0.0))
+            top_ratio(F.col("t")).alias("top_token_ratio"),
+            top_ratio(bigrams).alias("top_bigram_ratio"),
         )
     )
     passes = (
