@@ -607,10 +607,79 @@ LEFT JOIN bg_top ON f.doc_id = bg_top.doc_id
 """
 
 
+def q_text_contamination(spark, sf_dir):
+    """Train/holdout contamination: for every holdout document, the
+    fraction of its 3-gram shingles that also occur anywhere in the train
+    split (the eval-leakage check every training pipeline needs). Split
+    membership reuses the content-stable hash bucket (split_bucket), so
+    train/test assignment is identical across engines and runs.
+
+    Scale: one distinct over train shingles + one shuffled left join keyed
+    on shingle (AQE-skew-safe). At 100 TB, swap the exact distinct for a
+    bloom filter of train shingles broadcast to the holdout side — the
+    join shape stays the same."""
+    from .dedup import shingles_df
+
+    sh = shingles_df(_docs(spark, sf_dir))
+    bucket = split_bucket(F.col("doc_id"))
+    labeled = sh.withColumn(
+        "split",
+        F.when(bucket < SPLIT_TRAIN_PCT, "train").otherwise("holdout"),
+    )
+    train = (
+        labeled.filter(F.col("split") == "train")
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test = labeled.filter(F.col("split") == "holdout").select(
+        "doc_id", "shingle"
+    )
+    return (
+        test.join(train, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double") / F.col("n_shingles")
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+def _sql_text_contamination() -> str:
+    from .dedup import SQL_SHINGLES
+
+    return f"""
+WITH {SQL_SHINGLES},
+lab AS (
+    SELECT doc_id, shingle,
+           CASE WHEN ({_SQL_HEX6}) % 100 < {SPLIT_TRAIN_PCT}
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM shingles
+),
+train AS (
+    SELECT DISTINCT shingle, 1 AS hit FROM lab WHERE split = 'train'
+),
+test AS (SELECT doc_id, shingle FROM lab WHERE split = 'holdout')
+SELECT t.doc_id, COUNT(*) AS n_shingles, COUNT(hit) AS n_contaminated,
+       CAST(COUNT(hit) AS DOUBLE) / COUNT(*) AS contamination_rate
+FROM test t LEFT JOIN train tr ON t.shingle = tr.shingle
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_gopher_rules": (q_text_gopher_rules, SQL_TEXT_GOPHER_RULES),
     "text_token_entropy": (q_text_token_entropy, SQL_TEXT_TOKEN_ENTROPY),
+    "text_contamination": (q_text_contamination, _sql_text_contamination()),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "data_split": (q_data_split, SQL_DATA_SPLIT),
     "text_length_histogram": (q_text_length_histogram, SQL_TEXT_LENGTH_HISTOGRAM),
