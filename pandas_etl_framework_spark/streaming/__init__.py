@@ -15,4 +15,8 @@ from .historize import (  # noqa: F401
     streaming_scd2_merge,
     streaming_versioned_append,
 )
-from .windows import sessionize_stream, windowed_event_counts  # noqa: F401
+from .windows import (  # noqa: F401
+    interval_join_streams,
+    sessionize_stream,
+    windowed_event_counts,
+)

@@ -42,6 +42,42 @@ def windowed_event_counts(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_columns: list[str],
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: right events within
+    ``[left_ts, left_ts + max_delay]`` of a matching-key left event (the
+    impression→conversion attribution shape).
+
+    Works identically on batch DataFrames (same plan, watermarks are
+    no-ops). On streams, BOTH watermarks plus the bounded time predicate
+    are what let the engine evict join state — without the upper bound the
+    state grows forever; with it, state is capped at
+    watermark_delay + max_delay per key. Timestamp columns must be
+    distinct between the two sides (alias before calling)."""
+    lw = left.withWatermark(left_ts, watermark_delay)
+    rw = right.withWatermark(right_ts, watermark_delay)
+    cond = None
+    for k in key_columns:
+        eq = lw[k] == rw[k]
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    joined = lw.join(rw, cond, how)
+    # drop the duplicate key columns from the right side
+    return joined.drop(*[rw[k] for k in key_columns])
+
+
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

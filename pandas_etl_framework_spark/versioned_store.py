@@ -28,6 +28,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def incremental_rollup_update(
+    rollup: DataFrame,
+    feed: DataFrame,
+    group_columns: list[str],
+    sum_columns: dict[str, str] | None = None,
+    count_column: str = "n",
+) -> DataFrame:
+    """Incremental materialized-view maintenance for additive aggregates:
+    fold a change data feed (``VersionedStore.changes`` output, rows tagged
+    ``_change_type`` insert/delete) into an existing count/sum rollup
+    without rescanning the base table — work scales with the CHANGE volume,
+    not the table size.
+
+    ``sum_columns`` maps rollup column -> base column (e.g.
+    ``{"sum_value": "value"}``). Counts go up/down by the signed row count;
+    sums by the signed value. Groups whose count reaches zero drop out.
+    Only additive aggregates qualify (count/sum; avg = sum/count computed
+    at read time) — min/max need a rescan of the affected group."""
+    sum_columns = sum_columns or {}
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    aggs = [F.sum(sign).alias(f"__d_{count_column}")] + [
+        F.sum(sign * F.col(base)).alias(f"__d_{out}")
+        for out, base in sum_columns.items()
+    ]
+    delta = feed.groupBy(*group_columns).agg(*aggs)
+    merged = rollup.join(delta, group_columns, "full_outer")
+    out_cols = [F.col(c) for c in group_columns]
+    new_n = F.coalesce(F.col(count_column), F.lit(0)) + F.coalesce(
+        F.col(f"__d_{count_column}"), F.lit(0)
+    )
+    out_cols.append(new_n.alias(count_column))
+    for out in sum_columns:
+        out_cols.append(
+            (
+                F.coalesce(F.col(out), F.lit(0.0))
+                + F.coalesce(F.col(f"__d_{out}"), F.lit(0.0))
+            ).alias(out)
+        )
+    return merged.select(*out_cols).filter(F.col(count_column) > 0)
+
+
 class VersionedStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark

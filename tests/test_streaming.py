@@ -222,6 +222,69 @@ def test_streaming_dedup_drops_repeats(spark, tmp_path):
     assert out == [1, 2, 3, 9]
 
 
+def test_interval_join_streams_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (impression→conversion attribution)
+    produces exactly the rows of the identical batch join."""
+    from pandas_etl_framework_spark.streaming import interval_join_streams
+
+    imp_rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 12:00:00"),
+        (2, "2024-01-01 10:30:00"),
+        (3, "2024-01-01 09:00:00"),
+    ]
+    conv_rows = [
+        (1, "2024-01-01 10:20:00"),  # within 30m of imp@10:00
+        (1, "2024-01-01 13:00:00"),  # >30m after imp@12:00 → no match
+        (2, "2024-01-01 10:35:00"),  # within 30m
+        (4, "2024-01-01 10:00:00"),  # no impression key
+    ]
+    mk = lambda rows, tscol: spark.createDataFrame(  # noqa: E731
+        rows, f"user_id long, {tscol} string"
+    ).withColumn(tscol, F.to_timestamp(tscol))
+
+    imp_dir, conv_dir = tmp_path / "imp", tmp_path / "conv"
+    mk(imp_rows, "imp_ts").coalesce(1).write.parquet(str(imp_dir / "b"))
+    mk(conv_rows, "conv_ts").coalesce(1).write.parquet(str(conv_dir / "b"))
+
+    imp_s = spark.readStream.schema("user_id long, imp_ts timestamp").parquet(
+        f"{imp_dir}/*"
+    )
+    conv_s = spark.readStream.schema("user_id long, conv_ts timestamp").parquet(
+        f"{conv_dir}/*"
+    )
+    joined = interval_join_streams(
+        imp_s, conv_s, ["user_id"], "imp_ts", "conv_ts", max_delay="30 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ijckpt"))
+        .start()
+    )
+    _wait(q)
+    got = {
+        (r["user_id"], str(r["imp_ts"]), str(r["conv_ts"]))
+        for r in spark.sql("select * from ij_out").collect()
+    }
+    batch = interval_join_streams(
+        mk(imp_rows, "imp_ts"),
+        mk(conv_rows, "conv_ts"),
+        ["user_id"],
+        "imp_ts",
+        "conv_ts",
+        max_delay="30 minutes",
+    )
+    want = {
+        (r["user_id"], str(r["imp_ts"]), str(r["conv_ts"]))
+        for r in batch.collect()
+    }
+    assert got == want
+    assert (1, "2024-01-01 10:00:00", "2024-01-01 10:20:00") in got
+    assert all(u != 4 for u, _, _ in got)
+
+
 def test_streaming_versioned_append(spark, tmp_path):
     """Each micro-batch commits one atomic version; time travel shows the
     stream's history."""

@@ -110,6 +110,36 @@ def test_changes_append_fast_path_and_merge_diff(spark, store):
     assert store.changes(2, 2).count() == 0
 
 
+def test_incremental_rollup_matches_recompute(spark, store):
+    """Folding the change feed into a rollup equals recomputing it."""
+    from pandas_etl_framework_spark.versioned_store import (
+        incremental_rollup_update,
+    )
+
+    df = lambda rows: spark.createDataFrame(rows, "k int, value double")  # noqa: E731
+    store.write(df([(1, 10.0), (1, 5.0), (2, 7.0)]), mode="append")  # v0
+
+    def rollup_of(data):
+        return data.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("value").alias("sum_value")
+        )
+
+    rollup = rollup_of(store.read(0))
+    store.write(df([(2, 3.0), (3, 1.0)]), mode="append")            # v1 inserts
+    store.merge(df([(1, 100.0)]), key_columns=["k"])                # v2 upsert
+    feed = store.changes(0, 2)
+    maintained = incremental_rollup_update(
+        rollup, feed, ["k"], sum_columns={"sum_value": "value"}
+    )
+    want = {
+        (r["k"], r["n"], r["sum_value"]) for r in rollup_of(store.read()).collect()
+    }
+    got = {(r["k"], r["n"], r["sum_value"]) for r in maintained.collect()}
+    assert got == want
+    # the key-1 group shrank from 2 rows to 1 after the merge upsert
+    assert (1, 1, 100.0) in got
+
+
 def test_vacuum_keeps_latest_and_shared_dirs(spark, store):
     store.write(spark.range(10), mode="append")        # v0
     store.write(spark.range(10, 15), mode="append")    # v1 references v0's dir
