@@ -448,7 +448,80 @@ WINDOW w AS (
 """
 
 
+def q_window_ntile(spark, sf_dir):
+    """Quartile bucketing + per-group nth value (ntile / nth_value over a
+    fully-deterministic order: unique o_orderkey tie-break)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.nth_value("o_totalprice", 2).over(wf).alias("second_highest"),
+        )
+    )
+
+
+SQL_WINDOW_NTILE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       NTILE(4) OVER w AS price_quartile,
+       NTH_VALUE(o_totalprice, 2) OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_highest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+def q_fuzzy_join(spark, sf_dir):
+    """Fuzzy self-match: same-nation customer pairs whose names are within
+    edit distance 4 (levenshtein is built-in on both engines). The nation
+    key is the blocking key — the quadratic comparison runs only within a
+    block, which is the standard entity-resolution shape at scale (blocking
+    + pairwise verify); the block join itself is a hash join."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+SQL_FUZZY_JOIN = """
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       levenshtein(a.c_name, b.c_name) AS edit_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 4
+"""
+
+
 QUERIES = {
+    "rel_window_ntile": (q_window_ntile, SQL_WINDOW_NTILE),
+    "rel_fuzzy_join": (q_fuzzy_join, SQL_FUZZY_JOIN),
     "rel_intersect_all": (q_intersect_all, SQL_INTERSECT_ALL),
     "rel_null_semantics": (q_null_semantics, SQL_NULL_SEMANTICS),
     "rel_sort_nulls": (q_sort_nulls, SQL_SORT_NULLS),
