@@ -235,6 +235,25 @@ class VersionedStore:
         deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)
 
+    def optimize(self, target_partitions: int | None = None) -> int:
+        """Compaction: rewrite the current version's (possibly many small)
+        data dirs into one dir with ``target_partitions`` files, committed
+        as a new version — readers of old versions are untouched, and
+        ``vacuum`` later reclaims the small files. This is the antidote to
+        the small-file problem a long-lived append stream creates: N
+        micro-batch commits = N dirs until an optimize folds them."""
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError("optimize on an empty store")
+        cur = self.read()
+        if target_partitions is not None:
+            cur = cur.repartition(target_partitions)
+        version = latest + 1
+        new_dir = os.path.join(self._data_dir, f"v{version:010d}")
+        cur.write.parquet(new_dir)
+        self._commit(version, [new_dir], "optimize")
+        return version
+
     # -- maintenance -------------------------------------------------------
 
     def vacuum(self, keep_latest: int = 1) -> list[int]:

@@ -110,6 +110,18 @@ def test_changes_append_fast_path_and_merge_diff(spark, store):
     assert store.changes(2, 2).count() == 0
 
 
+def test_optimize_compacts_without_losing_history(spark, store):
+    for lo in range(0, 50, 10):                      # 5 append commits
+        store.write(spark.range(lo, lo + 10).coalesce(2), mode="append")
+    assert len(store._manifest(4)["data_dirs"]) == 5
+    v = store.optimize(target_partitions=1)
+    assert len(store._manifest(v)["data_dirs"]) == 1
+    assert sorted(r["id"] for r in store.read().collect()) == list(range(50))
+    assert store.read(version=2).count() == 30       # history intact
+    store.vacuum(keep_latest=1)                      # small files reclaimed
+    assert sorted(r["id"] for r in store.read().collect()) == list(range(50))
+
+
 def test_incremental_rollup_matches_recompute(spark, store):
     """Folding the change feed into a rollup equals recomputing it."""
     from pandas_etl_framework_spark.versioned_store import (
