@@ -119,8 +119,128 @@ FROM est, exact
 """
 
 
+# --------------------------------------------------------------------------
+# Count-min sketch (frequency estimation)
+# --------------------------------------------------------------------------
+
+CMS_D = 4       # hash rows
+CMS_W = 1024    # buckets per row
+_CMS_P = 2_147_483_647
+# fixed (a, b) per hash row, a < 2^30 (same overflow headroom as minhash)
+_CMS_AB = [
+    (387420489, 1000000007),
+    (268435399, 998244353),
+    (536870909, 754974721),
+    (805306457, 167772161),
+]
+
+
+def _item_base(col: str) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def countmin_counters(df: DataFrame, col: str) -> DataFrame:
+    """Build the d×w counter table (j, bucket, c) — d tiny aggregations,
+    each a map-side-combining groupBy over at most w groups, so the sketch
+    costs d narrow shuffles of ≤ w rows regardless of input size (the whole
+    point at 100 TB: a mergeable fixed-size summary)."""
+    base = _item_base(col)
+    parts = []
+    for j, (a, b) in enumerate(_CMS_AB[:CMS_D]):
+        bucket = (F.lit(a) * base + F.lit(b)) % _CMS_P % CMS_W
+        parts.append(
+            df.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("c"))
+            .select(F.lit(j).alias("j"), "bucket", "c")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def countmin_estimate(counters: DataFrame, items: DataFrame, col: str
+                      ) -> DataFrame:
+    """Point-query the sketch for every row of ``items``: estimate =
+    min over the d rows of the item's bucket counter (classic CMS upper
+    bound: never under-counts)."""
+    base = _item_base(col)
+    probes = None
+    for j, (a, b) in enumerate(_CMS_AB[:CMS_D]):
+        p = items.select(
+            F.col(col),
+            F.lit(j).alias("j"),
+            ((F.lit(a) * base + F.lit(b)) % _CMS_P % CMS_W).alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        probes.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy(col)
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+
+
+def q_sketch_countmin(spark, sf_dir):
+    """CMS frequency estimates vs exact counts for every supplier in
+    lineitem — estimate >= exact always; equality whenever no bucket
+    collision."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    counters = countmin_counters(li, "l_suppkey")
+    exact = li.groupBy("l_suppkey").agg(F.count("*").alias("exact_cnt"))
+    est = countmin_estimate(counters, exact.select("l_suppkey"), "l_suppkey")
+    return exact.join(est, "l_suppkey").select(
+        "l_suppkey",
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+_IB = _sql_hex_to_long("md5(CAST(l_suppkey AS VARCHAR))", 1, 8)
+
+_SQL_CMS_COUNTERS = "\n    UNION ALL\n".join(
+    f"    SELECT {j} AS j, ({a} * base + {b}) % {_CMS_P} % {CMS_W} AS bucket,"
+    f" COUNT(*) AS c FROM items GROUP BY bucket"
+    for j, (a, b) in enumerate(_CMS_AB[:CMS_D])
+)
+
+_SQL_CMS_PROBES = "\n    UNION ALL\n".join(
+    f"    SELECT l_suppkey, {j} AS j,"
+    f" ({a} * base + {b}) % {_CMS_P} % {CMS_W} AS bucket FROM dist"
+    for j, (a, b) in enumerate(_CMS_AB[:CMS_D])
+)
+
+SQL_SKETCH_COUNTMIN = f"""
+WITH items AS (
+    SELECT l_suppkey, {_IB} AS base FROM lineitem
+),
+counters AS (
+{_SQL_CMS_COUNTERS}
+),
+dist AS (SELECT DISTINCT l_suppkey, {_IB.replace('l_suppkey', 'l_suppkey')} AS base
+         FROM lineitem),
+probes AS (
+{_SQL_CMS_PROBES}
+),
+est AS (
+    SELECT l_suppkey, MIN(c) AS cms_estimate
+    FROM probes JOIN counters USING (j, bucket)
+    GROUP BY l_suppkey
+),
+exact AS (
+    SELECT l_suppkey, COUNT(*) AS exact_cnt FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, exact_cnt, cms_estimate,
+       cms_estimate - exact_cnt AS overcount
+FROM exact JOIN est USING (l_suppkey)
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct": (q_sketch_hll_distinct, SQL_SKETCH_HLL_DISTINCT),
+    "sketch_countmin": (q_sketch_countmin, SQL_SKETCH_COUNTMIN),
 }
 
 

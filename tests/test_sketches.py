@@ -25,6 +25,24 @@ def test_hll_grouped(spark):
         assert abs(est - 500) / 500 < 0.25
 
 
+def test_countmin_never_undercounts(spark):
+    from pandas_etl_framework_spark.sketches import (
+        countmin_counters,
+        countmin_estimate,
+    )
+
+    df = spark.range(10_000).select((F.col("id") % 300).alias("v"))
+    counters = countmin_counters(df, "v")
+    exact = df.groupBy("v").agg(F.count("*").alias("exact"))
+    est = countmin_estimate(counters, exact.select("v"), "v")
+    rows = exact.join(est, "v").collect()
+    assert len(rows) == 300
+    assert all(r["cms_estimate"] >= r["exact"] for r in rows)
+    # 300 items in 4x1024 buckets: the min over rows is exact for most keys
+    exact_hits = sum(r["cms_estimate"] == r["exact"] for r in rows)
+    assert exact_hits > 250
+
+
 def test_hll_deterministic(spark):
     df = spark.range(5_000).select((F.col("id") % 700).alias("v"))
     a = hll_distinct(df.repartition(16), "v").collect()[0]["hll_estimate"]
