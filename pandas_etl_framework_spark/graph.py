@@ -1,0 +1,163 @@
+"""Iterative graph algorithms on DataFrames.
+
+PageRank over the customer–supplier purchase graph: the canonical
+driver-side-loop iterative pattern (each iteration = one join + one
+aggregate; no RDDs, no collect). Ranks are QUANTIZED: held as integers
+scaled by 10^12, with every division an integer floor-div — so the
+fixed-iteration result is bit-identical across engines and partitionings,
+and the DuckDB oracle is simply the 3 iterations unrolled as CTEs.
+
+Damping 0.85 is the rational 17/20: rank' = (3*S)//(20*N) + (17*contrib)//20
+with S = 10^12. Overflow headroom: rank_q ≤ 10^12, edge weight ≤ 10^6 →
+products ≤ 10^18 < 2^63.
+
+Scale: each iteration shuffles the contribution sums once (groupBy dst);
+the loop-invariant edge shuffle is computed ONCE and shared across
+iterations by Catalyst's ReusedExchange — see the note in
+pagerank_quantized on why explicit cache/localCheckpoint measured slower.
+At 100 TB pre-partition edges on src so the per-iteration join reuses the
+partitioning; for deep iteration counts, localCheckpoint every ~10 rounds
+to bound lineage.
+
+Related llmops operator: connected components (llmops/dedup.py) uses the
+same iterate-until-fixpoint join shape for near-dup clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000_000  # 10^12
+
+
+def pagerank_quantized(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """(node, rank_q) after ``iterations`` damped rounds over ``edges``
+    (src, dst, w). All arithmetic integer; deterministic by construction."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # Deliberately NOT cached/checkpointed: within one action Catalyst's
+    # ReusedExchange dedupes the loop-invariant edge shuffle across all
+    # iterations, and whole-plan optimization stays intact — measured 3x
+    # faster than cache() or localCheckpoint() here. Persist only when
+    # iterations grow deep enough (>~10) that planning/lineage dominates,
+    # and then localCheckpoint every few rounds.
+    e = edges.join(out_w, "src")
+    n_df = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", F.expr(f"div({PR_SCALE}, n)").alias("rank_q")
+    )
+    for _ in range(iterations):
+        contrib = e.join(ranks, e.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            F.expr("div(rank_q * w, out_w)").alias("c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                (
+                    F.expr(f"div(3 * {PR_SCALE}, 20 * n)")
+                    + F.expr("div(17 * coalesce(s, 0), 20)")
+                ).alias("rank_q"),
+            )
+        )
+    return ranks
+
+
+def purchase_edges(spark, sf_dir: str) -> DataFrame:
+    """Symmetric bipartite edges c<->s weighted by lineitem count."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    return pairs.selectExpr("c AS src", "s AS dst", "w").unionByName(
+        pairs.selectExpr("s AS src", "c AS dst", "w")
+    )
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Top-50 nodes of the purchase graph by 3-iteration PageRank."""
+    ranks = pagerank_quantized(purchase_edges(spark, sf_dir), iterations=3)
+    return (
+        ranks.select(
+            "node",
+            (F.col("rank_q").cast("double") / PR_SCALE).alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(50)
+    )
+
+
+def _sql_pagerank(iterations: int = 3) -> str:
+    head = f"""
+WITH pairs AS (
+    SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+           's' || CAST(l_suppkey AS VARCHAR) AS s,
+           COUNT(*) AS w
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT c AS src, s AS dst, w FROM pairs
+    UNION ALL
+    SELECT s AS src, c AS dst, w FROM pairs
+),
+nodes AS (
+    SELECT DISTINCT src AS node FROM edges
+    UNION
+    SELECT DISTINCT dst AS node FROM edges
+),
+outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, edges.w, outw.out_w
+      FROM edges JOIN outw ON edges.src = outw.src),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, {PR_SCALE} // n AS rank_q FROM nodes CROSS JOIN nn)"""
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(f""",
+c{k} AS (
+    SELECT dst AS node, SUM((rank_q * w) // out_w) AS s
+    FROM e JOIN r{k - 1} ON e.src = r{k - 1}.node
+    GROUP BY dst
+),
+r{k} AS (
+    SELECT nodes.node,
+           (3 * {PR_SCALE}) // (20 * nn.n)
+           + (17 * COALESCE(c{k}.s, 0)) // 20 AS rank_q
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN c{k} ON nodes.node = c{k}.node
+)""")
+    tail = f"""
+SELECT node, CAST(rank_q AS DOUBLE) / {PR_SCALE} AS rank
+FROM r{iterations}
+ORDER BY rank DESC, node LIMIT 50
+"""
+    return head + "".join(steps) + tail
+
+
+SQL_GRAPH_PAGERANK = _sql_pagerank(3)
+
+
+QUERIES = {
+    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+}
+
+
+def register_all() -> None:
+    from . import harness
+
+    for name, (fn, sql) in QUERIES.items():
+        harness.register(name, fn, sql)
