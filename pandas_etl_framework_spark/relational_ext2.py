@@ -519,8 +519,56 @@ WHERE levenshtein(a.c_name, b.c_name) <= 4
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample of orders: 10% of URGENT, 1% of the
+    rest, by content-stable hash bucket (scale.sample_stratified) — a pure
+    filter, reproducible anywhere, fully pushdown-friendly; per-stratum
+    counts prove the rates."""
+    from .scale import sample_stratified
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sampled = sample_stratified(
+        orders,
+        "o_orderpriority",
+        {
+            "1-URGENT": 0.10,
+            "2-HIGH": 0.01,
+            "3-MEDIUM": 0.01,
+            "4-NOT SPECIFIED": 0.01,
+            "5-LOW": 0.01,
+        },
+        key_column="o_orderkey",
+    )
+    return (
+        sampled.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_HEX6_OKEY = " + ".join(
+    f"(instr('0123456789abcdef',"
+    f" substr(md5(CAST(o_orderkey AS VARCHAR)), {i + 1}, 1)) - 1)"
+    f" * {16 ** (5 - i)}"
+    for i in range(6)
+)
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT o_orderpriority, COUNT(*) AS n_sampled
+FROM (
+    SELECT o_orderpriority,
+           ({_SQL_HEX6_OKEY}) % 10000 AS bucket
+    FROM orders
+)
+WHERE bucket < CASE WHEN o_orderpriority = '1-URGENT' THEN 1000 ELSE 100 END
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "rel_window_ntile": (q_window_ntile, SQL_WINDOW_NTILE),
+    "rel_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "rel_fuzzy_join": (q_fuzzy_join, SQL_FUZZY_JOIN),
     "rel_intersect_all": (q_intersect_all, SQL_INTERSECT_ALL),
     "rel_null_semantics": (q_null_semantics, SQL_NULL_SEMANTICS),

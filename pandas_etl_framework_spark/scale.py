@@ -113,6 +113,37 @@ def compact_store(
     fs.rename(p_new, p_old)
 
 
+def sample_stratified(
+    df: DataFrame,
+    strata_column: str,
+    fractions: dict[str, float] | float,
+    key_column: str | None = None,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its content-stable
+    hash bucket falls under the stratum's fraction. Unlike ``sampleBy``
+    (RNG per task — results change with partitioning and re-runs), this is
+    a pure function of the key: reproducible across runs, engines, and
+    cluster layouts, and a row keeps its fate as the dataset grows. It is
+    also a plain filter — no shuffle, fully pushable.
+
+    ``fractions``: one float for all strata, or {stratum value: fraction}.
+    ``key_column`` defaults to the stratum column itself (then sampling is
+    per distinct VALUE); pass a row-unique key for row-level sampling."""
+    key = key_column or strata_column
+    h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 6), 16, 10)
+    bucket = h.cast("long") % buckets
+    if isinstance(fractions, dict):
+        expr = None
+        for v, frac in fractions.items():
+            cond, lit = F.col(strata_column) == v, F.lit(int(frac * buckets))
+            expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+        thr = expr.otherwise(F.lit(0))
+    else:
+        thr = F.lit(int(fractions * buckets))
+    return df.filter(bucket < thr)
+
+
 def explain_summary(df: DataFrame) -> dict:
     """Plan introspection for tests/tuning: operator counts + scan schemas."""
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -238,9 +238,106 @@ FROM exact JOIN est USING (l_suppkey)
 """
 
 
+# --------------------------------------------------------------------------
+# Histogram quantile sketch (mergeable approximate percentiles)
+# --------------------------------------------------------------------------
+
+HIST_BINS = 1000
+
+
+def q_sketch_histogram_quantiles(spark, sf_dir):
+    """Approximate p50/p95 of o_totalprice from a fixed 1000-bin equi-width
+    histogram — the mergeable-summary alternative to an exact sort: counts
+    per bin are integers (order-independent), the quantile is the lower
+    edge of the first bin whose cumulative count crosses the target. One
+    narrow shuffle of ≤ bins rows; merging partial histograms is just
+    summing counts — exactly how a 1000-executor percentile should run.
+    Exact percentiles for comparison live in rel_percentiles."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rng = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = (
+        orders.crossJoin(F.broadcast(rng))
+        .select(
+            F.least(
+                F.lit(HIST_BINS - 1),
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / HIST_BINS)
+                ),
+            ).alias("bin"),
+            "lo",
+            "hi",
+        )
+        .groupBy("bin", "lo", "hi")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    cum = F.sum("c").over(
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total = F.sum("c").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    edges = binned.select(
+        "bin",
+        "c",
+        (F.col("lo") + F.col("bin") * ((F.col("hi") - F.col("lo")) / HIST_BINS)
+         ).alias("bin_lo"),
+        cum.alias("cum"),
+        total.alias("total"),
+    )
+    out = None
+    for name, num, den in (("p50", 1, 2), ("p95", 19, 20)):
+        q = (
+            edges.filter(F.col("cum") * den >= F.col("total") * num)
+            .orderBy("bin")
+            .limit(1)
+            .select(F.lit(name).alias("quantile"), F.col("bin_lo").alias("approx_value"))
+        )
+        out = q if out is None else out.unionByName(q)
+    return out
+
+
+SQL_SKETCH_HISTOGRAM_QUANTILES = f"""
+WITH rng AS (
+    SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+),
+binned AS (
+    SELECT LEAST({HIST_BINS - 1},
+                 CAST(floor((o_totalprice - lo) / ((hi - lo) / {HIST_BINS}))
+                      AS BIGINT)) AS bin,
+           lo, hi, COUNT(*) AS c
+    FROM orders CROSS JOIN rng
+    GROUP BY 1, 2, 3
+),
+edges AS (
+    SELECT bin, c,
+           lo + bin * ((hi - lo) / {HIST_BINS}) AS bin_lo,
+           SUM(c) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(c) OVER () AS total
+    FROM binned
+)
+SELECT 'p50' AS quantile, bin_lo AS approx_value FROM (
+    SELECT bin_lo FROM edges WHERE cum * 2 >= total * 1 ORDER BY bin LIMIT 1
+)
+UNION ALL
+SELECT 'p95', bin_lo FROM (
+    SELECT bin_lo FROM edges WHERE cum * 20 >= total * 19 ORDER BY bin LIMIT 1
+)
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct": (q_sketch_hll_distinct, SQL_SKETCH_HLL_DISTINCT),
     "sketch_countmin": (q_sketch_countmin, SQL_SKETCH_COUNTMIN),
+    "sketch_histogram_quantiles": (
+        q_sketch_histogram_quantiles,
+        SQL_SKETCH_HISTOGRAM_QUANTILES,
+    ),
 }
 
 
