@@ -113,6 +113,27 @@ def compact_store(
     fs.rename(p_new, p_old)
 
 
+def write_sorted_store(
+    df: DataFrame,
+    path: str,
+    cluster_columns: list[str],
+    num_files: int | None = None,
+) -> None:
+    """Write range-clustered, sorted parquet: repartitionByRange gives each
+    file a DISJOINT value range of the cluster columns, sortWithinPartitions
+    orders rows inside, so parquet row-group min/max stats line up with
+    query predicates and scans skip everything outside the filter range.
+    At 100 TB this is the difference between reading 3 files and 3000 for a
+    date-range query — the poor man's Z-order for 1-dimensional locality."""
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *cluster_columns)
+        .sortWithinPartitions(*cluster_columns)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def sample_stratified(
     df: DataFrame,
     strata_column: str,

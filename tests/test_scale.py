@@ -127,3 +127,29 @@ def test_salted_join_spreads_hot_key(spark):
         salted.filter(F2.col("k") == 1).select("__salt").distinct().count()
     )
     assert n_salts >= 6
+
+
+def test_write_sorted_store_clusters_ranges(spark, tmp_path):
+    """Range-clustered files carry disjoint min/max stats, so predicate
+    scans can skip whole files/row-groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pandas_etl_framework_spark.scale import write_sorted_store
+
+    df = spark.range(10_000).selectExpr("id AS k", "id % 7 AS v")
+    path = str(tmp_path / "sorted")
+    write_sorted_store(df, path, ["k"], num_files=4)
+
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        stats = [md.row_group(i).column(0).statistics for i in range(md.num_row_groups)]
+        spans.append((min(s.min for s in stats), max(s.max for s in stats)))
+    spans.sort()
+    assert len(spans) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # disjoint ranges: stats-based skipping works
+    # content unchanged
+    assert spark.read.parquet(path).count() == 10_000
