@@ -134,6 +134,51 @@ def write_sorted_store(
     )
 
 
+def zorder_value(col_a: F.Column, col_b: F.Column, bits: int = 21) -> F.Column:
+    """Morton/Z-order interleave of two non-negative integer columns (bit i
+    of a → bit 2i, bit i of b → bit 2i+1). Sorting by this value gives
+    2-dimensional locality: files cluster in BOTH dimensions, so min/max
+    stats skip scans filtered on either column — what a sort on (a, b) only
+    achieves for the leading column. Pure bitwise ops, whole-stage codegen.
+    Inputs must fit in ``bits`` bits (21+21 = 42 < 63); normalize/quantize
+    wider domains first."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(col_a.cast("long"), i).bitwiseAND(1), 2 * i)
+        )
+        terms.append(
+            F.shiftleft(
+                F.shiftright(col_b.cast("long"), i).bitwiseAND(1), 2 * i + 1
+            )
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def write_zordered_store(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int | None = None,
+) -> None:
+    """Write parquet clustered on the Z-order of two columns — the
+    multi-dimensional companion to write_sorted_store."""
+    z = zorder_value(F.col(col_a), F.col(col_b))
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def sample_stratified(
     df: DataFrame,
     strata_column: str,

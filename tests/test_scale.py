@@ -153,3 +153,41 @@ def test_write_sorted_store_clusters_ranges(spark, tmp_path):
         assert hi1 < lo2  # disjoint ranges: stats-based skipping works
     # content unchanged
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_zorder_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered files are narrow in BOTH dimensions; a plain sort on one
+    column leaves the other dimension spanning the full range."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pandas_etl_framework_spark.scale import (
+        write_sorted_store,
+        write_zordered_store,
+    )
+
+    df = spark.range(64 * 64).selectExpr(
+        "CAST(id % 64 AS LONG) AS x", "CAST(id DIV 64 AS LONG) AS y"
+    )
+
+    def file_spans(path, col_idx):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            st = [md.row_group(i).column(col_idx).statistics
+                  for i in range(md.num_row_groups)]
+            spans.append(max(s.max for s in st) - min(s.min for s in st))
+        return spans
+
+    zpath = str(tmp_path / "z")
+    write_zordered_store(df, zpath, "x", "y", num_files=16)
+    # every z-file is narrow in BOTH x and y (quadrant-sized, not stripes)
+    assert all(s <= 40 for s in file_spans(zpath, 0))
+    assert all(s <= 40 for s in file_spans(zpath, 1))
+
+    spath = str(tmp_path / "s")
+    write_sorted_store(df, spath, ["x"], num_files=16)
+    # sort by x: x is narrow but y spans (almost) everything in every file
+    assert all(s <= 8 for s in file_spans(spath, 0))
+    assert all(s >= 60 for s in file_spans(spath, 1))
