@@ -166,3 +166,29 @@ def test_vacuum_keeps_latest_and_shared_dirs(spark, store):
     assert store.read().count() == 2
     # v0/v1 data dirs now gone
     assert not os.path.isdir(os.path.join(store.path, "data", f"v{0:010d}"))
+
+
+def test_python_datasource_reads_store_with_time_travel(spark, store):
+    """spark.read.format('versioned_store') sees committed-only state and
+    any historical version — through the standard reader API."""
+    from pandas_etl_framework_spark.datasource import VersionedStoreDataSource
+
+    store.write(spark.range(10), mode="append")            # v0
+    store.write(spark.range(10, 25), mode="append")        # v1
+    spark.dataSource.register(VersionedStoreDataSource)
+
+    cur = (
+        spark.read.format("versioned_store")
+        .option("path", store.path)
+        .load()
+    )
+    assert cur.count() == 25
+    assert sorted(r["id"] for r in cur.collect()) == list(range(25))
+
+    v0 = (
+        spark.read.format("versioned_store")
+        .option("path", store.path)
+        .option("version", 0)
+        .load()
+    )
+    assert v0.count() == 10
