@@ -303,6 +303,84 @@ def build_ivf_index(
     return assigned, centroids
 
 
+def build_pq_index(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product quantization: split each vector into ``m`` subvectors,
+    k-means each subspace independently (reusing the IVF Lloyd loop), and
+    encode a vector as its m centroid codes — d*4 bytes shrink to m bytes
+    (64x here), which is what makes billion-vector search fit in memory.
+
+    Returns (codes_df: id + code_0..code_{m-1}, codebooks[m][k][sub_d])."""
+    dim = len(df.select(vec_col).first()[0])
+    sub_d = dim // m
+    codes = df.select(id_col, vec_col)
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        sub = df.select(
+            id_col,
+            F.slice(F.col(vec_col), j * sub_d + 1, sub_d).alias(vec_col),
+        )
+        assigned, cents = build_ivf_index(
+            sub, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+        )
+        codebooks.append(cents)
+        codes = codes.join(
+            assigned.select(
+                id_col, F.col("centroid_id").alias(f"code_{j}")
+            ),
+            id_col,
+        )
+    return codes, codebooks
+
+
+def pq_search(
+    codes_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance PQ search: per subspace, the query's NEGATIVE
+    squared-L2 distance to each of the 16 codebook centroids becomes a
+    16-entry literal lookup table (L2 matches the k-means training metric);
+    a row's estimated score is the sum of its m table hits — a pure
+    projection over the byte codes, no vector math per row. The top
+    ``rerank`` candidates are then re-scored with exact cosine on the
+    original vectors (the standard PQ + rerank recipe)."""
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    est = None
+    for j in range(m):
+        q_sub = query_vec[j * sub_d: (j + 1) * sub_d]
+        lut = [
+            -sum((float(a) - float(b)) ** 2 for a, b in zip(q_sub, cen))
+            for cen in codebooks[j]
+        ]
+        hit = F.element_at(
+            F.array(*[F.lit(v) for v in lut]), F.col(f"code_{j}") + 1
+        )
+        est = hit if est is None else est + hit
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cands = (
+        codes_df.select(id_col, vec_col, est.alias("est_score"))
+        .orderBy(F.col("est_score").desc(), F.col(id_col))
+        .limit(rerank)
+    )
+    return (
+        cands.select(id_col, cosine(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: list[list[float]],

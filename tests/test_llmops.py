@@ -281,3 +281,27 @@ def test_connected_components_long_chain_converges(spark):
     )
     comp = {r["node"]: r["component"] for r in connected_components(edges, max_iterations=15).collect()}
     assert set(comp.values()) == {0}
+
+
+def test_pq_index_and_search_recall(spark, embeddings):
+    from pandas_etl_framework_spark.llmops.similarity import (
+        build_pq_index,
+        cosine_topk,
+        pq_search,
+    )
+
+    codes, codebooks = build_pq_index(embeddings, m=4, k=16, iterations=2)
+    assert len(codebooks) == 4 and all(len(cb) == 16 for cb in codebooks)
+    # every vector encoded with m in-range codes (64x compression: 4 bytes)
+    assert codes.count() == embeddings.count()
+    for j in range(4):
+        lo, hi = codes.selectExpr(
+            f"min(code_{j})", f"max(code_{j})"
+        ).first()
+        assert 0 <= lo and hi < 16
+
+    q = [float(x) for x in embeddings.filter("vec_id = 0").first()["embedding"]]
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, q, k=10).collect()]
+    approx = [r["vec_id"] for r in pq_search(codes, codebooks, q, k=10).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.6  # ADC + exact rerank of top-50
