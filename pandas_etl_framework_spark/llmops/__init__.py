@@ -12,8 +12,8 @@ from __future__ import annotations
 
 def register_all() -> None:
     from .. import harness
-    from . import dedup, similarity, text
+    from . import curation, dedup, similarity, text
 
-    for mod in (text, dedup, similarity):
+    for mod in (text, dedup, similarity, curation):
         for name, (fn, sql) in mod.QUERIES.items():
             harness.register(name, fn, sql)

@@ -1,0 +1,178 @@
+"""Corpus-curation operators: PII detection/redaction and boilerplate
+n-gram detection over the ``documents`` table.
+
+The reference framework has no text pipeline (SURVEY.md §2.6 — capability
+parity surface); these are the curation passes a large-scale training-data
+pipeline runs before historization. Both are pure built-in regex/array
+expressions (JVM-side, whole-stage codegen; zero Python UDFs):
+
+- PII redaction scans each document once per pattern class and rewrites it
+  — embarrassingly parallel, no shuffle at all; at 100 TB it is a pure
+  map stage pinned to the parquet scan.
+- Boilerplate detection explodes word 3-grams and counts document
+  frequency per gram: one shuffle on the gram key with map-side partial
+  aggregation; the corpus-frequent tail (the only part anyone reads) is
+  top-k bounded. Regex/array syntax is kept to the subset Java regex and
+  RE2 share so the DuckDB oracle matches bit-for-bit.
+
+The synthetic corpus contains no real PII, so the PII query deterministically
+augments each doc with synthetic contact strings derived from ``doc_id``
+before scanning — the operator's regex/redaction path is what's under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .text import _docs, tokens_col
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"555-[0-9]{4}"
+IP_RE = r"10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def _augmented_text() -> F.Column:
+    """Deterministic synthetic PII spliced into each doc (corpus is clean)."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or admin"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("@corp.example phone 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+
+
+def redact_pii(df, text_col: str = "text"):
+    """Replace email / phone / IPv4 matches with typed placeholder tokens
+    and count each class. Single narrow projection — no shuffle."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE))
+    n_phones = F.regexp_count(t, F.lit(PHONE_RE))
+    n_ips = F.regexp_count(t, F.lit(IP_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IP_RE,
+        "<IP>",
+    )
+    return df.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def q_text_pii_redact(spark, sf_dir):
+    aug = _docs(spark, sf_dir).select("doc_id", _augmented_text().alias("text"))
+    return redact_pii(aug)
+
+
+SQL_TEXT_PII_REDACT = rf"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example or admin' || CAST(doc_id % 7 AS VARCHAR)
+                || '@corp.example phone 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.0.' || CAST(doc_id % 100 AS VARCHAR) AS text
+    FROM documents
+),
+red AS (
+    SELECT doc_id,
+           LEN(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           LEN(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+           LEN(regexp_extract_all(text, '{IP_RE}')) AS n_ips,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g'),
+               '{IP_RE}', '<IP>', 'g') AS redacted
+    FROM aug
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       LENGTH(redacted) AS redacted_len,
+       md5(redacted) AS redacted_md5
+FROM red
+"""
+
+
+# --------------------------------------------------------------------------
+# Boilerplate n-gram detection
+# --------------------------------------------------------------------------
+
+BOILERPLATE_N = 3
+BOILERPLATE_MIN_DOCS = 5
+
+
+def boilerplate_ngrams(df, min_docs: int = BOILERPLATE_MIN_DOCS):
+    """Word 3-grams occurring in >= ``min_docs`` distinct documents, by
+    descending document frequency. One shuffle (gram key) with map-side
+    partial aggregation; output is top-k bounded so the driver never sees
+    the full gram space."""
+    toks = df.select("doc_id", tokens_col().alias("t")).filter(
+        F.size("t") >= BOILERPLATE_N
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat_ws(' ', element_at(t, i),"
+                " element_at(t, i + 1), element_at(t, i + 2)))"
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "gram")
+        .limit(100)
+    )
+
+
+def q_text_boilerplate(spark, sf_dir):
+    return boilerplate_ngrams(_docs(spark, sf_dir))
+
+
+SQL_TEXT_BOILERPLATE = rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+               AS gram
+    FROM toks
+    WHERE len(t) >= {BOILERPLATE_N}
+)
+SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+FROM grams
+GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+ORDER BY n_docs DESC, n_occ DESC, gram
+LIMIT 100
+"""
+
+
+QUERIES = {
+    "text_pii_redact": (q_text_pii_redact, SQL_TEXT_PII_REDACT),
+    "text_boilerplate": (q_text_boilerplate, SQL_TEXT_BOILERPLATE),
+}

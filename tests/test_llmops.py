@@ -305,3 +305,39 @@ def test_pq_index_and_search_recall(spark, embeddings):
     approx = [r["vec_id"] for r in pq_search(codes, codebooks, q, k=10).collect()]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.6  # ADC + exact rerank of top-50
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    from pandas_etl_framework_spark.llmops.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith@corp.example or call 555-1234"),
+            (2, "server at 10.0.0.7 and 10.255.1.9; no contacts"),
+            (3, "plain text only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ips"]) == (1, 1, 0)
+    assert (out[2]["n_emails"], out[2]["n_phones"], out[2]["n_ips"]) == (0, 0, 2)
+    assert (out[3]["n_emails"], out[3]["n_phones"], out[3]["n_ips"]) == (0, 0, 0)
+    # placeholders replace the match, so redacted length differs from input
+    assert out[1]["redacted_len"] == len(
+        "mail me at <EMAIL> or call <PHONE>"
+    )
+
+
+def test_boilerplate_ngrams_doc_frequency(spark):
+    from pandas_etl_framework_spark.llmops.curation import boilerplate_ngrams
+
+    common = "all rights reserved"
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body text {common}") for i in range(6)]
+        + [(99, "unique words only here")],
+        "doc_id long, text string",
+    )
+    top = boilerplate_ngrams(df, min_docs=6).collect()
+    grams = {r["gram"]: r["n_docs"] for r in top}
+    assert grams[common] == 6
+    assert "unique words only" not in grams
