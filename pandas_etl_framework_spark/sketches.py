@@ -331,8 +331,155 @@ SELECT 'p95', bin_lo FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# KMV / theta sketch (distinct counting with set-operation estimates)
+# --------------------------------------------------------------------------
+
+KMV_K = 256
+_KMV_DOMAIN = 1 << 52          # 13 hex digits of md5 → uniform [0, 2^52)
+_KMV_NUM = (KMV_K - 1) * _KMV_DOMAIN  # 255 * 2^52, exact in int64 AND double
+
+
+def _kmv_hash(col: F.Column) -> F.Column:
+    """52-bit uniform hash, portable: same md5-prefix fold as the HLL."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_sketch(hashes: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(theta, kk) of a distinct-hash relation: theta = k-th smallest hash,
+    kk = min(|set|, k). ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject — per-partition top-k then a k·partitions driver
+    merge, never a global sort — so the sketch is O(k) per partition at any
+    scale, and two sketches merge by unioning their hash sets."""
+    return (
+        hashes.orderBy("h")
+        .limit(k)
+        .agg(F.max("h").alias("theta"), F.count("*").alias("kk"))
+    )
+
+
+def _kmv_est(theta: F.Column, kk: F.Column) -> F.Column:
+    """(k-1)/theta-normalized estimate; exact when the set fit in the sketch.
+    Single double division — bit-identical across engines."""
+    return F.when(kk < KMV_K, kk.cast("double")).otherwise(
+        F.lit(_KMV_NUM).cast("double") / theta.cast("double")
+    )
+
+
+def q_sketch_theta_kmv(spark, sf_dir):
+    """Distinct customers in the 1995-97 vs 1998+ order halves, their union
+    and intersection — each estimated from 256-value KMV sketches next to
+    the exact counts. The theta intersection counts common hashes below
+    min(theta_a, theta_b); when both sketches are exhaustive that degrades
+    gracefully to the exact count."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    h = orders.select(
+        F.year("o_orderdate").alias("y"), _kmv_hash(F.col("o_custkey")).alias("h")
+    )
+    a = h.filter(F.col("y") < 1998).select("h").distinct()
+    b = h.filter(F.col("y") >= 1998).select("h").distinct()
+    u = a.unionByName(b).distinct()
+    i = a.join(b, "h")
+
+    def pre(df, p):
+        sk = kmv_sketch(df)
+        return sk.select(
+            F.col("theta").alias(f"{p}_theta"),
+            F.col("kk").alias(f"{p}_kk"),
+            F.when(F.col("kk") < KMV_K, F.lit(_KMV_DOMAIN))
+            .otherwise(F.col("theta"))
+            .alias(f"{p}_eff"),
+        )
+
+    sa, sb, su = pre(a, "a"), pre(b, "b"), pre(u, "u")
+    ea = a.agg(F.count("*").alias("exact_a"))
+    eb = b.agg(F.count("*").alias("exact_b"))
+    eu = u.agg(F.count("*").alias("exact_union"))
+    ei = i.agg(F.count("*").alias("exact_intersect"))
+    tmin = F.least(F.col("a_eff"), F.col("b_eff"))
+    ic = (
+        i.crossJoin(F.broadcast(sa.crossJoin(sb)))
+        .filter(F.col("h") <= tmin)
+        .agg(F.count("*").alias("cnt"), F.max(tmin).alias("tmin"))
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(ei)
+        .crossJoin(sa)
+        .crossJoin(sb)
+        .crossJoin(su)
+        .crossJoin(ic)
+        .select(
+            "exact_a",
+            _kmv_est(F.col("a_theta"), F.col("a_kk")).alias("est_a"),
+            "exact_b",
+            _kmv_est(F.col("b_theta"), F.col("b_kk")).alias("est_b"),
+            "exact_union",
+            _kmv_est(F.col("u_theta"), F.col("u_kk")).alias("est_union"),
+            "exact_intersect",
+            (
+                F.col("cnt").cast("double")
+                * F.lit(_KMV_DOMAIN).cast("double")
+                / F.col("tmin").cast("double")
+            ).alias("est_intersect"),
+        )
+    )
+
+
+_KH = _sql_hex_to_long("md5(CAST(o_custkey AS VARCHAR))", 1, 13)
+
+SQL_SKETCH_THETA_KMV = f"""
+WITH h AS (
+    SELECT year(o_orderdate) AS y, {_KH} AS h FROM orders
+),
+a AS (SELECT DISTINCT h FROM h WHERE y < 1998),
+b AS (SELECT DISTINCT h FROM h WHERE y >= 1998),
+u AS (SELECT h FROM a UNION SELECT h FROM b),
+i AS (SELECT a.h FROM a JOIN b USING (h)),
+sa AS (SELECT MAX(h) AS theta, COUNT(*) AS kk,
+              CASE WHEN COUNT(*) < {KMV_K} THEN {_KMV_DOMAIN}
+                   ELSE MAX(h) END AS eff
+       FROM (SELECT h FROM a ORDER BY h LIMIT {KMV_K})),
+sb AS (SELECT MAX(h) AS theta, COUNT(*) AS kk,
+              CASE WHEN COUNT(*) < {KMV_K} THEN {_KMV_DOMAIN}
+                   ELSE MAX(h) END AS eff
+       FROM (SELECT h FROM b ORDER BY h LIMIT {KMV_K})),
+su AS (SELECT MAX(h) AS theta, COUNT(*) AS kk,
+              CASE WHEN COUNT(*) < {KMV_K} THEN {_KMV_DOMAIN}
+                   ELSE MAX(h) END AS eff
+       FROM (SELECT h FROM u ORDER BY h LIMIT {KMV_K})),
+ea AS (SELECT COUNT(*) AS exact_a FROM a),
+eb AS (SELECT COUNT(*) AS exact_b FROM b),
+eu AS (SELECT COUNT(*) AS exact_union FROM u),
+ei AS (SELECT COUNT(*) AS exact_intersect FROM i),
+ic AS (SELECT COUNT(*) AS cnt, MAX(LEAST(sa.eff, sb.eff)) AS tmin
+       FROM i CROSS JOIN sa CROSS JOIN sb
+       WHERE i.h <= LEAST(sa.eff, sb.eff))
+SELECT exact_a,
+       CASE WHEN sa.kk < {KMV_K} THEN CAST(sa.kk AS DOUBLE)
+            ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(sa.theta AS DOUBLE)
+       END AS est_a,
+       exact_b,
+       CASE WHEN sb.kk < {KMV_K} THEN CAST(sb.kk AS DOUBLE)
+            ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(sb.theta AS DOUBLE)
+       END AS est_b,
+       exact_union,
+       CASE WHEN su.kk < {KMV_K} THEN CAST(su.kk AS DOUBLE)
+            ELSE CAST({_KMV_NUM} AS DOUBLE) / CAST(su.theta AS DOUBLE)
+       END AS est_union,
+       exact_intersect,
+       CAST(ic.cnt AS DOUBLE) * CAST({_KMV_DOMAIN} AS DOUBLE)
+           / CAST(ic.tmin AS DOUBLE) AS est_intersect
+FROM ea, eb, eu, ei, sa, sb, su, ic
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct": (q_sketch_hll_distinct, SQL_SKETCH_HLL_DISTINCT),
+    "sketch_theta_kmv": (q_sketch_theta_kmv, SQL_SKETCH_THETA_KMV),
     "sketch_countmin": (q_sketch_countmin, SQL_SKETCH_COUNTMIN),
     "sketch_histogram_quantiles": (
         q_sketch_histogram_quantiles,

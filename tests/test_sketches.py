@@ -48,3 +48,29 @@ def test_hll_deterministic(spark):
     a = hll_distinct(df.repartition(16), "v").collect()[0]["hll_estimate"]
     b = hll_distinct(df.coalesce(1), "v").collect()[0]["hll_estimate"]
     assert a == b  # partitioning-independent, bit-exact
+
+
+def test_kmv_estimate_and_exhaustive_exactness(spark):
+    from pandas_etl_framework_spark.sketches import (
+        KMV_K,
+        _kmv_est,
+        _kmv_hash,
+        kmv_sketch,
+    )
+
+    # large set: estimate within ~3 sigma of 1/sqrt(k-1)
+    big = spark.range(30_000).select(_kmv_hash((F.col("id") % 8_000)).alias("h")).distinct()
+    sk = kmv_sketch(big)
+    est = sk.select(_kmv_est(F.col("theta"), F.col("kk")).alias("e")).first()["e"]
+    assert abs(est - 8_000) / 8_000 < 0.20
+
+    # small set fits in the sketch: estimate is exact
+    small = spark.range(100).select(_kmv_hash(F.col("id")).alias("h")).distinct()
+    sk2 = kmv_sketch(small)
+    est2 = sk2.select(_kmv_est(F.col("theta"), F.col("kk")).alias("e")).first()["e"]
+    assert est2 == 100.0
+
+    # partitioning-independent
+    a = kmv_sketch(big.repartition(16)).first()
+    b = kmv_sketch(big.coalesce(1)).first()
+    assert (a["theta"], a["kk"]) == (b["theta"], b["kk"])
