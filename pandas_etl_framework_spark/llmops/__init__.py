@@ -12,8 +12,8 @@ from __future__ import annotations
 
 def register_all() -> None:
     from .. import harness
-    from . import curation, dedup, similarity, text
+    from . import clustering, curation, dedup, similarity, text
 
-    for mod in (text, dedup, similarity, curation):
+    for mod in (text, dedup, similarity, curation, clustering):
         for name, (fn, sql) in mod.QUERIES.items():
             harness.register(name, fn, sql)

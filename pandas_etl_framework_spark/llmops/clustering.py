@@ -1,0 +1,173 @@
+"""Quantized k-means clustering over the ``embeddings`` table — the
+clustering stage of semantic dedup / topic bucketing in a training-data
+pipeline (reference has no vector ops; SURVEY.md §2.6 capability surface).
+
+Lloyd's algorithm with every number an integer: embedding components are
+quantized to round(x·10^6) BIGINTs, distances are exact integer squared-L2,
+centroid updates are truncating integer division — so a fixed-iteration
+run is bit-identical across engines AND partitionings, and the DuckDB
+oracle is simply the iterations unrolled as CTEs (same pattern as
+graph.pagerank_quantized).
+
+Scale shape (the point of this implementation):
+- Assignment is ZERO-shuffle: the k centroids are collapsed into a single
+  broadcast row holding an array<struct<cid,c>>, and each vector computes
+  argmin_k dist(vq, c_k) entirely inside one projection via nested
+  higher-order lambdas (array_min over transform/zip_with/aggregate) —
+  no k× row blowup, no groupBy. At 100 TB this is a map stage fused into
+  the parquet scan.
+- The centroid update shuffles only (cid, dim) partial sums: k·64 groups
+  with map-side combine, bytes independent of row count.
+- Overflow headroom: |x| ≤ 1 → q ≤ 2^20, diff² ≤ 2^42, ×64 dims ≤ 2^48;
+  sums over ≤ 2^14 rows stay far below 2^63 at test scale, and at any
+  scale the partial-aggregate tree keeps per-task sums bounded.
+
+Empty clusters drop out of the recompute identically in both engines
+(centroids are rebuilt only from observed assignments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Q_SCALE = 1_000_000          # component quantization: round(x * 1e6)
+KM_K = 8
+KM_ITERATIONS = 3
+_DIM = 64
+
+_VQ_EXPR = (
+    "transform(embedding, x -> cast(round(cast(x as double) * 1000000.0, 0)"
+    " as bigint))"
+)
+
+_ARGMIN_EXPR = """
+array_min(transform(cs, s -> struct(
+    aggregate(zip_with(vq, s.c, (a, b) -> (a - b) * (a - b)),
+              cast(0 as bigint), (acc, x) -> acc + x) AS d,
+    s.cid AS cid)))
+"""
+
+
+def kmeans_quantized(
+    emb: DataFrame, k: int = KM_K, iterations: int = KM_ITERATIONS
+) -> tuple[DataFrame, DataFrame]:
+    """Return (assignments(vec_id, cid), centroids(cid, c: array<bigint>))
+    after ``iterations`` Lloyd rounds, seeded with the vectors whose
+    ``vec_id`` < k (deterministic init)."""
+    e = emb.select("vec_id", F.expr(_VQ_EXPR).alias("vq"))
+    cent = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("vq").alias("c")
+    )
+    assign = None
+    for _ in range(iterations):
+        cents_arr = cent.agg(F.collect_list(F.struct("cid", "c")).alias("cs"))
+        assign = (
+            e.crossJoin(F.broadcast(cents_arr))
+            .select("vec_id", "vq", F.expr(_ARGMIN_EXPR).alias("m"))
+            .select("vec_id", "vq", F.col("m.cid").alias("cid"))
+        )
+        sums = (
+            assign.select("cid", F.posexplode("vq").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        )
+        cent = (
+            sums.select("cid", "pos", F.expr("div(s, n)").alias("cq"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+                    lambda st: st["cq"],
+                ).alias("c")
+            )
+        )
+    return assign.select("vec_id", "cid"), cent
+
+
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster profile after 3 quantized Lloyd rounds over the embeddings:
+    size, vec_id checksum, and the (dequantized) centroid squared norm."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign, cent = kmeans_quantized(emb)
+    prof = assign.groupBy("cid").agg(
+        F.count("*").alias("n_members"), F.sum("vec_id").alias("sum_vec_id")
+    )
+    sq = cent.select(
+        "cid",
+        F.aggregate(
+            F.transform("c", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("ss"),
+    )
+    return (
+        prof.join(sq, "cid")
+        .select(
+            "cid",
+            "n_members",
+            "sum_vec_id",
+            (F.col("ss").cast("double") / F.lit(1.0e12)).alias("centroid_sqnorm"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _sql_kmeans(k: int = KM_K, iterations: int = KM_ITERATIONS) -> str:
+    vq = (
+        "list_transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))"
+    )
+    head = f"""
+WITH e AS (
+    SELECT vec_id, {vq} AS vq FROM embeddings
+),
+pos AS (SELECT unnest(range(1, {_DIM + 1})) AS pos),
+cent0 AS (SELECT vec_id AS cid, vq AS c FROM e WHERE vec_id < {k})"""
+    steps = []
+    for i in range(1, iterations + 1):
+        p = i - 1
+        steps.append(f""",
+d{i} AS (
+    SELECT e.vec_id, c.cid,
+           CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                j -> (e.vq[j] - c.c[j]) * (e.vq[j] - c.c[j]))) AS BIGINT) AS d
+    FROM e CROSS JOIN cent{p} c
+),
+m{i} AS (SELECT vec_id, MIN(d) AS md FROM d{i} GROUP BY vec_id),
+a{i} AS (
+    SELECT d.vec_id, MIN(d.cid) AS cid
+    FROM d{i} d JOIN m{i} m ON d.vec_id = m.vec_id AND d.d = m.md
+    GROUP BY d.vec_id
+),
+s{i} AS (
+    SELECT a.cid, pos.pos,
+           CAST(SUM(e.vq[pos.pos]) AS BIGINT) AS s, COUNT(*) AS n
+    FROM a{i} a JOIN e ON a.vec_id = e.vec_id CROSS JOIN pos
+    GROUP BY a.cid, pos.pos
+),
+cent{i} AS (
+    SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY pos) AS c
+    FROM s{i} GROUP BY cid
+)""")
+    tail = f"""
+SELECT a.cid,
+       COUNT(*) AS n_members,
+       SUM(a.vec_id) AS sum_vec_id,
+       CAST(ANY_VALUE(cc.ss) AS DOUBLE) / 1000000000000.0 AS centroid_sqnorm
+FROM a{iterations} a
+JOIN (SELECT cid,
+             CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS ss
+      FROM cent{iterations}) cc ON a.cid = cc.cid
+GROUP BY a.cid
+ORDER BY a.cid
+"""
+    return head + "".join(steps) + tail
+
+
+SQL_EMB_KMEANS = _sql_kmeans()
+
+
+QUERIES = {
+    "emb_kmeans": (q_emb_kmeans, SQL_EMB_KMEANS),
+}

@@ -341,3 +341,38 @@ def test_boilerplate_ngrams_doc_frequency(spark):
     grams = {r["gram"]: r["n_docs"] for r in top}
     assert grams[common] == 6
     assert "unique words only" not in grams
+
+
+def test_kmeans_separable_clusters_and_determinism(spark):
+    from pandas_etl_framework_spark.llmops.clustering import kmeans_quantized
+
+    # 3 well-separated blobs in 4-D; seeds 0,1,2 land one per blob
+    rows = []
+    centers = [(10.0, 0.0, 0.0, 0.0), (0.0, 10.0, 0.0, 0.0), (0.0, 0.0, 10.0, 0.0)]
+    vid = 0
+    for b, c in enumerate(centers):
+        for j in range(20):
+            rows.append((vid, [x + 0.01 * ((vid * 7 + d) % 5) for d, x in enumerate(c)]))
+            vid += 1
+    # interleave so vec_id 0,1,2 are NOT one per blob -> reorder: put one seed per blob
+    df = spark.createDataFrame(
+        [(i, rows[(i % 3) * 20 + i // 3][1]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    assign, cent = kmeans_quantized(df, k=3, iterations=4)
+    got = assign.collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r["cid"], set()).add(r["vec_id"] % 3)
+    # each cluster is pure: all members from one blob
+    assert all(len(v) == 1 for v in by_cluster.values())
+    assert len(by_cluster) == 3
+    assert cent.count() == 3
+
+    # partitioning-independent, bit-exact assignments
+    a1 = sorted((r["vec_id"], r["cid"]) for r in got)
+    a2 = sorted(
+        (r["vec_id"], r["cid"])
+        for r in kmeans_quantized(df.repartition(16), k=3, iterations=4)[0].collect()
+    )
+    assert a1 == a2
