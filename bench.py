@@ -33,8 +33,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "text_quality",
+    "text_boilerplate",
     "curation_pipeline",
     "emb_topk",
+    "emb_kmeans",
 ]
 
 
