@@ -12,8 +12,8 @@ from __future__ import annotations
 
 def register_all() -> None:
     from .. import harness
-    from . import clustering, curation, dedup, similarity, text
+    from . import clustering, curation, dedup, multimodal, similarity, text
 
-    for mod in (text, dedup, similarity, curation, clustering):
+    for mod in (text, dedup, similarity, curation, clustering, multimodal):
         for name, (fn, sql) in mod.QUERIES.items():
             harness.register(name, fn, sql)

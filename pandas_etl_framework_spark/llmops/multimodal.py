@@ -188,3 +188,82 @@ def media_summary(media: DataFrame) -> DataFrame:
         F.sum(F.length(F.col("content"))).alias("total_bytes"),
         F.avg(F.length(F.col("content"))).alias("avg_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Oracle-gated binary metadata pass (driver correctness surface)
+# --------------------------------------------------------------------------
+
+_MAGIC = {0: "89504E47", 1: "FFD8FFE0", 2: "52494646"}  # png / jpeg / riff
+
+CHUNK_BYTES = 64
+
+
+def q_multimodal_metadata(spark, sf_dir):
+    """Binary-column metadata pass with zero Python: synthesize a typed
+    payload per document (magic header + utf8 bytes — the corpus has no
+    real media), then sniff the modality from the magic bytes, checksum
+    the content, and compute fixed-size chunk offsets. Everything is a
+    narrow JVM-side projection over one scan — at 100 TB this is the
+    pre-flight metadata pass that runs BEFORE any decode UDF, so the
+    expensive Python stage only ever sees blobs already routed by type.
+    DuckDB has no blob md5/substring, so both engines hash and sniff the
+    HEX encoding of the payload (uppercase in both)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_MAGIC[0]))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_MAGIC[1]))
+        .otherwise(F.lit(_MAGIC[2]))
+    )
+    payload = F.concat(F.unhex(magic), F.encode(F.col("text"), "UTF-8"))
+    df = docs.select(
+        "doc_id",
+        F.hex(payload).alias("hx"),
+        F.length(payload).alias("n_bytes"),
+    )
+    modality = (
+        F.when(F.substring("hx", 1, 8) == _MAGIC[0], "image/png")
+        .when(F.substring("hx", 1, 6) == "FFD8FF", "image/jpeg")
+        .when(F.substring("hx", 1, 8) == _MAGIC[2], "audio/wav")
+        .otherwise("application/octet-stream")
+    )
+    return df.select(
+        "doc_id",
+        modality.alias("modality"),
+        "n_bytes",
+        F.md5(F.col("hx")).alias("content_md5"),
+        F.sequence(
+            F.lit(0).cast("long"),
+            (F.col("n_bytes") - 1).cast("long"),
+            F.lit(CHUNK_BYTES).cast("long"),
+        ).alias("chunk_offsets"),
+    )
+
+
+SQL_MULTIMODAL_METADATA = f"""
+WITH p AS (
+    SELECT doc_id,
+           from_hex(CASE doc_id % 3 WHEN 0 THEN '{_MAGIC[0]}'
+                                    WHEN 1 THEN '{_MAGIC[1]}'
+                                    ELSE '{_MAGIC[2]}' END)
+               || encode(text) AS blob
+    FROM documents
+),
+h AS (
+    SELECT doc_id, hex(blob) AS hx, octet_length(blob) AS n_bytes FROM p
+)
+SELECT doc_id,
+       CASE WHEN substring(hx, 1, 8) = '{_MAGIC[0]}' THEN 'image/png'
+            WHEN substring(hx, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+            WHEN substring(hx, 1, 8) = '{_MAGIC[2]}' THEN 'audio/wav'
+            ELSE 'application/octet-stream' END AS modality,
+       n_bytes,
+       md5(hx) AS content_md5,
+       range(0, n_bytes, {CHUNK_BYTES}) AS chunk_offsets
+FROM h
+"""
+
+
+QUERIES = {
+    "multimodal_metadata": (q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
+}
