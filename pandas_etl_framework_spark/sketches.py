@@ -477,9 +477,136 @@ FROM ea, eb, eu, ei, sa, sb, su, ic
 """
 
 
+# --------------------------------------------------------------------------
+# Bloom filter (broadcastable semi-join pruning)
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 2048          # deliberately small so the fixture shows real FPs
+BLOOM_WORD_BITS = 32       # 32-bit words in BIGINT slots: no sign-bit hazards
+_BLOOM_AB = [(387420489, 11), (268435399, 97), (536870909, 101), (805306457, 31)]
+
+
+def _bloom_pos(hp: F.Column, a: int, b: int) -> F.Column:
+    return ((F.lit(a) * hp + F.lit(b)) % _CMS_P) % BLOOM_BITS
+
+
+def bloom_build(keys: DataFrame, col: str) -> DataFrame:
+    """(word, w) bitset words of a k=4 Bloom filter over ``keys[col]``.
+    BLOOM_BITS/8 bytes total — at 100 TB you build this in one tiny
+    aggregation and BROADCAST it to prune a shuffle-heavy semi-join down
+    to a map-side filter; the FP survivors are re-checked by the real join."""
+    hp = _item_base(col)
+    entries = keys.select(
+        F.explode(
+            F.array(*[_bloom_pos(hp, a, b).alias("p") for a, b in _BLOOM_AB])
+        ).alias("pos")
+    )
+    return entries.groupBy(
+        F.expr(f"div(pos, {BLOOM_WORD_BITS})").alias("word")
+    ).agg(
+        F.expr(
+            f"bit_or(shiftleft(cast(1 as bigint), cast(pos % {BLOOM_WORD_BITS} as int)))"
+        ).alias("w")
+    )
+
+
+def bloom_probe(words: DataFrame, probes: DataFrame, col: str) -> DataFrame:
+    """Rows of ``probes`` whose key sets all 4 filter bits (members plus
+    a deterministic false-positive tail). The word table joins broadcast."""
+    hp = _item_base(col)
+    pe = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(*[_bloom_pos(hp, a, b).alias("p") for a, b in _BLOOM_AB])
+        ).alias("pos"),
+    )
+    hits = (
+        pe.join(
+            F.broadcast(words),
+            F.expr(f"div(pos, {BLOOM_WORD_BITS})") == F.col("word"),
+        )
+        .filter(
+            F.expr(
+                f"(w & shiftleft(cast(1 as bigint), cast(pos % {BLOOM_WORD_BITS} as int))) <> 0"
+            )
+        )
+        .groupBy(col)
+        .agg(F.count("*").alias("n_set"))
+    )
+    return hits.filter(F.col("n_set") == len(_BLOOM_AB)).select(col)
+
+
+def q_sketch_bloom_prune(spark, sf_dir):
+    """Prune the orders→BUILDING-customers semi-join with a 256-byte Bloom
+    filter and report its observed selectivity: build/probe cardinalities,
+    Bloom survivors, true members, and the false-positive rate among
+    non-members. No false negatives by construction (test-asserted)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bk = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    pk = orders.select(F.col("o_custkey").alias("key")).distinct()
+    words = bloom_build(bk, "key")
+    passed = bloom_probe(words, pk, "key")
+    n_build = bk.agg(F.count("*").alias("n_build"))
+    n_probe = pk.agg(F.count("*").alias("n_probe"))
+    n_pass = passed.agg(F.count("*").alias("n_pass"))
+    n_true = pk.join(bk, "key").agg(F.count("*").alias("n_true"))
+    return (
+        n_build.crossJoin(n_probe)
+        .crossJoin(n_pass)
+        .crossJoin(n_true)
+        .select(
+            "n_build",
+            "n_probe",
+            "n_pass",
+            "n_true",
+            (
+                (F.col("n_pass") - F.col("n_true")).cast("double")
+                / (F.col("n_probe") - F.col("n_true")).cast("double")
+            ).alias("fp_rate"),
+        )
+    )
+
+
+_BH_C = _sql_hex_to_long("md5(CAST(key AS VARCHAR))", 1, 8)
+_BLOOM_VALUES = ", ".join(f"({a}, {b})" for a, b in _BLOOM_AB)
+
+SQL_SKETCH_BLOOM_PRUNE = f"""
+WITH ab(a, b) AS (VALUES {_BLOOM_VALUES}),
+bk AS (SELECT DISTINCT c_custkey AS key FROM customer
+       WHERE c_mktsegment = 'BUILDING'),
+pk AS (SELECT DISTINCT o_custkey AS key FROM orders),
+be AS (SELECT ((a * {_BH_C} + b) % {_CMS_P}) % {BLOOM_BITS} AS pos
+       FROM bk CROSS JOIN ab),
+words AS (SELECT pos // {BLOOM_WORD_BITS} AS word,
+                 bit_or((1::BIGINT) << (pos % {BLOOM_WORD_BITS})) AS w
+          FROM be GROUP BY 1),
+pe AS (SELECT key, ((a * {_BH_C} + b) % {_CMS_P}) % {BLOOM_BITS} AS pos
+       FROM pk CROSS JOIN ab),
+hits AS (SELECT pe.key, COUNT(*) AS n_set
+         FROM pe JOIN words ON pe.pos // {BLOOM_WORD_BITS} = words.word
+         WHERE (words.w & ((1::BIGINT) << (pe.pos % {BLOOM_WORD_BITS}))) <> 0
+         GROUP BY pe.key),
+pass AS (SELECT key FROM hits WHERE n_set = {len(_BLOOM_AB)}),
+s AS (SELECT (SELECT COUNT(*) FROM bk) AS n_build,
+             (SELECT COUNT(*) FROM pk) AS n_probe,
+             (SELECT COUNT(*) FROM pass) AS n_pass,
+             (SELECT COUNT(*) FROM pk JOIN bk USING (key)) AS n_true)
+SELECT n_build, n_probe, n_pass, n_true,
+       CAST(n_pass - n_true AS DOUBLE) / CAST(n_probe - n_true AS DOUBLE)
+           AS fp_rate
+FROM s
+"""
+
+
 QUERIES = {
     "sketch_hll_distinct": (q_sketch_hll_distinct, SQL_SKETCH_HLL_DISTINCT),
     "sketch_theta_kmv": (q_sketch_theta_kmv, SQL_SKETCH_THETA_KMV),
+    "sketch_bloom_prune": (q_sketch_bloom_prune, SQL_SKETCH_BLOOM_PRUNE),
     "sketch_countmin": (q_sketch_countmin, SQL_SKETCH_COUNTMIN),
     "sketch_histogram_quantiles": (
         q_sketch_histogram_quantiles,

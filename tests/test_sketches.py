@@ -74,3 +74,17 @@ def test_kmv_estimate_and_exhaustive_exactness(spark):
     a = kmv_sketch(big.repartition(16)).first()
     b = kmv_sketch(big.coalesce(1)).first()
     assert (a["theta"], a["kk"]) == (b["theta"], b["kk"])
+
+
+def test_bloom_no_false_negatives(spark):
+    from pandas_etl_framework_spark.sketches import bloom_build, bloom_probe
+
+    members = spark.range(0, 400, 3).select(F.col("id").alias("k"))
+    words = bloom_build(members, "k")
+    probes = spark.range(1_000).select(F.col("id").alias("k"))
+    passed = {r["k"] for r in bloom_probe(words, probes, "k").collect()}
+    member_set = set(range(0, 400, 3))
+    assert member_set <= passed  # every member survives
+    # filter is small and loaded, but still prunes most non-members
+    fp = len(passed - member_set) / (1_000 - len(member_set))
+    assert fp < 0.5
