@@ -172,7 +172,78 @@ LIMIT 100
 """
 
 
+# --------------------------------------------------------------------------
+# Quality-weighted sampling
+# --------------------------------------------------------------------------
+
+_SAMPLE_MOD = 1_000_000
+
+
+def quality_weighted_sample(df):
+    """Keep each document with probability = its quality score, driven by a
+    content-stable hash instead of an RNG: Bernoulli(score) per doc,
+    deterministic across runs, engines, and partitionings — re-running the
+    pipeline reproduces the identical corpus. Pure filter, no shuffle; at
+    100 TB this composes with the scan like any pushed predicate."""
+    from .text import quality_ratio_cols
+
+    _, _, _, score = quality_ratio_cols()
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _SAMPLE_MOD
+    )
+    return (
+        df.select("doc_id", score.alias("quality_score"), bucket.alias("bucket"))
+        .filter(F.col("bucket") < F.floor(F.col("quality_score") * _SAMPLE_MOD))
+        .select("doc_id", "quality_score")
+    )
+
+
+def q_text_quality_sample(spark, sf_dir):
+    return quality_weighted_sample(_docs(spark, sf_dir))
+
+
+def _sql_quality_sample() -> str:
+    from ..sketches import _sql_hex_to_long
+    from .text import STOPWORDS
+
+    stop_pred = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
+    bucket = _sql_hex_to_long("md5(CAST(doc_id AS VARCHAR))", 1, 8)
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           CAST(LEN(list_filter(t, x -> {stop_pred})) AS DOUBLE) / LEN(t)
+               AS stop_ratio,
+           CAST(LENGTH(text)
+                - LENGTH(regexp_replace(text, '[.,!?;:''"()\[\]{{}}]', '', 'g'))
+                AS DOUBLE) / LENGTH(text) AS punct_ratio,
+           CAST(LEN(list_distinct(t)) AS DOUBLE) / LEN(t) AS uniq_ratio,
+           {bucket} % {_SAMPLE_MOD} AS bucket
+    FROM toks
+),
+scored AS (
+    SELECT doc_id,
+           stop_ratio * 0.3 + uniq_ratio * 0.5 + (1.0 - punct_ratio) * 0.2
+               AS quality_score,
+           bucket
+    FROM feat
+)
+SELECT doc_id, quality_score
+FROM scored
+WHERE bucket < CAST(floor(quality_score * {_SAMPLE_MOD}) AS BIGINT)
+"""
+
+
+SQL_TEXT_QUALITY_SAMPLE = _sql_quality_sample()
+
+
 QUERIES = {
     "text_pii_redact": (q_text_pii_redact, SQL_TEXT_PII_REDACT),
     "text_boilerplate": (q_text_boilerplate, SQL_TEXT_BOILERPLATE),
+    "text_quality_sample": (q_text_quality_sample, SQL_TEXT_QUALITY_SAMPLE),
 }

@@ -61,15 +61,13 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in")
 _PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}]"
 
 
-def q_text_quality(spark, sf_dir):
-    """Length / punctuation / stopword-ratio quality features + a composite
-    score. The score formula is fixed arithmetic (single divisions and one
-    multiply-add chain) so both engines produce identical doubles."""
+def quality_ratio_cols() -> tuple[F.Column, F.Column, F.Column, F.Column]:
+    """(stop_ratio, punct_ratio, uniq_ratio, composite score) over ``text``.
+    Fixed arithmetic (single divisions and one multiply-add chain) so both
+    engines produce identical doubles."""
     toks = tokens_col()
     n_tokens = F.size(toks)
-    n_stop = F.size(
-        F.filter(toks, lambda t: t.isin(*STOPWORDS))
-    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     n_punct = F.length(F.col("text")) - F.length(
         F.regexp_replace(F.col("text"), _PUNCT_CLASS, "")
     )
@@ -77,6 +75,14 @@ def q_text_quality(spark, sf_dir):
     punct_ratio = n_punct.cast("double") / F.length("text")
     uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
     score = stop_ratio * 0.3 + uniq_ratio * 0.5 + (1.0 - punct_ratio) * 0.2
+    return stop_ratio, punct_ratio, uniq_ratio, score
+
+
+def q_text_quality(spark, sf_dir):
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score."""
+    n_tokens = F.size(tokens_col())
+    stop_ratio, punct_ratio, uniq_ratio, score = quality_ratio_cols()
     return _docs(spark, sf_dir).select(
         "doc_id",
         n_tokens.alias("n_tokens"),
