@@ -52,30 +52,54 @@ class VersionedStoreDataSource(DataSource):
     def schema(self):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import StructType
 
-        files = _files_for(
-            self.options["path"],
-            int(self.options["version"]) if "version" in self.options else None,
-        )
+        version = int(self.options["version"]) if "version" in self.options else None
+        manifest = _manifest_for(self.options["path"], version)
+        if manifest.get("schema"):
+            # the committed schema — authoritative after schema evolution
+            return StructType.fromJson(manifest["schema"])
+        files = _files_for(self.options["path"], version)
         if not files:
             raise ValueError("resolved version has no data files")
         return from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
 
     def reader(self, schema) -> "VersionedStoreReader":
-        return VersionedStoreReader(self.options)
+        return VersionedStoreReader(self.options, schema)
 
 
 class VersionedStoreReader(DataSourceReader):
-    def __init__(self, options):
+    def __init__(self, options, schema):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         self._files = _files_for(
             options["path"],
             int(options["version"]) if "version" in options else None,
         )
+        # files written before a schema evolution lack the newer columns;
+        # every batch is padded/projected to the resolved read schema
+        self._arrow_schema = to_arrow_schema(schema)
 
     def partitions(self):
         return [InputPartition(f) for f in self._files]
 
     def read(self, partition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        yield from pq.ParquetFile(partition.value).iter_batches()
+        target = self._arrow_schema
+        for batch in pq.ParquetFile(partition.value).iter_batches():
+            if batch.schema == target:
+                yield batch
+                continue
+            cols = []
+            for field in target:
+                idx = batch.schema.get_field_index(field.name)
+                if idx >= 0:
+                    col = batch.column(idx)
+                    cols.append(
+                        col.cast(field.type) if col.type != field.type else col
+                    )
+                else:
+                    cols.append(pa.nulls(batch.num_rows, field.type))
+            yield pa.RecordBatch.from_arrays(cols, schema=target)

@@ -26,6 +26,7 @@ from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def incremental_rollup_update(
@@ -97,10 +98,16 @@ class VersionedStore:
         with open(os.path.join(self._manifest_dir, f"v{version:010d}.json")) as fh:
             return json.load(fh)
 
-    def _commit(self, version: int, data_dirs: list[str], operation: str) -> None:
+    def _commit(self, version: int, data_dirs: list[str], operation: str,
+                schema: "T.StructType | None" = None) -> None:
         os.makedirs(self._manifest_dir, exist_ok=True)
         payload = json.dumps(
-            {"version": version, "data_dirs": data_dirs, "operation": operation}
+            {
+                "version": version,
+                "data_dirs": data_dirs,
+                "operation": operation,
+                **({"schema": schema.jsonValue()} if schema is not None else {}),
+            }
         )
         fd, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
@@ -110,21 +117,72 @@ class VersionedStore:
 
     # -- writes ------------------------------------------------------------
 
-    def write(self, df: DataFrame, mode: str = "append") -> int:
+    def _schema_of(self, version: int) -> "T.StructType | None":
+        raw = self._manifest(version).get("schema")
+        return T.StructType.fromJson(raw) if raw else None
+
+    def _evolve_schema(
+        self, prev: "T.StructType | None", df: DataFrame, merge_schema: bool
+    ) -> "T.StructType":
+        """Target schema for an append: identical columns pass through;
+        with ``merge_schema`` new columns are appended to the store schema
+        (pre-evolution files read back null-filled); dropped columns are
+        written as typed nulls. Type conflicts always raise — silent
+        coercion corrupts historized data."""
+        if prev is None:
+            return df.schema
+        prev_types = {f.name: f.dataType for f in prev.fields}
+        for f in df.schema.fields:
+            if f.name in prev_types and f.dataType != prev_types[f.name]:
+                raise ValueError(
+                    f"type conflict on column '{f.name}': "
+                    f"store {prev_types[f.name]} vs incoming {f.dataType}"
+                )
+        extra = [f for f in df.schema.fields if f.name not in prev_types]
+        missing = [f.name for f in prev.fields if f.name not in df.columns]
+        if (extra or missing) and not merge_schema:
+            raise ValueError(
+                f"schema mismatch (new: {[f.name for f in extra]}, "
+                f"missing: {missing}); pass merge_schema=True to evolve"
+            )
+        return T.StructType(
+            list(prev.fields) + [T.StructField(f.name, f.dataType, True) for f in extra]
+        )
+
+    @staticmethod
+    def _align(df: DataFrame, target: "T.StructType") -> DataFrame:
+        return df.select(
+            *[
+                F.col(f.name) if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+        )
+
+    def write(
+        self, df: DataFrame, mode: str = "append", merge_schema: bool = False
+    ) -> int:
         """Commit a new version; returns its number. ``overwrite`` replaces
         the visible content, ``append`` adds to it — both without touching
-        any previously committed data file."""
+        any previously committed data file. ``merge_schema=True`` lets an
+        append add new columns (Delta-style evolution): the manifest schema
+        widens and older files read back with nulls in the new columns."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported mode: {mode}")
         latest = self.latest_version()
         version = 0 if latest is None else latest + 1
+        if mode == "append" and latest is not None:
+            target = self._evolve_schema(self._schema_of(latest), df, merge_schema)
+            df = self._align(df, target)
+        else:
+            target = df.schema
         new_dir = os.path.join(self._data_dir, f"v{version:010d}")
         df.write.parquet(new_dir)
         if mode == "append" and latest is not None:
             dirs = self._manifest(latest)["data_dirs"] + [new_dir]
         else:
             dirs = [new_dir]
-        self._commit(version, dirs, mode)
+        self._commit(version, dirs, mode, schema=target)
         return version
 
     def _affected_dirs(self, cur: DataFrame, match: DataFrame | None,
@@ -156,6 +214,9 @@ class VersionedStore:
         if latest is None:
             return self.write(source, mode="overwrite")
         cur = self.read()
+        source = self._align(
+            source, self._evolve_schema(cur.schema, source, merge_schema=False)
+        )
         affected = self._affected_dirs(cur, source, key_columns=key_columns)
         keep_dirs = [
             d for d in self._manifest(latest)["data_dirs"] if d not in affected
@@ -163,13 +224,15 @@ class VersionedStore:
         version = latest + 1
         new_dir = os.path.join(self._data_dir, f"v{version:010d}")
         if affected:
-            survivors = self.spark.read.parquet(*affected).join(
+            # read rewrite candidates with the MANIFEST schema: dirs written
+            # before a schema evolution lack the newer columns
+            survivors = self.spark.read.schema(cur.schema).parquet(*affected).join(
                 source.select(*key_columns).distinct(), key_columns, "left_anti"
             )
             survivors.unionByName(source).write.parquet(new_dir)
         else:
             source.write.parquet(new_dir)
-        self._commit(version, keep_dirs + [new_dir], "merge")
+        self._commit(version, keep_dirs + [new_dir], "merge", schema=cur.schema)
         return version
 
     def delete_where(self, condition) -> int:
@@ -187,10 +250,13 @@ class VersionedStore:
         version = latest + 1
         if affected:
             new_dir = os.path.join(self._data_dir, f"v{version:010d}")
-            survivors = self.spark.read.parquet(*affected).filter(~condition)
+            survivors = (
+                self.spark.read.schema(cur.schema).parquet(*affected)
+                .filter(~condition)
+            )
             survivors.write.parquet(new_dir)
             keep_dirs = keep_dirs + [new_dir]
-        self._commit(version, keep_dirs, "delete")
+        self._commit(version, keep_dirs, "delete", schema=cur.schema)
         return version
 
     # -- reads -------------------------------------------------------------
@@ -202,7 +268,14 @@ class VersionedStore:
             if version is None:
                 return None
         manifest = self._manifest(version)
-        return self.spark.read.parquet(*manifest["data_dirs"])
+        schema = self._schema_of(version)
+        reader = self.spark.read
+        if schema is not None:
+            # explicit manifest schema: files written before an evolution
+            # lack the newer columns and read back null-filled; each
+            # historical version keeps the schema it was committed with
+            reader = reader.schema(schema)
+        return reader.parquet(*manifest["data_dirs"])
 
     def changes(self, since_version: int, to_version: int | None = None
                 ) -> DataFrame:
@@ -251,7 +324,7 @@ class VersionedStore:
         version = latest + 1
         new_dir = os.path.join(self._data_dir, f"v{version:010d}")
         cur.write.parquet(new_dir)
-        self._commit(version, [new_dir], "optimize")
+        self._commit(version, [new_dir], "optimize", schema=cur.schema)
         return version
 
     # -- maintenance -------------------------------------------------------

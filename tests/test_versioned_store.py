@@ -192,3 +192,71 @@ def test_python_datasource_reads_store_with_time_travel(spark, store):
         .load()
     )
     assert v0.count() == 10
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    from pandas_etl_framework_spark.versioned_store import VersionedStore
+
+    store = VersionedStore(spark, str(tmp_path / "evo"))
+    store.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    # mismatched append without the flag is refused
+    wider = spark.createDataFrame([(3, "c", 1.5)], "id long, v string, score double")
+    with pytest.raises(ValueError, match="merge_schema"):
+        store.write(wider)
+    v1 = store.write(wider, merge_schema=True)
+    cur = store.read()
+    assert set(cur.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in cur.collect()}
+    assert rows[1] is None and rows[3] == 1.5  # old files null-filled
+    # time travel keeps the pre-evolution schema
+    assert set(store.read(v1 - 1).columns) == {"id", "v"}
+    # dropped column on a later append is written as typed nulls
+    store.write(spark.createDataFrame([(4, "d")], "id long, v string"),
+                merge_schema=True)
+    assert {r["id"]: r["score"] for r in store.read().collect()}[4] is None
+
+
+def test_schema_evolution_type_conflict_and_merge(spark, tmp_path):
+    from pandas_etl_framework_spark.versioned_store import VersionedStore
+
+    store = VersionedStore(spark, str(tmp_path / "evo2"))
+    store.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(ValueError, match="type conflict"):
+        store.write(
+            spark.createDataFrame([(2, 9)], "id long, v long"), merge_schema=True
+        )
+    # evolution survives a MERGE commit
+    store.write(
+        spark.createDataFrame([(2, "b", 7.0)], "id long, v string, score double"),
+        merge_schema=True,
+    )
+    store.merge(
+        spark.createDataFrame([(1, "a2", 3.0)], "id long, v string, score double"),
+        key_columns=["id"],
+    )
+    rows = {r["id"]: (r["v"], r["score"]) for r in store.read().collect()}
+    assert rows == {1: ("a2", 3.0), 2: ("b", 7.0)}
+
+
+def test_datasource_reads_evolved_schema(spark, tmp_path):
+    from pandas_etl_framework_spark.datasource import VersionedStoreDataSource
+    from pandas_etl_framework_spark.versioned_store import VersionedStore
+
+    spark.dataSource.register(VersionedStoreDataSource)
+    path = str(tmp_path / "evods")
+    store = VersionedStore(spark, path)
+    store.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    store.write(
+        spark.createDataFrame([(2, "b", 5.0)], "id long, v string, score double"),
+        merge_schema=True,
+    )
+    df = spark.read.format("versioned_store").option("path", path).load()
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows == {1: None, 2: 5.0}
+    # time travel through the data source keeps the old schema
+    old = (
+        spark.read.format("versioned_store")
+        .option("path", path).option("version", 0).load()
+    )
+    assert set(old.columns) == {"id", "v"}
