@@ -113,7 +113,10 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans(k: int = KM_K, iterations: int = KM_ITERATIONS) -> str:
+def _kmeans_cte_body(k: int = KM_K, iterations: int = KM_ITERATIONS) -> str:
+    """WITH-clause chain ending at assignment ``a{iterations}`` and centroids
+    ``cent{iterations}`` — shared by the profile oracle and the semantic-dedup
+    oracle."""
     vq = (
         "list_transform(embedding,"
         " x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))"
@@ -150,6 +153,10 @@ cent{i} AS (
     SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY pos) AS c
     FROM s{i} GROUP BY cid
 )""")
+    return head + "".join(steps)
+
+
+def _sql_kmeans(k: int = KM_K, iterations: int = KM_ITERATIONS) -> str:
     tail = f"""
 SELECT a.cid,
        COUNT(*) AS n_members,
@@ -162,12 +169,86 @@ JOIN (SELECT cid,
 GROUP BY a.cid
 ORDER BY a.cid
 """
-    return head + "".join(steps) + tail
+    return _kmeans_cte_body(k, iterations) + tail
 
 
 SQL_EMB_KMEANS = _sql_kmeans()
 
 
+# --------------------------------------------------------------------------
+# Semantic dedup: cluster-bounded near-dup pair search
+# --------------------------------------------------------------------------
+
+SEMDEDUP_ITERATIONS = 2
+COS_NUM, COS_DEN = 2, 5  # threshold 0.40 as an exact rational
+
+
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style near-duplicate pairs: partition the corpus with
+    quantized k-means, then score cosine ONLY within each cluster — the
+    O(n²/k) scale path versus the all-pairs O(n²) of emb_neardup_pairs.
+    The pair join is an equi-join on cid (shuffle-partitioned by cluster,
+    residual vec_id< and cosine predicates applied per partition), so at
+    100 TB each cluster's quadratic work is an independent task and k is
+    the knob trading recall for cost. Cross-cluster near-dups are missed
+    by construction (that is the approximation)."""
+    from .similarity import _qdot, _quantized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign, _ = kmeans_quantized(emb, iterations=SEMDEDUP_ITERATIONS)
+    scored = (
+        emb.select("vec_id", _quantized(F.col("embedding")).alias("q"))
+        .withColumn("sq_norm", _qdot(F.col("q"), F.col("q")))
+        .join(assign, "vec_id")
+    )
+    a, b = scored.alias("a"), scored.alias("b")
+    cos = _qdot(F.col("a.q"), F.col("b.q")) / (
+        F.sqrt(F.col("a.sq_norm").cast("double"))
+        * F.sqrt(F.col("b.sq_norm").cast("double"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cid").alias("cid"),
+            cos.alias("qcos"),
+        )
+        .filter(F.col("qcos") * COS_DEN > COS_NUM)
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    from .similarity import _SQL_QUANT
+
+    tail = f""",
+qs AS (SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings),
+ss AS (
+    SELECT q.vec_id, q.qv,
+           CAST(list_dot_product(q.qv, q.qv) AS BIGINT) AS sq_norm,
+           a{SEMDEDUP_ITERATIONS}.cid
+    FROM qs q JOIN a{SEMDEDUP_ITERATIONS} ON q.vec_id = a{SEMDEDUP_ITERATIONS}.vec_id
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid AS cid,
+       CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+           / (sqrt(CAST(a.sq_norm AS DOUBLE)) * sqrt(CAST(b.sq_norm AS DOUBLE)))
+           AS qcos
+FROM ss a JOIN ss b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+          / (sqrt(CAST(a.sq_norm AS DOUBLE)) * sqrt(CAST(b.sq_norm AS DOUBLE)))
+          * {COS_DEN} > {COS_NUM}
+"""
+    return _kmeans_cte_body(KM_K, SEMDEDUP_ITERATIONS) + tail
+
+
+SQL_EMB_SEMANTIC_DEDUP = _sql_semantic_dedup()
+
+
 QUERIES = {
     "emb_kmeans": (q_emb_kmeans, SQL_EMB_KMEANS),
+    "emb_semantic_dedup": (q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP),
 }

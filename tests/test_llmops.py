@@ -376,3 +376,33 @@ def test_kmeans_separable_clusters_and_determinism(spark):
         for r in kmeans_quantized(df.repartition(16), k=3, iterations=4)[0].collect()
     )
     assert a1 == a2
+
+
+def test_semantic_dedup_subset_of_brute_force(spark):
+    from pandas_etl_framework_spark.llmops.clustering import (
+        COS_DEN,
+        COS_NUM,
+        q_emb_semantic_dedup,
+    )
+    from pandas_etl_framework_spark.llmops.similarity import _qdot, _quantized
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r["vec_a"], r["vec_b"]) for r in q_emb_semantic_dedup(spark, sf).collect()}
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    scored = emb.select(
+        "vec_id", _quantized(F.col("embedding")).alias("q")
+    ).withColumn("n", _qdot(F.col("q"), F.col("q")))
+    a, b = scored.alias("a"), scored.alias("b")
+    cos = _qdot(F.col("a.q"), F.col("b.q")) / (
+        F.sqrt(F.col("a.n").cast("double")) * F.sqrt(F.col("b.n").cast("double"))
+    )
+    brute = {
+        (r["va"], r["vb"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"),
+                cos.alias("c"))
+        .filter(F.col("c") * COS_DEN > COS_NUM)
+        .collect()
+    }
+    assert got <= brute  # cluster bounding only ever drops pairs
+    assert len(got) > 0  # and finds a real candidate set on the fixture
