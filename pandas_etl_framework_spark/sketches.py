@@ -39,18 +39,25 @@ def _rank_col(hash_col: F.Column) -> F.Column:
     return F.when(x == 0, F.lit(53)).otherwise(53 - F.length(F.bin(x)))
 
 
-def hll_distinct(df: DataFrame, col: str, group_by: list[str] | None = None
-                 ) -> DataFrame:
-    """HLL distinct-count estimate of ``col``, optionally per group.
-    Returns group columns + ``hll_estimate`` (double)."""
+def hll_registers(df: DataFrame, col: str, group_by: list[str] | None = None
+                  ) -> DataFrame:
+    """The mergeable state: (group cols, reg, m_j) — max rank observed per
+    register. Two register sets merge by ``max`` per register, which is the
+    basis for incremental maintenance (``incremental_hll_update``)."""
     h = F.md5(F.col(col).cast("string"))
     reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
     keys = list(group_by or [])
-    regs = (
+    return (
         df.select(*keys, reg.alias("reg"), _rank_col(h).alias("rank"))
         .groupBy(*keys, "reg")
         .agg(F.max("rank").alias("m_j"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_by: list[str] | None = None
+) -> DataFrame:
+    keys = list(group_by or [])
     # exact dyadic harmonic sum: present registers contribute 2^(53 - M_j),
     # the (m - n_present) empty registers contribute 2^53 each
     est = (
@@ -63,6 +70,41 @@ def hll_distinct(df: DataFrame, col: str, group_by: list[str] | None = None
         ).cast("double")
     )
     return regs.groupBy(*keys).agg(est.alias("hll_estimate"))
+
+
+def hll_distinct(df: DataFrame, col: str, group_by: list[str] | None = None
+                 ) -> DataFrame:
+    """HLL distinct-count estimate of ``col``, optionally per group.
+    Returns group columns + ``hll_estimate`` (double)."""
+    return hll_estimate_from_registers(
+        hll_registers(df, col, group_by), group_by
+    )
+
+
+def incremental_hll_update(
+    regs: DataFrame,
+    feed: DataFrame,
+    col: str,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Incremental distinct-count maintenance: fold the INSERT rows of a
+    change data feed (``VersionedStore.changes`` output) into an existing
+    register table — work scales with the change volume, never the base
+    table. Registers are max-monotone, so deletes cannot be subtracted;
+    the estimate tracks distinct values EVER inserted (the usual HLL
+    contract) and a delete-heavy store needs a periodic register rebuild.
+    Pairs with ``incremental_rollup_update`` (additive aggregates) as the
+    sketch half of incremental view maintenance."""
+    keys = list(group_by or [])
+    inserts = feed
+    if "_change_type" in feed.columns:
+        inserts = feed.filter(F.col("_change_type") == "insert")
+    delta = hll_registers(inserts, col, keys)
+    return (
+        regs.unionByName(delta)
+        .groupBy(*keys, "reg")
+        .agg(F.max("m_j").alias("m_j"))
+    )
 
 
 def q_sketch_hll_distinct(spark, sf_dir):

@@ -88,3 +88,33 @@ def test_bloom_no_false_negatives(spark):
     # filter is small and loaded, but still prunes most non-members
     fp = len(passed - member_set) / (1_000 - len(member_set))
     assert fp < 0.5
+
+
+def test_incremental_hll_matches_rebuild(spark):
+    from pandas_etl_framework_spark.sketches import (
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_registers,
+        incremental_hll_update,
+    )
+
+    base = spark.range(3_000).select((F.col("id") % 900).alias("v"))
+    feed = (
+        spark.range(3_000, 5_000)
+        .select((F.col("id") % 1_400).alias("v"))
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    regs = hll_registers(base, "v")
+    updated = incremental_hll_update(regs, feed, "v")
+    inc = hll_estimate_from_registers(updated).first()["hll_estimate"]
+    full = hll_distinct(
+        base.unionByName(feed.select("v")), "v"
+    ).first()["hll_estimate"]
+    assert inc == full  # folding the feed == rebuilding from scratch
+
+    # delete rows in the feed are ignored (max-monotone registers)
+    feed_del = feed.withColumn("_change_type", F.lit("delete"))
+    same = hll_estimate_from_registers(
+        incremental_hll_update(regs, feed_del, "v")
+    ).first()["hll_estimate"]
+    assert same == hll_estimate_from_registers(regs).first()["hll_estimate"]
