@@ -24,6 +24,9 @@ QUERIES = [
     "text_gopher_rules",
     "events_sessionize",
     "graph_pagerank",
+    "emb_kmeans",
+    "emb_semantic_dedup",
+    "text_boilerplate",
 ]
 
 
