@@ -483,6 +483,7 @@ from . import relational_tpch as _relational_tpch  # noqa: E402,F401
 from . import relational_ts as _relational_ts  # noqa: E402,F401
 from . import sketches as _sketches  # noqa: E402,F401
 from . import graph as _graph  # noqa: E402,F401
+from . import scale as _scale  # noqa: E402,F401
 from . import sql_entry as _sql_entry  # noqa: E402,F401
 from .llmops import register_all as _llmops_register_all  # noqa: E402
 
@@ -493,5 +494,6 @@ _relational_tpch.register_all()
 _relational_ts.register_all()
 _sketches.register_all()
 _graph.register_all()
+_scale.register_all()
 _sql_entry.register_all()
 _llmops_register_all()

@@ -225,3 +225,43 @@ def explain_summary(df: DataFrame) -> dict:
     ):
         counts[op] = sum(op in line for line in plan.splitlines())
     return counts
+
+
+def q_rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """salted_aggregate made judge-visible: the two-phase (keys+salt, then
+    keys) aggregation must produce exactly the plain groupBy result —
+    quantities are integer-quantized before summing so no float-addition
+    order can leak through the extra phase. l_returnflag has a 3-value
+    domain: the canonical hot-reduce-key shape salting exists for."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qq"),
+    )
+    out = salted_aggregate(li, ["l_returnflag"], sum_cols=["qq"])
+    return out.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        (F.col("sum_qq").cast("double") / 100.0).alias("sum_qty"),
+    )
+
+
+SQL_REL_SALTED_AGG = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+QUERIES = {
+    "rel_salted_agg": (q_rel_salted_agg, SQL_REL_SALTED_AGG),
+}
+
+
+def register_all() -> None:
+    from . import harness
+
+    for name, (fn, sql) in QUERIES.items():
+        harness.register(name, fn, sql)
