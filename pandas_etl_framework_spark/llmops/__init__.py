@@ -12,8 +12,16 @@ from __future__ import annotations
 
 def register_all() -> None:
     from .. import harness
-    from . import clustering, curation, dedup, multimodal, similarity, text
+    from . import (
+        clustering,
+        curation,
+        dedup,
+        indexing,
+        multimodal,
+        similarity,
+        text,
+    )
 
-    for mod in (text, dedup, similarity, curation, clustering, multimodal):
+    for mod in (text, dedup, similarity, curation, clustering, multimodal, indexing):
         for name, (fn, sql) in mod.QUERIES.items():
             harness.register(name, fn, sql)

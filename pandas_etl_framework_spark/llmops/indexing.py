@@ -1,0 +1,304 @@
+"""Corpus indexing / statistical-LM operators over the ``documents`` table:
+TF-IDF keyword extraction, inverted-index construction, corpus-unigram
+surprisal scoring (CCNet-style quality signal), and cross-source overlap
+detection.
+
+The reference framework (Julian96/pandas-etl-framework) has no text surface
+at all (SURVEY.md §2.6 — aggregations/windows absent; its only hashing is the
+row-identity md5, ``MetaColumnHelpers.py:91-97``); these are capability
+extensions for the training-data-pipeline north star, built the same way as
+the rest of the llmops family: pure JVM-side built-ins, no Python UDFs.
+
+Cross-engine exactness: every score that involves a logarithm is quantized
+with ``FLOOR(1e6 * LN(x))`` over doubles derived from identical integers —
+libm vs java.lang.Math agree to ~1 ulp, so a floor at the 1e-6 grid collides
+with a boundary with probability ~1e-9 per distinct input; all downstream
+arithmetic is integer or a single IEEE division of identical integers.
+
+Scale posture (100 TB): term frequencies are a (doc, term) groupBy with
+map-side partial aggregation; document frequencies a second groupBy over the
+already-reduced tf table; the df→tf join broadcasts (vocabulary ≪ corpus);
+posting lists are bounded BEFORE collection via a per-term row_number filter
+(never an unbounded collect_set); the per-document top-k is a window over
+doc_id which co-partitions with the tf shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TOPK_TERMS = 3          # keywords kept per document
+POSTINGS_CAP = 8        # doc ids kept per inverted-index posting list
+LN_SCALE = 1_000_000    # quantization grid for logarithm-valued scores
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf): one shuffle, map-side combined."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+_SQL_TF = r"""
+tf AS (
+    SELECT doc_id, u.t AS term, COUNT(*) AS tf
+    FROM docs, UNNEST(string_split_regex(trim(text), '\s+')) AS u(t)
+    GROUP BY doc_id, u.t
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# --------------------------------------------------------------------------
+
+def tfidf_topk(
+    docs_tf: DataFrame, n_docs: int, k: int = TOPK_TERMS
+) -> DataFrame:
+    """Top-``k`` terms per document by quantized TF-IDF.
+
+    ``score_q = tf * FLOOR(1e6 * ln(N / df))`` — integer once the idf is
+    quantized, so ranking and output are engine-exact.  Ties break on term
+    text ascending (deterministic).
+    """
+    df_tbl = docs_tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf_q = F.floor(
+        F.log(F.lit(float(n_docs)) / F.col("df").cast("double")) * LN_SCALE
+    ).cast("bigint")
+    scored = (
+        docs_tf.join(F.broadcast(df_tbl), "term")
+        .withColumn("score_q", (F.col("tf") * idf_q).cast("bigint"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "score_q", "rk")
+    )
+
+
+def q_text_tfidf_topk(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.select("doc_id").distinct().count()
+    return tfidf_topk(_term_freq(spark, sf_dir), n_docs)
+
+
+def _sql_tfidf_topk() -> str:
+    return rf"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{_SQL_TF},
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM docs),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           CAST(tf.tf * CAST(FLOOR(LN(CAST(n.n_docs AS DOUBLE)
+                / CAST(dfreq.df AS DOUBLE)) * {LN_SCALE}) AS BIGINT)
+                AS BIGINT) AS score_q
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score_q DESC, term ASC) AS rk
+    FROM scored
+)
+SELECT doc_id, term, tf, df, score_q, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {TOPK_TERMS}
+"""
+
+
+# --------------------------------------------------------------------------
+# Inverted index
+# --------------------------------------------------------------------------
+
+def inverted_index(docs_tf: DataFrame, cap: int = POSTINGS_CAP) -> DataFrame:
+    """Per-term posting summary: document frequency, total term frequency,
+    and the first ``cap`` doc ids (ascending).
+
+    The posting list is bounded BEFORE aggregation (row_number ≤ cap, then
+    collect) — per-term state is O(cap), never O(df), which is what makes
+    this safe when a stopword's df is a billion documents.
+    """
+    stats = docs_tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+    )
+    w = Window.partitionBy("term").orderBy(F.col("doc_id").asc())
+    heads = (
+        docs_tf.select("term", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    return stats.join(heads, "term").select(
+        "term", "df", "total_tf", "postings"
+    )
+
+
+def q_text_inverted_index(spark, sf_dir):
+    return inverted_index(_term_freq(spark, sf_dir))
+
+
+def _sql_inverted_index() -> str:
+    return rf"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{_SQL_TF},
+stats AS (
+    SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf FROM tf GROUP BY term
+),
+ranked AS (
+    SELECT term, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id ASC) AS rk
+    FROM tf
+),
+heads AS (
+    SELECT term, list_sort(list(doc_id)) AS postings
+    FROM ranked WHERE rk <= {POSTINGS_CAP} GROUP BY term
+)
+SELECT stats.term, stats.df, stats.total_tf, heads.postings
+FROM stats JOIN heads USING (term)
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus-unigram surprisal (statistical-LM quality signal)
+# --------------------------------------------------------------------------
+
+def unigram_surprisal(docs_tf: DataFrame) -> DataFrame:
+    """Per-document mean unigram surprisal under the corpus LM.
+
+    For each token w: surprisal_q(w) = FLOOR(1e6 * ln(T / c_w)) where c_w is
+    the corpus count of w and T the total token count — the quantized
+    -ln p(w).  Per document we report the token count, the integer surprisal
+    sum, and the mean (one IEEE division of identical integers, so exact
+    across engines).  High mean surprisal = rare-token-heavy document: the
+    same screening CCNet does with a KenLM, with the corpus itself as the LM.
+    """
+    corpus = docs_tf.groupBy("term").agg(F.sum("tf").alias("cw"))
+    total = corpus.agg(F.sum("cw").alias("t_total"))
+    surp_q = F.floor(
+        F.log(F.col("t_total").cast("double") / F.col("cw").cast("double"))
+        * LN_SCALE
+    ).cast("bigint")
+    return (
+        docs_tf.join(F.broadcast(corpus), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("tok_surp_q", F.col("tf") * surp_q)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum("tok_surp_q").alias("surprisal_sum_q"),
+        )
+        .withColumn(
+            "mean_surprisal_micro",
+            F.col("surprisal_sum_q").cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+def q_text_unigram_logprob(spark, sf_dir):
+    return unigram_surprisal(_term_freq(spark, sf_dir))
+
+
+def _sql_unigram_logprob() -> str:
+    return rf"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{_SQL_TF},
+corpus AS (SELECT term, SUM(tf) AS cw FROM tf GROUP BY term),
+tot AS (SELECT SUM(cw) AS t_total FROM corpus),
+scored AS (
+    SELECT tf.doc_id, tf.tf,
+           tf.tf * CAST(FLOOR(LN(CAST(tot.t_total AS DOUBLE)
+                / CAST(corpus.cw AS DOUBLE)) * {LN_SCALE}) AS BIGINT)
+               AS tok_surp_q
+    FROM tf JOIN corpus USING (term) CROSS JOIN tot
+)
+SELECT doc_id, SUM(tf) AS n_tokens, SUM(tok_surp_q) AS surprisal_sum_q,
+       CAST(SUM(tok_surp_q) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+           AS mean_surprisal_micro
+FROM scored GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross-source exact overlap (inter-dataset contamination / dedup signal)
+# --------------------------------------------------------------------------
+
+PREFIX_FP_TOKENS = 8    # tokens hashed into the cross-source fingerprint
+
+
+def cross_source_overlap(docs: DataFrame) -> DataFrame:
+    """Pairs of sources sharing documents with identical opening
+    ``PREFIX_FP_TOKENS``-token prefixes (shared-boilerplate / contamination
+    signal between corpus slices), with shared-fingerprint counts.
+
+    Identity is the reference's record-hash idea (md5 over a canonical
+    serialization, MetaColumnHelpers.py:122-128) applied to a prefix shingle
+    rather than the full text, so near-boilerplate sharing is caught even
+    when tails differ.  The self-join keys on the hash of the small distinct
+    (fingerprint, source) relation, so the shuffle carries one row per
+    fingerprint-source pair, not per document.
+    """
+    fp = F.md5(
+        F.concat_ws(
+            " ",
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, PREFIX_FP_TOKENS),
+        )
+    )
+    d = docs.select(fp.alias("h"), "source").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+    )
+
+
+def q_dedup_cross_source(spark, sf_dir):
+    return cross_source_overlap(_docs(spark, sf_dir))
+
+
+SQL_CROSS_SOURCE = rf"""
+WITH d AS (
+    SELECT DISTINCT
+        md5(array_to_string(
+            string_split_regex(trim(text), '\s+')[1:{PREFIX_FP_TOKENS}], ' '))
+            AS h,
+        source
+    FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared_texts
+FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+QUERIES = {
+    "text_tfidf_topk": (q_text_tfidf_topk, _sql_tfidf_topk()),
+    "text_inverted_index": (q_text_inverted_index, _sql_inverted_index()),
+    "text_unigram_logprob": (q_text_unigram_logprob, _sql_unigram_logprob()),
+    "dedup_cross_source": (q_dedup_cross_source, SQL_CROSS_SOURCE),
+}

@@ -1,0 +1,92 @@
+"""Indexing / statistical-LM operator tests: TF-IDF ranking on a hand-built
+corpus, inverted-index posting bounds, unigram surprisal invariants,
+cross-source overlap symmetry."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_etl_framework_spark.llmops.indexing import (
+    LN_SCALE,
+    POSTINGS_CAP,
+    cross_source_overlap,
+    inverted_index,
+    tfidf_topk,
+    unigram_surprisal,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_tf(spark):
+    # 3 docs: "rare" appears only in doc 2; "common" in all three.
+    rows = [
+        (0, "common", 5),
+        (1, "common", 3),
+        (2, "common", 1),
+        (2, "rare", 2),
+        (0, "mid", 1),
+        (2, "mid", 4),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, term string, tf long")
+
+
+def test_tfidf_prefers_rare_terms(spark, tiny_tf):
+    out = tfidf_topk(tiny_tf, n_docs=3, k=1).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    # doc 2's top keyword must be 'rare' (idf ln(3/1)) despite tf('mid')=4
+    # (score mid = 4*ln(3/2)q = 4*405465; rare = 2*1098612)
+    assert by_doc[2]["term"] == "rare"
+    assert by_doc[2]["score_q"] == 2 * math.floor(math.log(3.0) * LN_SCALE)
+    # 'common' has df=3 → idf_q = 0 → score 0; doc 1 only has 'common'
+    assert by_doc[1]["score_q"] == 0
+
+
+def test_tfidf_tiebreak_deterministic(spark):
+    tf = spark.createDataFrame(
+        [(0, "b", 1), (0, "a", 1)], "doc_id long, term string, tf long"
+    )
+    out = tfidf_topk(tf, n_docs=1, k=2).orderBy("rk").collect()
+    assert [r["term"] for r in out] == ["a", "b"]
+
+
+def test_inverted_index_bounds_postings(spark):
+    rows = [(d, "w", 1) for d in range(POSTINGS_CAP * 3)] + [(0, "x", 7)]
+    tf = spark.createDataFrame(rows, "doc_id long, term string, tf long")
+    out = {r["term"]: r for r in inverted_index(tf).collect()}
+    assert out["w"]["df"] == POSTINGS_CAP * 3
+    assert out["w"]["total_tf"] == POSTINGS_CAP * 3
+    # postings truncated to the cap, smallest doc ids, ascending
+    assert out["w"]["postings"] == list(range(POSTINGS_CAP))
+    assert out["x"]["postings"] == [0] and out["x"]["total_tf"] == 7
+
+
+def test_unigram_surprisal_rare_doc_scores_higher(spark, tiny_tf):
+    out = {r["doc_id"]: r for r in unigram_surprisal(tiny_tf).collect()}
+    # doc 1 is all 'common' (most frequent token) → lowest mean surprisal
+    assert out[1]["mean_surprisal_micro"] < out[0]["mean_surprisal_micro"]
+    assert out[1]["mean_surprisal_micro"] < out[2]["mean_surprisal_micro"]
+    # token counts preserved
+    assert out[2]["n_tokens"] == 7
+    # exact quantized value for the single-term doc: surp(common) = ln(16/9)
+    assert out[1]["surprisal_sum_q"] == 3 * math.floor(
+        math.log(16.0 / 9.0) * LN_SCALE
+    )
+
+
+def test_cross_source_overlap_counts_pairs(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h tail1", "s1"),
+            (1, "a b c d e f g h tail2", "s2"),
+            (2, "a b c d e f g h tail3", "s2"),  # same fp, same source: 1 row
+            (3, "different prefix entirely x y z", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = cross_source_overlap(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"], r["n_shared_texts"]) == ("s1", "s2", 1)
