@@ -412,6 +412,44 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Arbitrary (non-hierarchical) grouping sets in one pass: the
+    (returnflag, linestatus) matrix, the returnflag margin, and an unrelated
+    line-number breakdown — a shape neither ROLLUP nor CUBE expresses. Spark
+    expands this to a single Expand + one aggregation (one shuffle for all
+    three groupings); per-column GROUPING() flags disambiguate grouped-out
+    NULLs from data NULLs."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [
+            ["l_returnflag", "l_linestatus"],
+            ["l_returnflag"],
+            ["l_linenumber"],
+        ],
+        "l_returnflag",
+        "l_linestatus",
+        "l_linenumber",
+    ).agg(
+        dsum("l_quantity", "sum_qty"),
+        F.count("*").alias("n"),
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.grouping("l_linenumber").cast("int").alias("g_sm"),
+    )
+
+
+SQL_GROUPING_SETS = f"""
+SELECT l_returnflag, l_linestatus, l_linenumber,
+       {_sql_dsum('l_quantity', 'sum_qty')}, COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+       CAST(GROUPING(l_linenumber) AS INTEGER) AS g_sm
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                        (l_linenumber))
+"""
+
+
 def q_pivot(spark, sf_dir):
     """Pivot expressed as conditional aggregation (ANSI-portable)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -971,6 +1009,7 @@ QUERIES = {
     "rel_agg_distinct": (q_agg_distinct, SQL_AGG_DISTINCT),
     "rel_agg_stats": (q_agg_stats, SQL_AGG_STATS),
     "rel_rollup": (q_rollup, SQL_ROLLUP),
+    "rel_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "rel_cube": (q_cube, SQL_CUBE),
     "rel_pivot": (q_pivot, SQL_PIVOT),
     "rel_window_rank": (q_window_rank, SQL_WINDOW_RANK),
