@@ -296,8 +296,50 @@ GROUP BY a.source, b.source
 """
 
 
+# --------------------------------------------------------------------------
+# Hashed bag-of-words featurizer (HashingTF-style)
+# --------------------------------------------------------------------------
+
+BOW_DIM = 64            # feature-space dimensionality (power of two)
+
+
+def hashed_bow(docs_tf: DataFrame, dim: int = BOW_DIM) -> DataFrame:
+    """Fixed-dimension hashed term-count features per document, in sparse
+    (doc_id, bucket, cnt) form — the HashingTF trick: bucket = md5(term)
+    mod dim, so no vocabulary pass, no dictionary broadcast, and the output
+    width is independent of corpus size.  Sparse triples instead of
+    assembled arrays keep the result join-able and engine-comparable; an
+    array form is one ``collect_list`` away when a dense vector is needed.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("bigint")
+        % dim
+    )
+    return (
+        docs_tf.groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.sum("tf").alias("cnt"))
+    )
+
+
+def q_text_hashed_bow(spark, sf_dir):
+    return hashed_bow(_term_freq(spark, sf_dir))
+
+
+def _sql_hashed_bow() -> str:
+    from .dedup import _sql_hex_base
+
+    return rf"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{_SQL_TF}
+SELECT doc_id, {_sql_hex_base("md5(term)")} % {BOW_DIM} AS bucket,
+       SUM(tf) AS cnt
+FROM tf GROUP BY doc_id, bucket
+"""
+
+
 QUERIES = {
     "text_tfidf_topk": (q_text_tfidf_topk, _sql_tfidf_topk()),
+    "text_hashed_bow": (q_text_hashed_bow, _sql_hashed_bow()),
     "text_inverted_index": (q_text_inverted_index, _sql_inverted_index()),
     "text_unigram_logprob": (q_text_unigram_logprob, _sql_unigram_logprob()),
     "dedup_cross_source": (q_dedup_cross_source, SQL_CROSS_SOURCE),

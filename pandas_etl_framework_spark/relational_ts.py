@@ -207,7 +207,120 @@ SELECT 'week', event_type, bucket, n, CAST(sv_q AS DOUBLE) / 10000 FROM weekly
 """
 
 
+# --------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# --------------------------------------------------------------------------
+
+def q_events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition counts and probabilities between
+    consecutive event types within each user's timeline (the 'what do users
+    do next' analytic).  One window shuffle on user_id produces the bigrams;
+    one hash aggregate counts them; the probability is a single IEEE
+    division of identical BIGINTs, so it is engine-exact.  Ordering ties on
+    ts break on event_id — deterministic bigrams."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wtot = Window.partitionBy("prev_type")
+    return pairs.withColumn(
+        "p", F.col("n").cast("double") / F.sum("n").over(wtot)
+    )
+
+
+SQL_EVENTS_TRANSITION_MATRIX = """
+WITH pairs AS (
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM (
+        SELECT event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
+FROM pairs
+"""
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation
+# --------------------------------------------------------------------------
+
+def q_events_rfm(spark, sf_dir):
+    """Recency / Frequency / Monetary user segmentation: days since last
+    activity (vs the corpus max day), event count, quantized value sum, and
+    NTILE(4) scores per dimension.  The per-user rollup is one hash
+    aggregate; the three score windows order the small per-user relation
+    with user_id tie-breaks so bucket assignment is deterministic and
+    engine-identical.
+
+    Scale note: an unpartitioned NTILE funnels the per-user relation through
+    one reducer.  That is fine while users ≪ events (the relation is already
+    three orders of magnitude smaller than the fact table); past that, swap
+    the exact quartiles for broadcast approx_percentile thresholds — same
+    output columns, no global sort."""
+    ev = load_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.max("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("value", "monetary"),
+    )
+    gmax = ev.agg(F.date_trunc("day", F.max("ts")).alias("corpus_max_day"))
+    rfm = per_user.crossJoin(F.broadcast(gmax)).withColumn(
+        "recency_days", F.datediff("corpus_max_day", "last_day")
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    return rfm.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )
+
+
+SQL_EVENTS_RFM = f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS last_day,
+           COUNT(*) AS frequency,
+           {_sql_dsum('value', 'monetary')}
+    FROM events GROUP BY user_id
+),
+g AS (SELECT CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS corpus_max_day
+      FROM events)
+SELECT user_id,
+       datediff('day', last_day, corpus_max_day) AS recency_days,
+       frequency, monetary,
+       CAST(NTILE(4) OVER (
+           ORDER BY datediff('day', last_day, corpus_max_day) ASC, user_id ASC)
+           AS INTEGER) AS r_score,
+       CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC) AS INTEGER)
+           AS f_score,
+       CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id ASC) AS INTEGER)
+           AS m_score
+FROM per_user CROSS JOIN g
+"""
+
+
 QUERIES = {
+    "events_transition_matrix": (
+        q_events_transition_matrix,
+        SQL_EVENTS_TRANSITION_MATRIX,
+    ),
+    "events_rfm": (q_events_rfm, SQL_EVENTS_RFM),
     "events_cohort_retention": (
         q_events_cohort_retention,
         SQL_EVENTS_COHORT_RETENTION,

@@ -76,6 +76,50 @@ def test_unigram_surprisal_rare_doc_scores_higher(spark, tiny_tf):
     )
 
 
+def test_hashed_bow_preserves_mass_and_dim(spark, tiny_tf):
+    from pandas_etl_framework_spark.llmops.indexing import BOW_DIM, hashed_bow
+
+    out = hashed_bow(tiny_tf).collect()
+    assert all(0 <= r["bucket"] < BOW_DIM for r in out)
+    # total feature mass == total token mass
+    assert sum(r["cnt"] for r in out) == sum(
+        r["tf"] for r in tiny_tf.collect()
+    )
+    # same term always lands in the same bucket → per-doc bucket counts
+    # aggregate the doc's tf exactly
+    per_doc = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["cnt"]
+    assert per_doc == {0: 6, 1: 3, 2: 7}
+
+
+def test_transition_matrix_probabilities(spark):
+    from pandas_etl_framework_spark.relational_ts import (
+        q_events_transition_matrix,
+    )
+
+    out = q_events_transition_matrix(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "no transitions found"
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, grp in by_prev.items():
+        assert abs(sum(g["p"] for g in grp) - 1.0) < 1e-9, prev
+
+
+def test_rfm_scores_in_range(spark):
+    from pandas_etl_framework_spark.relational_ts import q_events_rfm
+
+    rows = q_events_rfm(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_score"] <= 4
+        assert 1 <= r["f_score"] <= 4
+        assert 1 <= r["m_score"] <= 4
+        assert r["recency_days"] >= 0
+
+
 def test_cross_source_overlap_counts_pairs(spark):
     docs = spark.createDataFrame(
         [
