@@ -19,7 +19,7 @@ similarity is a single division of exact integers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 NUM_MINHASHES = 16
@@ -567,8 +567,126 @@ def dedup_clusters(
     )
 
 
+# --------------------------------------------------------------------------
+# Prefix-filtered Jaccard join (PPJoin-style similarity self-join)
+# --------------------------------------------------------------------------
+
+# Jaccard threshold as an exact rational T_NUM/T_DEN so the final filter is
+# integer arithmetic (no float threshold compare): keep pairs with
+# T_DEN * |A∩B| >= T_NUM * |A∪B|.
+JACCARD_T_NUM, JACCARD_T_DEN = 3, 5       # t = 0.6
+
+
+def jaccard_prefix_pairs(
+    sh: DataFrame, t_num: int = JACCARD_T_NUM, t_den: int = JACCARD_T_DEN
+) -> DataFrame:
+    """All pairs with Jaccard(shingles) >= t, found via prefix filtering
+    (PPJoin's candidate-generation idea, SIGMOD'08 / WWW'08 public
+    literature) instead of the all-sharing-pairs join.
+
+    For Jaccard >= t, two sets of sizes |A|,|B| must share an element among
+    the first ``|S| - ceil(t*|S|) + 1`` elements of each set under ANY
+    global total order (rarest-first order makes those prefixes maximally
+    selective).  So: order each document's shingles by corpus frequency
+    (ties on shingle text), keep only that prefix, and self-join ON THE
+    PREFIXES — at web scale this turns the quadratic candidate space into
+    joins on rare tokens only.  Candidates are then verified with an exact
+    intersection count restricted to candidate pairs; the filter
+    ``t_den*i >= t_num*(|A|+|B|-i)`` is pure integers.  Prefix filtering is
+    LOSSLESS: output is identical to the brute-force join at the same
+    threshold (the oracle runs brute force).
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    # prefix length: n - ceil(t*n) + 1, with ceil in exact integers
+    plen = F.col("set_size") - F.floor(
+        (JACCARD_T_NUM * F.col("set_size") + JACCARD_T_DEN - 1) / JACCARD_T_DEN
+    ).cast("long") + 1
+    w = Window.partitionBy("doc_id").orderBy("dfreq", "shingle")
+    prefix = (
+        sh.join(F.broadcast(dfreq), "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("rk") <= plen)
+        .select("doc_id", "shingle")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (cand.doc_b == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    za = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    zb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    union_size = F.col("size_a") + F.col("size_b") - F.col("intersection")
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(t_den * F.col("intersection") >= t_num * union_size)
+        .select(
+            "doc_a",
+            "doc_b",
+            "intersection",
+            (F.col("intersection").cast("double") / union_size).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    return jaccard_prefix_pairs(shingles_df(_docs(spark, sf_dir)).cache())
+
+
+# Oracle: BRUTE FORCE at the same threshold — prefix filtering must be
+# lossless, so the smart plan and the naive plan agree row-for-row.
+SQL_DEDUP_JACCARD_PREFIX = f"""
+WITH {SQL_SHINGLES},
+sizes AS (
+    SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, intersection,
+       CAST(intersection AS DOUBLE)
+           / (sa.set_size + sb.set_size - intersection) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE {JACCARD_T_DEN} * intersection
+      >= {JACCARD_T_NUM} * (sa.set_size + sb.set_size - intersection)
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_DEDUP_JACCARD_PREFIX),
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
     "dedup_minhash_bands": (q_dedup_minhash_bands, SQL_DEDUP_MINHASH_BANDS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),

@@ -120,6 +120,32 @@ def test_rfm_scores_in_range(spark):
         assert r["recency_days"] >= 0
 
 
+def test_jaccard_prefix_filter_is_lossless(spark):
+    """Prefix-filtered similarity join must equal brute force at the same
+    threshold (candidate pruning may only drop pairs BELOW threshold)."""
+    from pandas_etl_framework_spark.llmops.dedup import (
+        JACCARD_T_DEN,
+        JACCARD_T_NUM,
+        jaccard_prefix_pairs,
+        q_dedup_jaccard_pairs,
+        shingles_df,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    smart = {
+        (r["doc_a"], r["doc_b"]): r["intersection"]
+        for r in jaccard_prefix_pairs(shingles_df(docs)).collect()
+    }
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["intersection"]
+        for r in q_dedup_jaccard_pairs(spark, sf).collect()
+        if JACCARD_T_DEN * r["intersection"]
+        >= JACCARD_T_NUM * round(r["intersection"] / r["jaccard"])
+    }
+    assert smart == brute and smart, f"{len(smart)} vs {len(brute)}"
+
+
 def test_cross_source_overlap_counts_pairs(spark):
     docs = spark.createDataFrame(
         [
