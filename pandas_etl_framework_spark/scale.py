@@ -255,8 +255,39 @@ GROUP BY l_returnflag
 """
 
 
+def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """salted_join made judge-visible: lineitem (big, skew-prone fact) joins
+    orders' priority dimension through a 16-way salt — the hot-key-spreading
+    plan — then aggregates; the result must equal the plain join the oracle
+    runs.  The salt column is internal: it affects task placement, never
+    values."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qq"),
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, ["l_orderkey"], salt_buckets=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("qq").cast("double") / 100.0).alias("sum_qty"),
+    )
+
+
+SQL_REL_SALTED_JOIN = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+           AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "rel_salted_agg": (q_rel_salted_agg, SQL_REL_SALTED_AGG),
+    "rel_salted_join": (q_rel_salted_join, SQL_REL_SALTED_JOIN),
 }
 
 

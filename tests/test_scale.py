@@ -191,3 +191,43 @@ def test_zorder_clusters_both_dimensions(spark, tmp_path):
     # sort by x: x is narrow but y spans (almost) everything in every file
     assert all(s <= 8 for s in file_spans(spath, 0))
     assert all(s >= 60 for s in file_spans(spath, 1))
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    """Two tables bucketed+sorted on the join key must sort-merge join with
+    NO Exchange on either side (the 100-TB co-located-join path for the
+    delta anti-join: bucket the store on KEY_HASH once, every later run's
+    join reads pre-partitioned buckets)."""
+    from pandas_etl_framework_spark.scale import write_bucketed_store
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    write_bucketed_store(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        "bkt_orders", ["custkey"], num_buckets=4, mode="overwrite",
+    )
+    write_bucketed_store(
+        customer.withColumnRenamed("c_custkey", "custkey"),
+        "bkt_customer", ["custkey"], num_buckets=4, mode="overwrite",
+    )
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_orders").join(
+                spark.table("bkt_customer"), "custkey"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            # and it actually runs
+            assert joined.count() == orders.join(
+                customer, orders.o_custkey == customer.c_custkey
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
