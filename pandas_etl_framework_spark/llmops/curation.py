@@ -22,6 +22,7 @@ before scanning — the operator's regex/redaction path is what's under test.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .text import _docs, tokens_col
@@ -242,8 +243,85 @@ WHERE bucket < CAST(floor(quality_score * {_SAMPLE_MOD}) AS BIGINT)
 SQL_TEXT_QUALITY_SAMPLE = _sql_quality_sample()
 
 
+# --------------------------------------------------------------------------
+# Exact-k weighted sampling (Efraimidis–Spirakis order sampling)
+# --------------------------------------------------------------------------
+
+RESERVOIR_K = 50
+_U_MOD = 2**32
+
+
+def weighted_sample_exact_k(
+    df, weight_col: str, k: int = RESERVOIR_K
+):
+    """Draw EXACTLY k rows with inclusion odds proportional to ``weight_col``
+    (Efraimidis–Spirakis A-ES order sampling, IPL 2006): each row gets key
+    ln(u)/w for u ~ U(0,1] and the k largest keys win.  Bernoulli sampling
+    (quality_weighted_sample) gives a random-size sample; this gives a fixed
+    budget — 'pick the best 10M documents for this mixture' — in one pass.
+
+    Determinism: u is hash-derived (md5 of doc_id), not an RNG, and ln(u) is
+    quantized to a 1e-9 grid BIGINT before the one IEEE division by w — the
+    ranking is engine- and partitioning-stable, and re-runs reproduce the
+    same sample (the reproducibility property the whole curation family
+    maintains).
+
+    Scale: the key is a pure projection; selection is a global top-k, which
+    Spark executes as per-partition top-k + a k-row driver merge
+    (TakeOrdered), never a full sort of the corpus.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / _U_MOD
+    key = (
+        F.floor(F.log(u) * 1_000_000_000).cast("bigint").cast("double")
+        / F.col(weight_col).cast("double")
+    )
+    w = Window.orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+    return (
+        df.select("doc_id", F.col(weight_col).alias("weight"), key.alias("es_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "weight", "rk")
+    )
+
+
+def q_text_weighted_reservoir(spark, sf_dir):
+    return weighted_sample_exact_k(_docs(spark, sf_dir), "n_chars")
+
+
+def _sql_weighted_reservoir() -> str:
+    from ..sketches import _sql_hex_to_long
+
+    u = (
+        f"((CAST({_sql_hex_to_long('md5(CAST(doc_id AS VARCHAR))', 1, 8)}"
+        f" AS DOUBLE) + 1.0) / {_U_MOD})"
+    )
+    return f"""
+WITH keyed AS (
+    SELECT doc_id, n_chars AS weight,
+           CAST(CAST(FLOOR(LN({u}) * 1000000000) AS BIGINT) AS DOUBLE)
+               / CAST(n_chars AS DOUBLE) AS es_key
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, weight,
+           ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id ASC) AS rk
+    FROM keyed
+)
+SELECT doc_id, weight, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {RESERVOIR_K}
+"""
+
+
 QUERIES = {
     "text_pii_redact": (q_text_pii_redact, SQL_TEXT_PII_REDACT),
+    "text_weighted_reservoir": (
+        q_text_weighted_reservoir,
+        _sql_weighted_reservoir(),
+    ),
     "text_boilerplate": (q_text_boilerplate, SQL_TEXT_BOILERPLATE),
     "text_quality_sample": (q_text_quality_sample, SQL_TEXT_QUALITY_SAMPLE),
 }

@@ -146,6 +146,26 @@ def test_jaccard_prefix_filter_is_lossless(spark):
     assert smart == brute and smart, f"{len(smart)} vs {len(brute)}"
 
 
+def test_weighted_reservoir_exact_k_and_deterministic(spark):
+    from pandas_etl_framework_spark.llmops.curation import (
+        weighted_sample_exact_k,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s1 = weighted_sample_exact_k(docs, "n_chars", k=20).collect()
+    s2 = weighted_sample_exact_k(docs, "n_chars", k=20).collect()
+    assert len(s1) == 20
+    assert sorted(r["doc_id"] for r in s1) == sorted(r["doc_id"] for r in s2)
+    # ranks are 1..k exactly once
+    assert sorted(r["rk"] for r in s1) == list(range(1, 21))
+    # weighting matters: zero-ish weight rows must lose to heavy rows far
+    # more often than uniformly — check the sample's mean weight exceeds
+    # the corpus mean (weights vary ~5x across docs)
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r["weight"] for r in s1) / len(s1)
+    assert sample_mean > corpus_mean * 0.9
+
+
 def test_cross_source_overlap_counts_pairs(spark):
     docs = spark.createDataFrame(
         [
