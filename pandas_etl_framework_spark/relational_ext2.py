@@ -566,7 +566,103 @@ ORDER BY o_orderpriority
 """
 
 
+def q_corr_quantized(spark, sf_dir):
+    """Single-pass Pearson correlation per group from ALGEBRAIC integer sums
+    — the scale-correct way to ship statistical aggregates: quantize both
+    variables to BIGINT grids, accumulate (n, Σx, Σy, Σxy, Σx², Σy²) with
+    map-side partials (exact integers, any partitioning), then evaluate the
+    closed form once per group in a fixed expression order.  Engine-exact
+    because every input to the float math is an identical integer and IEEE
+    *, /, sqrt are correctly rounded — unlike built-in corr(), whose
+    running-moment accumulation is partitioning-dependent."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("xq"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("yq"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    r = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return s.select("l_returnflag", "n", r.alias("corr_qty_discount"))
+
+
+SQL_CORR_QUANTIZED = """
+WITH q AS (
+    SELECT l_returnflag,
+           CAST(round(l_quantity * 100) AS BIGINT) AS xq,
+           CAST(round(l_discount * 10000) AS BIGINT) AS yq
+    FROM lineitem
+),
+s AS (
+    SELECT l_returnflag, COUNT(*) AS n,
+           SUM(xq) AS sx, SUM(yq) AS sy, SUM(xq * yq) AS sxy,
+           SUM(xq * xq) AS sxx, SUM(yq * yq) AS syy
+    FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           AS corr_qty_discount
+FROM s
+"""
+
+
+def q_higher_order_funcs(spark, sf_dir):
+    """Array pipeline via higher-order lambdas, entirely inside one
+    projection after the per-order collect: sort, filter, fold, slice —
+    the JVM-side idiom for nested-data work (no explode round-trip, no
+    Python).  Quantities quantized to ints so the fold is engine-exact."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.round(F.col("l_quantity") * 100).cast("long").alias("qq")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("qq")).alias("arr")
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("arr").alias("n_items"),
+        F.aggregate(
+            "arr", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_qq"),
+        F.size(F.filter("arr", lambda x: x > 2500)).alias("n_big"),
+        F.slice("arr", 1, 3).alias("head3"),
+    )
+
+
+SQL_HIGHER_ORDER = """
+WITH per_order AS (
+    SELECT l_orderkey,
+           list_sort(list(CAST(round(l_quantity * 100) AS BIGINT))) AS arr
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       LEN(arr) AS n_items,
+       CAST(list_sum(arr) AS BIGINT) AS total_qq,
+       LEN(list_filter(arr, x -> x > 2500)) AS n_big,
+       arr[1:3] AS head3
+FROM per_order
+"""
+
+
 QUERIES = {
+    "rel_corr_quantized": (q_corr_quantized, SQL_CORR_QUANTIZED),
+    "rel_higher_order": (q_higher_order_funcs, SQL_HIGHER_ORDER),
     "rel_window_ntile": (q_window_ntile, SQL_WINDOW_NTILE),
     "rel_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "rel_fuzzy_join": (q_fuzzy_join, SQL_FUZZY_JOIN),
