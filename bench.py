@@ -33,7 +33,9 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "text_quality",
+    "text_tfidf_topk",
     "text_boilerplate",
+    "dedup_jaccard_prefix",
     "curation_pipeline",
     "emb_topk",
     "emb_kmeans",

@@ -485,6 +485,7 @@ from . import sketches as _sketches  # noqa: E402,F401
 from . import graph as _graph  # noqa: E402,F401
 from . import scale as _scale  # noqa: E402,F401
 from . import sql_entry as _sql_entry  # noqa: E402,F401
+from . import dq as _dq  # noqa: E402,F401
 from .llmops import register_all as _llmops_register_all  # noqa: E402
 
 _relational.register_all()
@@ -496,4 +497,5 @@ _sketches.register_all()
 _graph.register_all()
 _scale.register_all()
 _sql_entry.register_all()
+_dq.register_all()
 _llmops_register_all()

@@ -27,6 +27,9 @@ QUERIES = [
     "emb_kmeans",
     "emb_semantic_dedup",
     "text_boilerplate",
+    "text_tfidf_topk",
+    "dedup_jaccard_prefix",
+    "rel_salted_join",
 ]
 
 
