@@ -370,6 +370,46 @@ FROM store
 """
 
 
+def q_cdc_latest_snapshot(spark, sf_dir):
+    """Current-state reconstruction from the append-only store: the latest
+    version per key (last run id, record-hash tie-break) — the read-side
+    operator the reference's append-only capture implies but never ships
+    (its store only ever accumulates, main.py:23-24).  One window shuffle
+    on KEY_HASH; on a run-partitioned store at scale, pair with a run-id
+    lower-bound filter to prune partitions before the window."""
+    from pyspark.sql import Window
+
+    store = q_cdc_historize_two_runs(spark, sf_dir)
+    w = Window.partitionBy(KEY_HASH).orderBy(
+        F.col("INSERT_RUN_ID").desc(), F.col(RECORD_HASH).desc()
+    )
+    return (
+        store.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(*STAMPED_COLS)
+    )
+
+
+SQL_CDC_LATEST_SNAPSHOT = CDC_PRELUDE + f""",
+store AS (
+    SELECT * FROM stamped1
+    UNION ALL
+    SELECT * FROM stamped2 n
+    WHERE NOT EXISTS (
+        SELECT 1 FROM stamped1 c
+        WHERE c.KEY_HASH = n.KEY_HASH AND c.RECORD_HASH = n.RECORD_HASH
+    )
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY KEY_HASH
+        ORDER BY INSERT_RUN_ID DESC, RECORD_HASH DESC) AS rk
+    FROM store
+)
+SELECT {_S} FROM ranked WHERE rk = 1
+"""
+
+
 def q_cdc_store_diff(spark, sf_dir):
     """Store reconciliation: symmetric diff of two stores by version
     identity — per key-hash class (only_left / only_right / both-changed /
@@ -463,6 +503,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cdc_historize_two_runs": (q_cdc_historize_two_runs, SQL_CDC_HISTORIZE),
     "cdc_store_diff": (q_cdc_store_diff, SQL_CDC_STORE_DIFF),
     "cdc_version_history": (q_cdc_version_history, SQL_CDC_VERSION_HISTORY),
+    "cdc_latest_snapshot": (q_cdc_latest_snapshot, SQL_CDC_LATEST_SNAPSHOT),
     "scd2_merge": (q_scd2_merge, SQL_SCD2_MERGE),
     "scd2_split_active": (q_scd2_split_active, SQL_SCD2_SPLIT_ACTIVE),
     "scd2_split_hist": (q_scd2_split_hist, SQL_SCD2_SPLIT_HIST),
