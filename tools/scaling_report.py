@@ -69,10 +69,60 @@ def main() -> None:
             f"| {name} | {ts[0]:.2f}s | {ts[1]:.2f}s | {ts[2]:.2f}s | {slope}x |"
         )
     lines.append("")
+    lines.append(NARRATIVE)
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALING.md"), "w") as fh:
         fh.write("\n".join(lines))
     print("wrote SCALING.md")
+
+
+NARRATIVE = """\
+## Why these shapes survive a 1000-executor / 100 TB scale-up
+
+Per family, the resource that grows with data and the mechanism that keeps
+it partition-local:
+
+- **CDC / SCD2 (cdc_historize, scd2_merge).** Work per run is one anti- or
+  full-outer join on uniform md5 keys. The store side is read column-pruned
+  to the two hash columns (plan-asserted), so join input bytes scale with
+  row count, not row width; keys are uniform by construction so no skew
+  path is needed. With the store bucketed on KEY_HASH
+  (scale.write_bucketed_store, plan-asserted shuffle-free), steady-state
+  runs shuffle only the incoming batch.
+- **TPC-H joins/aggregates.** Dimensions broadcast; fact-fact joins shuffle
+  once on their keys with AQE handling runtime skew; every aggregate is a
+  built-in hash aggregate with map-side partials, so reduce-side bytes are
+  bounded by group cardinality, not input rows.
+- **Dedup (minhash, jaccard-prefix).** The shingle explosion is a pure map
+  stage; signatures reduce each doc to a constant-width row; LSH banding /
+  prefix filtering bound the candidate space by bucket collisions rather
+  than n². The verify join touches candidate pairs only — at 100 TB the
+  quadratic term never materializes.
+- **Embeddings (kmeans, topk, ivf/pq).** Assignment is broadcast-argmin in
+  one projection (no k× blowup); centroid/update shuffles carry (k × dim)
+  partial sums — independent of corpus size. ANN paths (LSH/IVF/PQ) bound
+  per-query work by bucket/probe size.
+- **Text analytics (tfidf, surprisal, boilerplate).** Token explosions are
+  map-local; every downstream aggregate is (term)- or (doc)-keyed with
+  map-side combine; vocabulary-keyed joins broadcast (vocab ≪ corpus).
+  Posting lists and top-k outputs are bounded before aggregation (window
+  rank ≤ cap), so no per-key state grows with df.
+- **Windows (sessionize, version history, snapshot).** All windows
+  partition by high-cardinality keys (user, KEY_HASH) — no global windows
+  on growing relations anywhere in the hot path; the two global-order
+  windows (RFM quartiles, weighted reservoir rank) run on already-reduced
+  per-user/top-k relations and are documented with their approx-threshold
+  swap for the regime where even those grow.
+- **Streaming.** Watermarks bound state; sessions use
+  applyInPandasWithState with per-key timeouts; the stream-stream join is
+  interval-bounded both sides. State size is O(active keys), not O(events
+  seen).
+
+The 10x-replication smoke in PLANS.md shows the same plans at ~sf1 with
+sub-linear wall growth on fixed cores; nothing in the plan shapes changes
+with more executors — shuffle partition counts and AQE coalescing are the
+only knobs that move.
+"""
     spark.stop()
 
 
