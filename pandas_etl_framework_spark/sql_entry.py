@@ -72,7 +72,30 @@ def q_sql_shared_delta(spark, sf_dir):
     return sql(spark, SHARED_SQL_DELTA)
 
 
+# LATERAL correlated subquery: per dimension row, a dependent top-k probe
+# into the fact table — the SQL shape for "top 2 orders of every high-balance
+# customer" that decorrelates to a ranked window join in both engines.
+SHARED_SQL_LATERAL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 2
+) t
+WHERE c.c_acctbal > 9000
+"""
+
+
+def q_sql_shared_lateral(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return sql(spark, SHARED_SQL_LATERAL)
+
+
 QUERIES = {
+    "sql_shared_lateral": (q_sql_shared_lateral, SHARED_SQL_LATERAL),
     "sql_shared_agg": (q_sql_shared_agg, SHARED_SQL_AGG),
     "sql_shared_join": (q_sql_shared_join, SHARED_SQL_JOIN),
     "sql_shared_delta": (q_sql_shared_delta, SHARED_SQL_DELTA),
