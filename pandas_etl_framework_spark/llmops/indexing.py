@@ -337,9 +337,102 @@ FROM tf GROUP BY doc_id, bucket
 """
 
 
+# --------------------------------------------------------------------------
+# Sub-document chunk dedup ratio (repeated-span detection)
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 50       # fixed token-window size for span hashing
+
+
+def chunk_dedup_ratio(docs: DataFrame, chunk: int = CHUNK_TOKENS) -> DataFrame:
+    """Per-document ratio of fixed-size token spans that also occur in some
+    OTHER document — the sub-document granularity of exact dedup (the
+    C4-style 'remove repeated spans' signal; whole-doc hashing misses a
+    copied paragraph inside an otherwise unique page).
+
+    Spans are non-overlapping ``chunk``-token windows, hashed with md5 of
+    the space-joined window (the reference's record-hash construction,
+    MetaColumnHelpers.py:122-128, at span granularity).  Cross-document
+    occurrence is one hash-keyed aggregate; 'other document' is decided
+    with per-hash distinct-doc counts plus per-(hash,doc) multiplicity so
+    self-repeats inside a single doc do not count as cross-doc duplication.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.floor(F.size(toks) / chunk).cast("int")
+    idx = F.when(n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = docs.select(
+        "doc_id",
+        F.explode(idx).alias("i"),
+        toks.alias("t"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice("t", F.col("i") * chunk + 1, chunk))
+        ).alias("h"),
+    )
+    per_doc_hash = spans.groupBy("doc_id", "h").agg(
+        F.count(F.lit(1)).alias("n_local")
+    )
+    cross = per_doc_hash.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    return (
+        per_doc_hash.join(cross, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_local").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("n_docs_with") > 1, F.col("n_local")).otherwise(0)
+            ).alias("n_shared_chunks"),
+        )
+        .withColumn(
+            "shared_ratio",
+            F.col("n_shared_chunks").cast("double") / F.col("n_chunks"),
+        )
+    )
+
+
+def q_text_chunk_dedup(spark, sf_dir):
+    return chunk_dedup_ratio(_docs(spark, sf_dir))
+
+
+def _sql_chunk_dedup() -> str:
+    c = CHUNK_TOKENS
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+spans AS (
+    SELECT doc_id,
+           md5(array_to_string(t[(i * {c} + 1):((i + 1) * {c})], ' ')) AS h
+    FROM toks,
+         UNNEST(generate_series(0, CAST(FLOOR(LEN(t) / {c}) AS INTEGER) - 1))
+             AS u(i)
+    WHERE LEN(t) >= {c}
+),
+per_doc_hash AS (
+    SELECT doc_id, h, COUNT(*) AS n_local FROM spans GROUP BY doc_id, h
+),
+cross_docs AS (
+    SELECT h, COUNT(*) AS n_docs_with FROM per_doc_hash GROUP BY h
+)
+SELECT doc_id,
+       SUM(n_local) AS n_chunks,
+       SUM(CASE WHEN n_docs_with > 1 THEN n_local ELSE 0 END)
+           AS n_shared_chunks,
+       CAST(SUM(CASE WHEN n_docs_with > 1 THEN n_local ELSE 0 END) AS DOUBLE)
+           / SUM(n_local) AS shared_ratio
+FROM per_doc_hash JOIN cross_docs USING (h)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_tfidf_topk": (q_text_tfidf_topk, _sql_tfidf_topk()),
     "text_hashed_bow": (q_text_hashed_bow, _sql_hashed_bow()),
+    "text_chunk_dedup": (q_text_chunk_dedup, _sql_chunk_dedup()),
     "text_inverted_index": (q_text_inverted_index, _sql_inverted_index()),
     "text_unigram_logprob": (q_text_unigram_logprob, _sql_unigram_logprob()),
     "dedup_cross_source": (q_dedup_cross_source, SQL_CROSS_SOURCE),

@@ -166,6 +166,31 @@ def test_weighted_reservoir_exact_k_and_deterministic(spark):
     assert sample_mean > corpus_mean * 0.9
 
 
+def test_chunk_dedup_flags_cross_doc_spans_only(spark):
+    from pandas_etl_framework_spark.llmops.indexing import (
+        CHUNK_TOKENS,
+        chunk_dedup_ratio,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(CHUNK_TOKENS))
+    uniq_a = " ".join(f"a{i}" for i in range(CHUNK_TOKENS))
+    self_rep = " ".join(f"r{i}" for i in range(CHUNK_TOKENS))
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " " + uniq_a),          # 1 of 2 chunks shared
+            (1, shared + " " + shared),          # both chunks shared w/ doc 0
+            (2, self_rep + " " + self_rep),      # self-repeat only: NOT shared
+            (3, "too short"),                    # < chunk → excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup_ratio(docs).collect()}
+    assert 3 not in out
+    assert out[0]["n_chunks"] == 2 and out[0]["n_shared_chunks"] == 1
+    assert out[1]["n_chunks"] == 2 and out[1]["n_shared_chunks"] == 2
+    assert out[2]["n_shared_chunks"] == 0 and out[2]["shared_ratio"] == 0.0
+
+
 def test_cross_source_overlap_counts_pairs(spark):
     docs = spark.createDataFrame(
         [
