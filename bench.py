@@ -49,7 +49,7 @@ def bench_streaming(spark, sf_dir: str) -> float:
     (events_hourly), not just plan quality."""
     import tempfile
 
-    from pyspark.sql import functions as F
+    from pandas_etl_framework_spark.relational import normalize_event_time
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -60,8 +60,9 @@ def bench_streaming(spark, sf_dir: str) -> float:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("div(ts, 1000)")))
+    # watermarks require plain TIMESTAMP event time (bigint-nanos and
+    # TIMESTAMP_NTZ both drift in via the parquet physical type)
+    stream = normalize_event_time(stream, "ts")
 
     from pandas_etl_framework_spark.streaming import windowed_event_counts
 

@@ -26,15 +26,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to plain TIMESTAMP regardless of how
+    the parquet physical type drifted between generator/Spark versions:
+
+    - TIMESTAMP(NANOS) read as bigint (legacy nanosAsLong) → micros timestamp
+      (floor division — matches DuckDB's nanos→micros truncation)
+    - tz-less timestamp[us] read as TIMESTAMP_NTZ (Spark 4.x) → TIMESTAMP.
+      Session tz is pinned to UTC (session.py), so the wall-clock instant is
+      preserved and epoch arithmetic / watermarks behave identically.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"div({col}, 1000)")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects; read nanos as long and convert to a microsecond timestamp
-    (floor division — matches DuckDB's nanos→micros truncation)."""
+    """events.parquet has carried TIMESTAMP(NANOS) (rejected by Spark's
+    reader without nanosAsLong) and, after regeneration, tz-less
+    timestamp[us] (TIMESTAMP_NTZ under Spark 4.1, which cannot feed epoch
+    casts or watermarks). Normalize once here so every consumer — batch
+    queries, streaming schemas derived from this frame, bench — sees a plain
+    TIMESTAMP column."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("div(ts, 1000)")))
-    return df
+    return normalize_event_time(df, "ts")
 
 
 _FSUM_SCALE = 10_000
@@ -857,7 +876,9 @@ with_id AS (
            ) AS session_seq
     FROM flagged
 )
-SELECT user_id, session_seq, COUNT(*) AS n_events,
+-- DuckDB SUM(int) OVER ... yields HUGEINT; cast so session_seq matches
+-- Spark's BIGINT in the hashed compare
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
        {_sql_dsum('value', 'session_value')}
 FROM with_id

@@ -70,6 +70,9 @@ def streaming_dedup(
     only for genuinely finite key domains.
     """
     if event_time_col is not None:
+        from ..relational import normalize_event_time
+
+        stream_df = normalize_event_time(stream_df, event_time_col)
         return stream_df.withWatermark(event_time_col, watermark_delay).dropDuplicates(
             key_columns + [event_time_col]
         )

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..relational import normalize_event_time
+
 SESSION_GAP_SECONDS = 1800
 
 
@@ -28,6 +30,9 @@ def windowed_event_counts(
     Works on both batch and streaming DataFrames (same plan); on a stream
     the watermark bounds state so dropped-late rows cap memory at any scale.
     """
+    # watermark rejects TIMESTAMP_NTZ event time (EVENT_TIME_IS_NOT_ON_
+    # TIMESTAMP_TYPE); normalize if the source schema drifted
+    events = normalize_event_time(events, "ts")
     return (
         events.withWatermark("ts", watermark_delay)
         .groupBy(F.window("ts", window_duration).alias("win"), F.col("event_type"))
