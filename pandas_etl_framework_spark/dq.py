@@ -115,12 +115,16 @@ def q_rel_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     rules = summary(orders, _orders_rules())
-    n_orders = orders.count()
     orphans = fk_orphans(orders, F.broadcast(customer), "o_custkey", "c_custkey")
-    fk_row = orphans.agg(
-        F.lit("fk_custkey_exists").alias("rule"),
-        F.count(F.lit(1)).alias("n_violations"),
-        F.lit(n_orders).alias("n_rows"),
+    # total row count joined in as a broadcast singleton — no driver-side
+    # .count() action, the whole report stays one lazy plan
+    n_orders_df = orders.agg(F.count(F.lit(1)).alias("n_rows"))
+    fk_row = (
+        orphans.agg(F.count(F.lit(1)).alias("n_violations"))
+        .crossJoin(F.broadcast(n_orders_df))
+        .select(
+            F.lit("fk_custkey_exists").alias("rule"), "n_violations", "n_rows"
+        )
     )
     return rules.unionByName(fk_row)
 

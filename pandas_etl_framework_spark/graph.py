@@ -12,12 +12,12 @@ with S = 10^12. Overflow headroom: rank_q ≤ 10^12, edge weight ≤ 10^6 →
 products ≤ 10^18 < 2^63.
 
 Scale: each iteration shuffles the contribution sums once (groupBy dst);
-the loop-invariant edge shuffle is computed ONCE and shared across
-iterations by Catalyst's ReusedExchange — see the note in
-pagerank_quantized on why explicit cache/localCheckpoint measured slower.
-At 100 TB pre-partition edges on src so the per-iteration join reuses the
-partitioning; for deep iteration counts, localCheckpoint every ~10 rounds
-to bound lineage.
+the loop-invariant relations (out-weighted edges, node set) are
+localCheckpointed once so no iteration re-reads or re-shuffles the input,
+and each iteration's ranks are lazily checkpointed so lineage (and with it
+planning time and the unrolled Exchange/FileScan cascade) stays flat in
+the iteration count. At 100 TB pre-partition edges on src so the
+per-iteration join reuses the partitioning.
 
 Related llmops operator: connected components (llmops/dedup.py) uses the
 same iterate-until-fixpoint join shape for near-dup clustering.
@@ -34,19 +34,22 @@ PR_SCALE = 1_000_000_000_000  # 10^12
 def pagerank_quantized(edges: DataFrame, iterations: int = 3) -> DataFrame:
     """(node, rank_q) after ``iterations`` damped rounds over ``edges``
     (src, dst, w). All arithmetic integer; deterministic by construction."""
+    # Materialize the loop invariants once. The edge relation is often
+    # itself a join/aggregate pipeline (purchase_edges is orders x lineitem),
+    # and it feeds the node set, the out-weight join, and every iteration —
+    # without truncation the unrolled plan re-derives it once per reference
+    # (the r01 audit measured Exchange x81 / FileScan x56 for 3 iterations).
+    # Checkpointing also keeps the per-iteration plan size constant, so
+    # planning cost doesn't grow with iteration depth.
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # Deliberately NOT cached/checkpointed: within one action Catalyst's
-    # ReusedExchange dedupes the loop-invariant edge shuffle across all
-    # iterations, and whole-plan optimization stays intact — measured 3x
-    # faster than cache() or localCheckpoint() here. Persist only when
-    # iterations grow deep enough (>~10) that planning/lineage dominates,
-    # and then localCheckpoint every few rounds.
-    e = edges.join(out_w, "src")
+    e = edges.join(out_w, "src").localCheckpoint(eager=True)
     n_df = nodes.agg(F.count("*").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", F.expr(f"div({PR_SCALE}, n)").alias("rank_q")
@@ -67,6 +70,9 @@ def pagerank_quantized(edges: DataFrame, iterations: int = 3) -> DataFrame:
                     + F.expr("div(17 * coalesce(s, 0), 20)")
                 ).alias("rank_q"),
             )
+            # lazy: materializes with the next iteration's first action, so
+            # lineage never accumulates across rounds
+            .localCheckpoint(eager=False)
         )
     return ranks
 

@@ -55,7 +55,13 @@ def kmeans_quantized(
     """Return (assignments(vec_id, cid), centroids(cid, c: array<bigint>))
     after ``iterations`` Lloyd rounds, seeded with the vectors whose
     ``vec_id`` < k (deterministic init)."""
-    e = emb.select("vec_id", F.expr(_VQ_EXPR).alias("vq"))
+    # Materialize the quantized vectors once: every Lloyd round scans `e`
+    # for assignment AND for the centroid update, and without truncation
+    # the unrolled lineage re-reads the parquet + requantizes per round
+    # (the r01 plan audit measured Exchange x25 for 3 iterations).
+    e = emb.select("vec_id", F.expr(_VQ_EXPR).alias("vq")).localCheckpoint(
+        eager=True
+    )
     cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("vq").alias("c")
     )
@@ -81,6 +87,9 @@ def kmeans_quantized(
                     lambda st: st["cq"],
                 ).alias("c")
             )
+            # k rows of k x dim ints: checkpointing is ~free and keeps the
+            # per-round plan constant instead of nesting all prior rounds
+            .localCheckpoint(eager=False)
         )
     return assign.select("vec_id", "cid"), cent
 

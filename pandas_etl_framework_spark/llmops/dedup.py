@@ -596,17 +596,31 @@ def jaccard_prefix_pairs(
     LOSSLESS: output is identical to the brute-force join at the same
     threshold (the oracle runs brute force).
     """
+    # The shingle relation is referenced five times below (document
+    # frequencies, sizes, prefix build, both sides of the verification
+    # join). Without materialization Spark re-runs the parquet scan + token
+    # explode once per reference (the r01 plan showed FileScan×20 /
+    # Generate×20) — at corpus scale that re-reads the corpus for every
+    # reference. localCheckpoint materializes the exploded relation once to
+    # executor-local storage and truncates the lineage, so every reference
+    # is a block read; unlike .cache() it cannot silently fall back to
+    # recomputation under memory pressure.
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
     # prefix length: n - ceil(t*n) + 1, with ceil in exact integers
     plen = F.col("set_size") - F.floor(
         (JACCARD_T_NUM * F.col("set_size") + JACCARD_T_DEN - 1) / JACCARD_T_DEN
     ).cast("long") + 1
-    w = Window.partitionBy("doc_id").orderBy("dfreq", "shingle")
+    wd = Window.partitionBy("doc_id")
+    w = wd.orderBy("dfreq", "shingle")
+    # set_size via an unordered window over the same doc_id partitioning as
+    # the rarest-first ranking: both window specs share one shuffle + sort,
+    # replacing a separate aggregate + re-join of `sizes`
     prefix = (
         sh.join(F.broadcast(dfreq), "shingle")
         .withColumn("rk", F.row_number().over(w))
-        .join(sizes, "doc_id")
+        .withColumn("set_size", F.count(F.lit(1)).over(wd))
         .filter(F.col("rk") <= plen)
         .select("doc_id", "shingle")
     )
@@ -657,7 +671,8 @@ def jaccard_prefix_pairs(
 
 
 def q_dedup_jaccard_prefix(spark, sf_dir):
-    return jaccard_prefix_pairs(shingles_df(_docs(spark, sf_dir)).cache())
+    # no .cache() — jaccard_prefix_pairs localCheckpoints the shingles itself
+    return jaccard_prefix_pairs(shingles_df(_docs(spark, sf_dir)))
 
 
 # Oracle: BRUTE FORCE at the same threshold — prefix filtering must be
