@@ -54,10 +54,11 @@ DRIVER_PRIORITY = [
     "cdc_historize_two_runs", "scd2_merge", "scd2_split_active",
     "scd2_split_hist", "schema_prepare",
     # relational / events (window-lag + sessionize + range-join were the
-    # round-2 TIMESTAMP_NTZ regressions; asof join had no driver row)
-    "rel_filter_project", "rel_union", "rel_window_lag", "rel_window_rank",
+    # round-2 TIMESTAMP_NTZ regressions; asof join had no driver row).
+    # rel_union sits past the window: U1 stays proven via cdc_merge_cdc.
+    "rel_filter_project", "rel_window_lag", "rel_window_rank",
     "events_sessionize", "events_range_join", "events_asof_join",
-    "multimodal_metadata",
+    "multimodal_metadata", "multimodal_decode_image",
     # TPC-H: q1 anchor + the hard shapes with no prior driver row
     "tpch_q1", "tpch_q2", "tpch_q7", "tpch_q9", "tpch_q13", "tpch_q17",
     "tpch_q20", "tpch_q21",

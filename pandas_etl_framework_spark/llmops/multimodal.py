@@ -2,12 +2,16 @@
 columns with typed metadata, processed by Arrow-batched Pandas UDFs over
 ``mapInPandas``.
 
-The container has no image/audio codecs, so the actual decode step is a
-STUB: ``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless
-a deterministic fake decoder is injected (tests do exactly that). Everything
-Spark-side — schemas, batch iteration, partition sizing, UDF signatures,
-metadata propagation — is real and tested; swapping in PIL/ffmpeg later
-changes only the inner per-batch function.
+The container has no media codec libraries, so the built-in decoders are
+stdlib-only: ``decode_image`` parses binary PPM/PGM (netpbm P6/P5) and
+``decode_audio`` parses PCM WAV (RIFF) — enough to drive the full
+decode→feature pipeline end-to-end with real byte parsing, and
+driver-checkable via the ``multimodal_decode_image`` / ``_audio`` oracle
+queries. Compressed formats (PNG/JPEG/MP3/MP4) still raise
+``NotImplementedError`` at the same seam; swapping in PIL/ffmpeg later
+changes only the inner per-batch function. Everything Spark-side —
+schemas, batch iteration, partition sizing, UDF signatures, metadata
+propagation — is real and tested.
 
 Scale posture: media blobs are large, so batches are bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` and the repartition knob on
@@ -49,15 +53,87 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_image(content: bytes) -> "object":
-    """STUB — no image codec in this environment. Replace with PIL/opencv;
-    tests inject ``fake_decoder`` instead."""
-    raise NotImplementedError("no image codec available in this environment")
+def _netpbm_header(buf: bytes) -> tuple[list[int], int]:
+    """Parse the numeric header fields of a binary netpbm file (after the
+    magic): width, height, maxval — honoring whitespace and ``#`` comments.
+    Returns (fields, data_offset): data begins one whitespace byte after
+    the last header token, per the spec."""
+    fields: list[int] = []
+    i = 2  # past magic
+    while len(fields) < 3:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        fields.append(int(buf[i:j]))
+        i = j
+    return fields, i + 1
 
 
-def decode_audio(content: bytes) -> "object":
-    """STUB — no audio codec in this environment."""
-    raise NotImplementedError("no audio codec available in this environment")
+def decode_image(content: bytes) -> dict:
+    """Stdlib-only image decode: binary PPM (P6, RGB) and PGM (P5, gray).
+
+    Returns {width, height, mean_pixel} with mean_pixel averaged over every
+    sample byte of the raster. Other formats (PNG/JPEG/...) need a codec
+    library this environment lacks — same seam, inject a decoder."""
+    if content is None:
+        return {"width": None, "height": None, "mean_pixel": None}
+    magic = bytes(content[:2])
+    if magic not in (b"P6", b"P5"):
+        raise NotImplementedError(
+            "only netpbm P6/P5 decodable without codec libraries; "
+            f"got magic {magic!r}"
+        )
+    (width, height, _maxval), off = _netpbm_header(content)
+    n_samples = width * height * (3 if magic == b"P6" else 1)
+    raster = content[off : off + n_samples]
+    if len(raster) != n_samples:
+        raise ValueError(
+            f"truncated netpbm raster: want {n_samples} bytes, have {len(raster)}"
+        )
+    mean = (sum(raster) / n_samples) if n_samples else None
+    return {"width": width, "height": height, "mean_pixel": mean}
+
+
+def decode_audio(content: bytes) -> dict:
+    """Stdlib-only audio decode: PCM WAV via the ``wave`` module.
+
+    Returns {sample_rate, n_channels, n_frames, duration_ms, mean_abs}
+    where mean_abs averages |sample| over all 16-bit samples (0.0 for
+    empty). Compressed audio needs ffmpeg — same seam, inject a decoder."""
+    import io
+    import wave
+    from array import array
+
+    if content is None:
+        return {
+            "sample_rate": None,
+            "n_channels": None,
+            "n_frames": None,
+            "duration_ms": None,
+            "mean_abs": None,
+        }
+    with wave.open(io.BytesIO(content), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        rate, channels, frames = w.getframerate(), w.getnchannels(), w.getnframes()
+        samples = array("h")
+        samples.frombytes(w.readframes(frames))
+    mean_abs = (
+        sum(abs(s) for s in samples) / len(samples) if len(samples) else 0.0
+    )
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "n_frames": frames,
+        "duration_ms": frames * 1000 // rate if rate else None,
+        "mean_abs": mean_abs,
+    }
 
 
 def fake_decoder(content: bytes) -> dict:
@@ -264,6 +340,139 @@ FROM h
 """
 
 
+# --------------------------------------------------------------------------
+# Oracle-gated decode→feature passes: REAL byte parsing, closed-form oracle
+# --------------------------------------------------------------------------
+
+def q_multimodal_decode_image(spark, sf_dir):
+    """End-to-end image decode→feature over the real pipeline: synthesize a
+    valid binary PPM per document JVM-side (header + constant printable
+    raster byte — parameters derived from doc_id), then run it through
+    ``extract_image_features`` with the stdlib ``decode_image`` PPM parser
+    doing genuine header+raster parsing in the Arrow batch UDF. Because the
+    raster is constant-valued, every feature has a closed form the DuckDB
+    oracle reproduces without a decoder: width/height from doc_id,
+    mean_pixel == the raster byte, sha256 over the identically-built blob.
+    At 100 TB this is the decode stage's exact execution shape: one scan,
+    modality routing before the Python boundary, Arrow-batched decode,
+    no blob ever at the driver."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.col("doc_id") % 13 + 4
+    h = F.col("doc_id") % 7 + 3
+    # raster byte = doc_id % 90 + 33: printable ASCII, so 1 char == 1 byte
+    payload = F.encode(
+        F.concat(
+            F.format_string("P6\n%d %d\n255\n", w, h),
+            F.expr("repeat(char(doc_id % 90 + 33), (doc_id % 13 + 4) * (doc_id % 7 + 3) * 3)"),
+        ),
+        "UTF-8",
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("content"),
+    )
+    return extract_image_features(media).select(
+        "media_id", "n_bytes", "content_sha", "width", "height", "mean_pixel"
+    )
+
+
+# the payload is pure ASCII, so hashing the VARCHAR form equals hashing the
+# UTF-8 bytes (DuckDB's sha256 takes VARCHAR only)
+SQL_MULTIMODAL_DECODE_IMAGE = """
+WITH params AS (
+    SELECT doc_id,
+           doc_id % 13 + 4 AS w,
+           doc_id % 7 + 3 AS h,
+           doc_id % 90 + 33 AS v
+    FROM documents
+),
+payloads AS (
+    SELECT doc_id, w, h, v,
+           'P6' || chr(10) || w || ' ' || h || chr(10) || '255'
+                || chr(10) || repeat(chr(CAST(v AS INTEGER)), w * h * 3) AS s
+    FROM params
+)
+SELECT doc_id AS media_id,
+       octet_length(encode(s)) AS n_bytes,
+       sha256(s) AS content_sha,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(v AS DOUBLE) AS mean_pixel
+FROM payloads
+"""
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_channels", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("mean_abs", T.DoubleType(), True),
+    ]
+)
+
+_WAV_RATE = 8000
+
+
+def q_multimodal_decode_audio(spark, sf_dir):
+    """End-to-end audio decode→feature: the batch UDF synthesizes a real
+    PCM WAV per document (stdlib ``wave`` writer, constant-amplitude 16-bit
+    mono derived from doc_id) and immediately parses it back with
+    ``decode_audio`` — a true RIFF round-trip through the container format,
+    not a fake. Constant amplitude gives every feature a closed form for
+    the oracle. Same Arrow-batched mapInPandas shape as the image pass."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+        from array import array
+
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA}
+            for doc_id in pdf["doc_id"]:
+                n_frames = 50 + int(doc_id) % 100
+                amp = int(doc_id) % 1000
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wv:
+                    wv.setnchannels(1)
+                    wv.setsampwidth(2)
+                    wv.setframerate(_WAV_RATE)
+                    wv.writeframes(array("h", [amp] * n_frames).tobytes())
+                feats = decode_audio(buf.getvalue())
+                out["media_id"].append(int(doc_id))
+                out["sample_rate"].append(feats["sample_rate"])
+                out["n_channels"].append(feats["n_channels"])
+                out["n_frames"].append(feats["n_frames"])
+                out["duration_ms"].append(feats["duration_ms"])
+                out["mean_abs"].append(feats["mean_abs"])
+            yield pd.DataFrame(out)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(per_batch, AUDIO_FEATURES_SCHEMA)
+
+
+SQL_MULTIMODAL_DECODE_AUDIO = f"""
+SELECT doc_id AS media_id,
+       {_WAV_RATE} AS sample_rate,
+       1 AS n_channels,
+       50 + doc_id % 100 AS n_frames,
+       (50 + doc_id % 100) * 1000 // {_WAV_RATE} AS duration_ms,
+       CAST(doc_id % 1000 AS DOUBLE) AS mean_abs
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_metadata": (q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
+    "multimodal_decode_image": (
+        q_multimodal_decode_image,
+        SQL_MULTIMODAL_DECODE_IMAGE,
+    ),
+    "multimodal_decode_audio": (
+        q_multimodal_decode_audio,
+        SQL_MULTIMODAL_DECODE_AUDIO,
+    ),
 }

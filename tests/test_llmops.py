@@ -143,8 +143,45 @@ def test_extract_image_features_with_fake_decoder(media_df):
 
 
 def test_decode_stub_raises(media_df):
+    # fixture blobs are not netpbm, so the default decoder still refuses
     with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
         multimodal.extract_image_features(media_df).collect()
+
+
+def test_decode_image_ppm():
+    # 2x2 P6 with a header comment; raster bytes 10..21 -> mean 15.5
+    raster = bytes(range(10, 22))
+    ppm = b"P6\n# a comment\n2 2\n255\n" + raster
+    d = multimodal.decode_image(ppm)
+    assert (d["width"], d["height"]) == (2, 2)
+    assert abs(d["mean_pixel"] - sum(raster) / 12) < 1e-12
+    # P5 grayscale: 3x1, bytes 0,128,255
+    d5 = multimodal.decode_image(b"P5\n3 1\n255\n" + bytes([0, 128, 255]))
+    assert (d5["width"], d5["height"]) == (3, 1)
+    assert abs(d5["mean_pixel"] - (0 + 128 + 255) / 3) < 1e-12
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"P6\n2 2\n255\nshort")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG....")
+
+
+def test_decode_audio_wav():
+    import io
+    import wave
+    from array import array
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(array("h", [100, -300, 200, 0]).tobytes())
+    d = multimodal.decode_audio(buf.getvalue())
+    assert d["sample_rate"] == 8000
+    assert d["n_channels"] == 1
+    assert d["n_frames"] == 4
+    assert d["duration_ms"] == 0  # 4 frames @8kHz -> 0.5ms floors to 0
+    assert abs(d["mean_abs"] - (100 + 300 + 200 + 0) / 4) < 1e-12
 
 
 def test_resize_images_plumbing(media_df):
