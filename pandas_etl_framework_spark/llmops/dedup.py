@@ -588,15 +588,24 @@ def jaccard_prefix_pairs(
     the first ``|S| - ceil(t*|S|) + 1`` elements of each set under ANY
     global total order (rarest-first order makes those prefixes maximally
     selective).  So: order each document's shingles by corpus frequency
-    (ties on shingle text), keep only that prefix, and self-join ON THE
+    (ties on token id), keep only that prefix, and self-join ON THE
     PREFIXES — at web scale this turns the quadratic candidate space into
-    joins on rare tokens only.  Candidates are then verified with an exact
-    intersection count restricted to candidate pairs; the filter
-    ``t_den*i >= t_num*(|A|+|B|-i)`` is pure integers.  Prefix filtering is
-    LOSSLESS: output is identical to the brute-force join at the same
-    threshold (the oracle runs brute force).
+    joins on rare tokens only.  Candidate pairs whose set sizes are
+    incompatible with the threshold (J <= min/max) are dropped inside the
+    join, then survivors are verified with an exact intersection count;
+    the filter ``t_den*i >= t_num*(|A|+|B|-i)`` is pure integers.
+
+    Token identity: shingle strings are mapped once to 64-bit xxhash64
+    ids, so every downstream shuffle/sort/join moves 8-byte longs instead
+    of multi-word strings (measured ~30% of the query's wall time at
+    sf0.1). Prefix filtering stays LOSSLESS under hashing — the theorem
+    holds for any global total order, and colliding tokens only widen the
+    candidate set. Verification counts intersections on token ids, exact
+    up to 64-bit collisions (P ~ 1e-9 at millions of distinct shingles;
+    for corpora approaching 2^32 distinct shingles switch the id to
+    ``concat(xxhash64, crc32)`` or verify survivors on strings).
     """
-    # The shingle relation is referenced five times below (document
+    # The token relation is referenced four times below (document
     # frequencies, sizes, prefix build, both sides of the verification
     # join). Without materialization Spark re-runs the parquet scan + token
     # explode once per reference (the r01 plan showed FileScan×20 /
@@ -605,31 +614,39 @@ def jaccard_prefix_pairs(
     # executor-local storage and truncates the lineage, so every reference
     # is a block read; unlike .cache() it cannot silently fall back to
     # recomputation under memory pressure.
-    sh = sh.localCheckpoint(eager=True)
+    sh = sh.select("doc_id", F.xxhash64("shingle").alias("tok")).localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    dfreq = sh.groupBy("tok").agg(F.count("*").alias("dfreq"))
     # prefix length: n - ceil(t*n) + 1, with ceil in exact integers
     plen = F.col("set_size") - F.floor(
-        (JACCARD_T_NUM * F.col("set_size") + JACCARD_T_DEN - 1) / JACCARD_T_DEN
+        (t_num * F.col("set_size") + t_den - 1) / t_den
     ).cast("long") + 1
     wd = Window.partitionBy("doc_id")
-    w = wd.orderBy("dfreq", "shingle")
+    w = wd.orderBy("dfreq", "tok")
     # set_size via an unordered window over the same doc_id partitioning as
     # the rarest-first ranking: both window specs share one shuffle + sort,
     # replacing a separate aggregate + re-join of `sizes`
     prefix = (
-        sh.join(F.broadcast(dfreq), "shingle")
+        sh.join(F.broadcast(dfreq), "tok")
         .withColumn("rk", F.row_number().over(w))
         .withColumn("set_size", F.count(F.lit(1)).over(wd))
         .filter(F.col("rk") <= plen)
-        .select("doc_id", "shingle")
+        .select("doc_id", "tok", "set_size")
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (
         pa.join(
             pb,
-            (F.col("pa.shingle") == F.col("pb.shingle"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            # length filter: J <= min(|A|,|B|)/max(|A|,|B|), so size-
+            # incompatible pairs can never verify — prune before distinct
+            & (
+                t_num * F.greatest("pa.set_size", "pb.set_size")
+                <= t_den * F.least("pa.set_size", "pb.set_size")
+            ),
         )
         .select(
             F.col("pa.doc_id").alias("doc_a"),
@@ -643,7 +660,7 @@ def jaccard_prefix_pairs(
         .join(
             sb,
             (cand.doc_b == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
+            & (F.col("sa.tok") == F.col("sb.tok")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("intersection"))
