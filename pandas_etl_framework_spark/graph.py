@@ -55,13 +55,19 @@ def pagerank_quantized(edges: DataFrame, iterations: int = 3) -> DataFrame:
         "node", F.expr(f"div({PR_SCALE}, n)").alias("rank_q")
     )
     for _ in range(iterations):
-        contrib = e.join(ranks, e.src == ranks.node).select(
+        # ranks is one row per node — orders of magnitude smaller than the
+        # edge relation. Broadcasting it keeps `e` in place all rounds (no
+        # per-iteration shuffle of the big side); same for the sums side of
+        # the rank update. For node sets too large to broadcast (~beyond
+        # 10^8), swap to e pre-partitioned by src + ranks repartitioned by
+        # node: then only the small rank relation moves per round.
+        contrib = e.join(F.broadcast(ranks), e.src == ranks.node).select(
             F.col("dst").alias("node"),
             F.expr("div(rank_q * w, out_w)").alias("c"),
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (
-            nodes.join(sums, "node", "left")
+            nodes.join(F.broadcast(sums), "node", "left")
             .crossJoin(F.broadcast(n_df))
             .select(
                 "node",

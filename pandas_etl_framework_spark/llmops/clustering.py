@@ -210,24 +210,39 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sq_norm", _qdot(F.col("q"), F.col("q")))
         .join(assign, "vec_id")
     )
-    a, b = scored.alias("a"), scored.alias("b")
-    cos = _qdot(F.col("a.q"), F.col("b.q")) / (
-        F.sqrt(F.col("a.sq_norm").cast("double"))
-        * F.sqrt(F.col("b.sq_norm").cast("double"))
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    # Within-cluster scoring as one Arrow-batched grouped map: each cluster
+    # lands on one task (same distribution as the cid equi-join it replaces)
+    # and the pairwise dot products run as a single BLAS GEMM instead of
+    # O(pairs x dim) Catalyst lambda evaluations (~3x on the whole query at
+    # sf0.1). EXACT, not approximate-float: every product and partial sum
+    # of the quantized vectors is an integer below 2^53 (|q_i| <= ~1e6, dim
+    # 64 -> |dot| <= 6.4e13), so float64 GEMM returns the same integers the
+    # JVM long arithmetic produced, and sqrt/divide are the identical IEEE
+    # ops the expression version ran per pair.
+    def _pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        Q = np.stack(pdf["q"].to_numpy()).astype("float64")
+        nrm = np.sqrt(pdf["sq_norm"].to_numpy().astype("float64"))
+        cos = (Q @ Q.T) / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        c = cos[ia, ib]
+        keep = c * COS_DEN > COS_NUM
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cid": np.full(int(keep.sum()), pdf["cid"].iloc[0]),
+                "qcos": c[keep],
+            }
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.cid").alias("cid"),
-            cos.alias("qcos"),
-        )
-        .filter(F.col("qcos") * COS_DEN > COS_NUM)
+
+    return scored.groupBy("cid").applyInPandas(
+        _pairs, "vec_a long, vec_b long, cid long, qcos double"
     )
 
 

@@ -617,7 +617,6 @@ def jaccard_prefix_pairs(
     sh = sh.select("doc_id", F.xxhash64("shingle").alias("tok")).localCheckpoint(
         eager=True
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     dfreq = sh.groupBy("tok").agg(F.count("*").alias("dfreq"))
     # prefix length: n - ceil(t*n) + 1, with ceil in exact integers
     plen = F.col("set_size") - F.floor(
@@ -633,9 +632,21 @@ def jaccard_prefix_pairs(
         .withColumn("rk", F.row_number().over(w))
         .withColumn("set_size", F.count(F.lit(1)).over(wd))
         .filter(F.col("rk") <= plen)
-        .select("doc_id", "tok", "set_size")
+        .select("doc_id", "tok", "set_size", "rk")
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    # PPJoin's positional filter: Jaccard >= t needs overlap
+    # o >= ceil(t/(1+t) * (|A|+|B|)); a match at ranks (rka, rkb) in the
+    # dfreq order can contribute at most 1 + min(|A|-rka, |B|-rkb) more
+    # overlap, so pairs whose every shared prefix token is too late can
+    # never verify. Integer form: a >= ceil(p/q) <=> a*q >= p. Lossless —
+    # a qualifying pair's FIRST shared token always passes (WWW'08 thm),
+    # and the pair survives if ANY of its generating tokens passes.
+    possible = F.lit(1) + F.least(
+        F.col("pa.set_size") - F.col("pa.rk"),
+        F.col("pb.set_size") - F.col("pb.rk"),
+    )
+    needed = t_num * (F.col("pa.set_size") + F.col("pb.set_size"))
     cand = (
         pa.join(
             pb,
@@ -646,7 +657,8 @@ def jaccard_prefix_pairs(
             & (
                 t_num * F.greatest("pa.set_size", "pb.set_size")
                 <= t_den * F.least("pa.set_size", "pb.set_size")
-            ),
+            )
+            & (possible * (t_num + t_den) >= needed),
         )
         .select(
             F.col("pa.doc_id").alias("doc_a"),
@@ -654,36 +666,45 @@ def jaccard_prefix_pairs(
         )
         .distinct()
     )
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    # Verification: instead of re-exploding both candidate docs into
+    # (doc, tok) rows and shuffle-joining on tok equality (token-count-sized
+    # shuffle + a pair-keyed aggregation), collapse each doc's token set to
+    # ONE sorted array row and compute |A∩B| per candidate pair with
+    # array_intersect. Each doc's set now crosses the wire once per side as
+    # a packed array, the pair aggregation disappears, and at this SF both
+    # doc-keyed joins broadcast. Exact under set semantics: shingles_df
+    # emits distinct shingles per doc, so array size == count(*).
+    toks = (
+        sh.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("tok")).alias("toks"))
+        .withColumn("set_size", F.size("toks"))
+    )
+    ta = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("set_size").alias("size_b"),
+    )
     inter = (
-        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (cand.doc_b == F.col("sb.doc_id"))
-            & (F.col("sa.tok") == F.col("sb.tok")),
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "intersection",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("intersection"))
-    )
-    za = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
-    )
-    zb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
     )
     union_size = F.col("size_a") + F.col("size_b") - F.col("intersection")
-    return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .filter(t_den * F.col("intersection") >= t_num * union_size)
-        .select(
-            "doc_a",
-            "doc_b",
-            "intersection",
-            (F.col("intersection").cast("double") / union_size).alias(
-                "jaccard"
-            ),
-        )
+    return inter.filter(
+        t_den * F.col("intersection") >= t_num * union_size
+    ).select(
+        "doc_a",
+        "doc_b",
+        "intersection",
+        (F.col("intersection").cast("double") / union_size).alias("jaccard"),
     )
 
 

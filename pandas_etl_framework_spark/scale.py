@@ -33,7 +33,13 @@ def salted_join(
         SALT_COL, F.floor(F.rand(seed=42) * salt_buckets).cast("int")
     )
     salts = F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
-    replicated_small = small.withColumn(SALT_COL, salts)
+    # shuffle_hash: salting targets the regime where the small side is NOT
+    # broadcast-able; without the hint Catalyst happily broadcasts the
+    # n-times-replicated relation (n x the bytes to every executor, the
+    # exact cost salting is meant to dodge). Hash beats sort-merge here
+    # because the salted key is high-cardinality and the build side is
+    # per-partition small.
+    replicated_small = small.withColumn(SALT_COL, salts).hint("shuffle_hash")
     return salted_big.join(
         replicated_small, on=keys + [SALT_COL], how=how
     ).drop(SALT_COL)
