@@ -41,14 +41,6 @@ _VQ_EXPR = (
     " as bigint))"
 )
 
-_ARGMIN_EXPR = """
-array_min(transform(cs, s -> struct(
-    aggregate(zip_with(vq, s.c, (a, b) -> (a - b) * (a - b)),
-              cast(0 as bigint), (acc, x) -> acc + x) AS d,
-    s.cid AS cid)))
-"""
-
-
 def kmeans_quantized(
     emb: DataFrame, k: int = KM_K, iterations: int = KM_ITERATIONS
 ) -> tuple[DataFrame, DataFrame]:
@@ -67,11 +59,41 @@ def kmeans_quantized(
     )
     assign = None
     for _ in range(iterations):
-        cents_arr = cent.agg(F.collect_list(F.struct("cid", "c")).alias("cs"))
-        assign = (
-            e.crossJoin(F.broadcast(cents_arr))
-            .select("vec_id", "vq", F.expr(_ARGMIN_EXPR).alias("m"))
-            .select("vec_id", "vq", F.col("m.cid").alias("cid"))
+        # k x dim integers — driver-sized by construction (same contract as
+        # the IVF/PQ codebooks). Shipping them inside an Arrow map closure
+        # lets assignment run as one BLAS GEMM per batch instead of a
+        # k*dim-term Catalyst lambda per vector. EXACT: |q_i| <= ~1e6, dim
+        # 64, so every squared distance term is an integer below 2^53 and
+        # float64 reproduces the JVM long arithmetic; ties break to the
+        # lowest cid both here (C sorted by cid, argmin returns the first
+        # minimum) and in the struct-min expression this replaces.
+        import numpy as np
+
+        crows = sorted(cent.collect(), key=lambda r: r["cid"])
+        C = np.array([r["c"] for r in crows], dtype="int64").astype("float64")
+        cids = np.array([r["cid"] for r in crows], dtype="int64")
+
+        def assign_batches(it, C=C, cids=cids):
+            import numpy as np
+            import pandas as pd
+
+            cc = (C * C).sum(axis=1)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                Q = np.stack(pdf["vq"].to_numpy()).astype("float64")
+                qq = (Q * Q).sum(axis=1)
+                d = qq[:, None] - 2.0 * (Q @ C.T) + cc[None, :]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "vq": pdf["vq"],
+                        "cid": cids[np.argmin(d, axis=1)],
+                    }
+                )
+
+        assign = e.mapInPandas(
+            assign_batches, "vec_id long, vq array<long>, cid long"
         )
         sums = (
             assign.select("cid", F.posexplode("vq").alias("pos", "v"))

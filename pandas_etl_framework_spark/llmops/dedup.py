@@ -135,7 +135,10 @@ shingles AS (
 def q_dedup_jaccard_pairs(spark, sf_dir):
     """Exact pairwise Jaccard over 3-gram shingle sets for every pair
     sharing at least one shingle. Output is (a, b, intersection, jaccard)."""
-    sh = shingles_df(_docs(spark, sf_dir)).cache()
+    # localCheckpoint, not .cache(): referenced three times below (sizes +
+    # both join sides); cache is advisory and recomputes the explode when
+    # cleared/evicted
+    sh = shingles_df(_docs(spark, sf_dir)).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -365,10 +368,13 @@ SQL_DEDUP_MINHASH_BANDS = (
 def q_dedup_minhash_pairs(spark, sf_dir):
     """Candidate near-dup pairs: documents sharing any LSH band bucket.
 
-    The band table is cached before the self-join — otherwise Spark
-    recomputes the full shingle→signature pipeline for both join sides.
+    The band table is materialized (localCheckpoint) before the self-join —
+    otherwise Spark recomputes the full shingle→signature pipeline for both
+    join sides. Checkpoint, not .cache(): cache is advisory (anything that
+    clears or evicts it silently re-runs the pipeline twice), while the
+    checkpoint truncates lineage so both sides are block reads.
     """
-    bands = q_dedup_minhash_bands(spark, sf_dir).cache()
+    bands = q_dedup_minhash_bands(spark, sf_dir).localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
