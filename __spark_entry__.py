@@ -40,12 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Subset contract: the driver records correctness rows for the FIRST 50
 # queries() entries only (CORRECTNESS_r01/r02 both truncate there), while the
-# registry holds 153. This priority list front-loads one window covering every
+# registry holds 156. This priority list front-loads one window covering every
 # family — reference CDC/SCD2 core, relational/events (incl. the round-2 NTZ
 # regressions), previously-unseen TPC-H, sketches, graph, skew/SQL/DQ, and the
 # LLM-ops flagship surface — so the driver gate exercises the breadth of the
 # engine, not 50 variations of the already-proven core. The remaining queries
-# follow in registry order; ALL 153 are verified against their DuckDB oracles
+# follow in registry order; ALL 156 are verified against their DuckDB oracles
 # by `python tools/check_correctness.py` (same compare as the driver).
 DRIVER_PRIORITY = [
     # reference-parity core (SURVEY.md §2)
@@ -56,9 +56,10 @@ DRIVER_PRIORITY = [
     # relational / events (window-lag + sessionize + range-join were the
     # round-2 TIMESTAMP_NTZ regressions; asof join had no driver row).
     # rel_union sits past the window: U1 stays proven via cdc_merge_cdc.
-    "rel_filter_project", "rel_window_lag", "rel_window_rank",
+    "rel_filter_project", "rel_window_lag",
     "events_sessionize", "events_range_join", "events_asof_join",
     "multimodal_metadata", "multimodal_decode_image",
+    "multimodal_decode_video",
     # TPC-H: q1 anchor + the hard shapes with no prior driver row
     "tpch_q1", "tpch_q2", "tpch_q7", "tpch_q9", "tpch_q13", "tpch_q17",
     "tpch_q20", "tpch_q21",

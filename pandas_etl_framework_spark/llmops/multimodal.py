@@ -3,11 +3,14 @@ columns with typed metadata, processed by Arrow-batched Pandas UDFs over
 ``mapInPandas``.
 
 The container has no media codec libraries, so the built-in decoders are
-stdlib-only: ``decode_image`` parses binary PPM/PGM (netpbm P6/P5) and
-``decode_audio`` parses PCM WAV (RIFF) — enough to drive the full
-decode→feature pipeline end-to-end with real byte parsing, and
-driver-checkable via the ``multimodal_decode_image`` / ``_audio`` oracle
-queries. Compressed formats (PNG/JPEG/MP3/MP4) still raise
+stdlib-only: ``decode_image`` parses binary PPM/PGM (netpbm P6/P5),
+``decode_audio`` parses PCM WAV (RIFF), and ``decode_video`` parses
+YUV4MPEG2 (.y4m) streams with ``y4m_frame_extractor`` sampling frames
+into PGM-wrapped luma planes that feed straight back into
+``decode_image`` — enough to drive decode→frame-sample→feature pipelines
+end-to-end with real byte parsing, driver-checkable via the
+``multimodal_decode_image`` / ``_audio`` / ``_video`` oracle queries.
+Compressed formats (PNG/JPEG/MP3/MP4) still raise
 ``NotImplementedError`` at the same seam; swapping in PIL/ffmpeg later
 changes only the inner per-batch function. Everything Spark-side —
 schemas, batch iteration, partition sizing, UDF signatures, metadata
@@ -134,6 +137,109 @@ def decode_audio(content: bytes) -> dict:
         "duration_ms": frames * 1000 // rate if rate else None,
         "mean_abs": mean_abs,
     }
+
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+_Y4M_PLANE_BYTES = {  # chroma subsampling -> bytes per frame as f(w*h)
+    "420": lambda wh: wh * 3 // 2,
+    "422": lambda wh: wh * 2,
+    "444": lambda wh: wh * 3,
+    "mono": lambda wh: wh,
+}
+
+
+def decode_video(content: bytes) -> dict:
+    """Stdlib-only video decode: YUV4MPEG2 (.y4m) container parse.
+
+    Y4M is the uncompressed interchange format every public video tool
+    emits (`ffmpeg -f yuv4mpeg`): one ASCII stream header
+    ``YUV4MPEG2 W<w> H<h> F<num>:<den> [I.. A.. C..]\\n`` then per frame an
+    ASCII ``FRAME[params]\\n`` marker followed by the raw planar YUV bytes.
+    Walks every frame marker (validating layout, not just the header) and
+    returns {width, height, fps_num, fps_den, n_frames}. Compressed
+    containers (mp4/webm) need ffmpeg — same seam, inject a decoder."""
+    if content is None:
+        return {
+            "width": None,
+            "height": None,
+            "fps_num": None,
+            "fps_den": None,
+            "n_frames": None,
+        }
+    if bytes(content[: len(_Y4M_MAGIC)]) != _Y4M_MAGIC:
+        raise NotImplementedError(
+            "only YUV4MPEG2 decodable without codec libraries"
+        )
+    nl = content.index(b"\n")
+    width = height = None
+    fps_num, fps_den, chroma = 25, 1, "420"
+    for tok in bytes(content[len(_Y4M_MAGIC) : nl]).split():
+        tag, val = chr(tok[0]), tok[1:].decode("ascii")
+        if tag == "W":
+            width = int(val)
+        elif tag == "H":
+            height = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag == "C":
+            chroma = "mono" if val.startswith("mono") else val[:3]
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W/H")
+    frame_bytes = _Y4M_PLANE_BYTES[chroma](width * height)
+    n_frames, i = 0, nl + 1
+    while i < len(content):
+        j = content.index(b"\n", i)
+        if bytes(content[i : i + 5]) != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {i}")
+        i = j + 1 + frame_bytes
+        if i > len(content):
+            raise ValueError("truncated Y4M frame raster")
+        n_frames += 1
+    return {
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "n_frames": n_frames,
+    }
+
+
+def y4m_frame_extractor(content: bytes, every_ms: int) -> list[bytes]:
+    """Sample Y4M frames at ``every_ms`` intervals, emitting each sampled
+    frame's luma (Y) plane re-wrapped as a binary PGM (P5) image — so the
+    frame stream composes directly with ``decode_image`` /
+    ``extract_image_features``: video → frames → image features is the
+    whole pipeline with no codec library anywhere. Frame for timestamp t
+    is index floor(t * fps); sampling stops at the last real frame."""
+    meta = decode_video(content)
+    w, h, n = meta["width"], meta["height"], meta["n_frames"]
+    frame_bytes = _Y4M_PLANE_BYTES["420"](w * h)  # offsets recomputed below
+    # re-walk offsets (chroma may differ from 420; reuse the header parse)
+    nl = content.index(b"\n")
+    chroma = "420"
+    for tok in bytes(content[len(_Y4M_MAGIC) : nl]).split():
+        if chr(tok[0]) == "C":
+            val = tok[1:].decode("ascii")
+            chroma = "mono" if val.startswith("mono") else val[:3]
+    frame_bytes = _Y4M_PLANE_BYTES[chroma](w * h)
+    offsets = []
+    i = nl + 1
+    while i < len(content):
+        j = content.index(b"\n", i)
+        offsets.append(j + 1)
+        i = j + 1 + frame_bytes
+    out: list[bytes] = []
+    k = 0
+    header = f"P5\n{w} {h}\n255\n".encode("ascii")
+    while True:
+        idx = k * every_ms * meta["fps_num"] // (1000 * meta["fps_den"])
+        if idx >= n:
+            break
+        off = offsets[idx]
+        out.append(header + bytes(content[off : off + w * h]))
+        k += 1
+    return out
 
 
 def fake_decoder(content: bytes) -> dict:
@@ -465,6 +571,96 @@ FROM documents
 """
 
 
+VIDEO_FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("frame_mean", T.DoubleType(), True),
+    ]
+)
+
+
+def q_multimodal_decode_video(spark, sf_dir):
+    """End-to-end video pipeline: synthesize a real YUV4MPEG2 stream per
+    document (even-dimension C420 planes, constant luma derived from
+    doc_id), flat-map it through ``sample_video_frames`` with the
+    ``y4m_frame_extractor`` doing genuine container parsing (header +
+    per-frame markers + plane offsets), then decode each sampled frame's
+    PGM-wrapped luma plane with ``decode_image``. One row in → N frame
+    rows out — the real distributed shape of frame extraction: blobs never
+    leave executors, every Python stage is Arrow-batched, and the constant
+    planes give every output a closed form the DuckDB oracle reproduces
+    without any codec. fps=5, every_ms=600 → sampled index = 3k, so
+    n_sampled = ceil(n_frames / 3)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "content": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 6 * 2 + 4, d % 4 * 2 + 2
+                v, n = d % 200 + 20, 3 + d % 5
+                frame = (
+                    b"FRAME\n"
+                    + bytes([v]) * (w * h)
+                    + bytes([128]) * (w * h // 2)
+                )
+                head = f"YUV4MPEG2 W{w} H{h} F5:1 Ip A1:1 C420\n"
+                out["media_id"].append(d)
+                out["kind"].append("video")
+                out["content"].append(head.encode("ascii") + frame * n)
+            yield pd.DataFrame(out)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = docs.mapInPandas(
+        synth, "media_id long, kind string, content binary"
+    )
+    frames = sample_video_frames(
+        media, every_ms=600, frame_extractor=y4m_frame_extractor
+    )
+
+    def decode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in VIDEO_FRAME_FEATURES_SCHEMA}
+            for _, r in pdf.iterrows():
+                feats = decode_image(r["frame"])
+                out["media_id"].append(r["media_id"])
+                out["frame_index"].append(r["frame_index"])
+                out["frame_ts_ms"].append(r["frame_ts_ms"])
+                out["width"].append(feats["width"])
+                out["height"].append(feats["height"])
+                out["frame_mean"].append(feats["mean_pixel"])
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(decode_frames, VIDEO_FRAME_FEATURES_SCHEMA)
+
+
+SQL_MULTIMODAL_DECODE_VIDEO = """
+WITH params AS (
+    SELECT doc_id,
+           (doc_id % 6) * 2 + 4 AS w,
+           (doc_id % 4) * 2 + 2 AS h,
+           doc_id % 200 + 20 AS v,
+           3 + doc_id % 5 AS n
+    FROM documents
+),
+ks AS (
+    -- lateral range() is unsupported; scalar range returns a per-row LIST
+    SELECT doc_id, w, h, v, unnest(range((n + 2) // 3)) AS k FROM params
+)
+SELECT doc_id AS media_id,
+       CAST(k AS INTEGER) AS frame_index,
+       CAST(k * 600 AS INTEGER) AS frame_ts_ms,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(v AS DOUBLE) AS frame_mean
+FROM ks
+"""
+
+
 QUERIES = {
     "multimodal_metadata": (q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
     "multimodal_decode_image": (
@@ -474,5 +670,9 @@ QUERIES = {
     "multimodal_decode_audio": (
         q_multimodal_decode_audio,
         SQL_MULTIMODAL_DECODE_AUDIO,
+    ),
+    "multimodal_decode_video": (
+        q_multimodal_decode_video,
+        SQL_MULTIMODAL_DECODE_VIDEO,
     ),
 }

@@ -443,3 +443,51 @@ def test_semantic_dedup_subset_of_brute_force(spark):
     }
     assert got <= brute  # cluster bounding only ever drops pairs
     assert len(got) > 0  # and finds a real candidate set on the fixture
+
+
+def _y4m(w, h, v, n, fps="5:1", chroma="C420"):
+    plane = {"C420": w * h * 3 // 2, "C444": w * h * 3, "Cmono": w * h}[chroma]
+    frame = b"FRAME\n" + bytes([v]) * (w * h) + bytes([128]) * (plane - w * h)
+    return f"YUV4MPEG2 W{w} H{h} F{fps} Ip A1:1 {chroma}\n".encode() + frame * n
+
+
+def test_decode_video_y4m():
+    d = multimodal.decode_video(_y4m(8, 4, 77, 7))
+    assert d == {
+        "width": 8, "height": 4, "fps_num": 5, "fps_den": 1, "n_frames": 7,
+    }
+    assert multimodal.decode_video(_y4m(4, 2, 9, 2, chroma="Cmono"))["n_frames"] == 2
+    assert multimodal.decode_video(_y4m(4, 2, 9, 2, chroma="C444"))["n_frames"] == 2
+    with pytest.raises(ValueError):
+        multimodal.decode_video(_y4m(8, 4, 77, 3)[:-3])  # truncated raster
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_video(b"\x00\x00\x00\x18ftypmp42")  # mp4 needs ffmpeg
+
+
+def test_y4m_frame_extractor_composes_with_decode_image():
+    content = _y4m(8, 4, 77, 7)  # 5 fps, 600ms sampling -> indices 0,3,6
+    frames = multimodal.y4m_frame_extractor(content, 600)
+    assert len(frames) == 3
+    for f in frames:
+        d = multimodal.decode_image(f)  # luma plane re-wrapped as PGM
+        assert (d["width"], d["height"], d["mean_pixel"]) == (8, 4, 77.0)
+
+
+def test_sample_video_frames_y4m_end_to_end(spark):
+    rows = [
+        (1, "video", _y4m(4, 2, 50, 3), "video/y4m", None, None, None),
+        (2, "video", _y4m(6, 4, 60, 7), "video/y4m", None, None, None),
+        (3, "image", b"P5\n1 1\n255\nx", "image/pgm", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.sample_video_frames(
+        media, 600, frame_extractor=multimodal.y4m_frame_extractor
+    ).collect()
+    # video 1: ceil(3/3)=1 frame; video 2: ceil(7/3)=3; image row filtered
+    per = {}
+    for r in out:
+        per.setdefault(r["media_id"], []).append(r)
+    assert {k: len(v) for k, v in per.items()} == {1: 1, 2: 3}
+    assert [r["frame_ts_ms"] for r in sorted(per[2], key=lambda r: r["frame_index"])] == [0, 600, 1200]
+    d = multimodal.decode_image(bytes(per[2][0]["frame"]))
+    assert (d["width"], d["height"], d["mean_pixel"]) == (6, 4, 60.0)
