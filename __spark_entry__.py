@@ -40,12 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Subset contract: the driver records correctness rows for the FIRST 50
 # queries() entries only (CORRECTNESS_r01/r02 both truncate there), while the
-# registry holds 156. This priority list front-loads one window covering every
+# registry holds 158. This priority list front-loads one window covering every
 # family — reference CDC/SCD2 core, relational/events (incl. the round-2 NTZ
 # regressions), previously-unseen TPC-H, sketches, graph, skew/SQL/DQ, and the
 # LLM-ops flagship surface — so the driver gate exercises the breadth of the
 # engine, not 50 variations of the already-proven core. The remaining queries
-# follow in registry order; ALL 156 are verified against their DuckDB oracles
+# follow in registry order; ALL 158 are verified against their DuckDB oracles
 # by `python tools/check_correctness.py` (same compare as the driver).
 DRIVER_PRIORITY = [
     # reference-parity core (SURVEY.md §2)

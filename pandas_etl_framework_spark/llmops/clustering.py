@@ -144,45 +144,55 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_cte_body(k: int = KM_K, iterations: int = KM_ITERATIONS) -> str:
-    """WITH-clause chain ending at assignment ``a{iterations}`` and centroids
-    ``cent{iterations}`` — shared by the profile oracle and the semantic-dedup
-    oracle."""
-    vq = (
+def _kmeans_cte_body(
+    k: int = KM_K,
+    iterations: int = KM_ITERATIONS,
+    suffix: str = "",
+    vq_sql: str | None = None,
+    dim: int = _DIM,
+    first: bool = True,
+) -> str:
+    """WITH-clause chain ending at assignment ``a{suffix}{iterations}`` and
+    centroids ``cent{suffix}{iterations}`` — shared by the profile,
+    semantic-dedup, and IVF oracles. ``suffix``/``vq_sql``/``dim`` let the
+    PQ oracle run one independent chain per subspace (sliced vectors)
+    inside a single WITH; ``first=False`` emits a continuation chain."""
+    vq = vq_sql or (
         "list_transform(embedding,"
         " x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))"
     )
+    s = suffix
     head = f"""
-WITH e AS (
+{"WITH" if first else ","} e{s} AS (
     SELECT vec_id, {vq} AS vq FROM embeddings
 ),
-pos AS (SELECT unnest(range(1, {_DIM + 1})) AS pos),
-cent0 AS (SELECT vec_id AS cid, vq AS c FROM e WHERE vec_id < {k})"""
+pos{s} AS (SELECT unnest(range(1, {dim + 1})) AS pos),
+cent{s}0 AS (SELECT vec_id AS cid, vq AS c FROM e{s} WHERE vec_id < {k})"""
     steps = []
     for i in range(1, iterations + 1):
         p = i - 1
         steps.append(f""",
-d{i} AS (
+d{s}{i} AS (
     SELECT e.vec_id, c.cid,
-           CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+           CAST(list_sum(list_transform(range(1, {dim + 1}),
                 j -> (e.vq[j] - c.c[j]) * (e.vq[j] - c.c[j]))) AS BIGINT) AS d
-    FROM e CROSS JOIN cent{p} c
+    FROM e{s} e CROSS JOIN cent{s}{p} c
 ),
-m{i} AS (SELECT vec_id, MIN(d) AS md FROM d{i} GROUP BY vec_id),
-a{i} AS (
+m{s}{i} AS (SELECT vec_id, MIN(d) AS md FROM d{s}{i} GROUP BY vec_id),
+a{s}{i} AS (
     SELECT d.vec_id, MIN(d.cid) AS cid
-    FROM d{i} d JOIN m{i} m ON d.vec_id = m.vec_id AND d.d = m.md
+    FROM d{s}{i} d JOIN m{s}{i} m ON d.vec_id = m.vec_id AND d.d = m.md
     GROUP BY d.vec_id
 ),
-s{i} AS (
+s{s}{i} AS (
     SELECT a.cid, pos.pos,
            CAST(SUM(e.vq[pos.pos]) AS BIGINT) AS s, COUNT(*) AS n
-    FROM a{i} a JOIN e ON a.vec_id = e.vec_id CROSS JOIN pos
+    FROM a{s}{i} a JOIN e{s} e ON a.vec_id = e.vec_id CROSS JOIN pos{s} pos
     GROUP BY a.cid, pos.pos
 ),
-cent{i} AS (
+cent{s}{i} AS (
     SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY pos) AS c
-    FROM s{i} GROUP BY cid
+    FROM s{s}{i} GROUP BY cid
 )""")
     return head + "".join(steps)
 
@@ -294,7 +304,228 @@ WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
 SQL_EMB_SEMANTIC_DEDUP = _sql_semantic_dedup()
 
 
+# --------------------------------------------------------------------------
+# IVF probe-limited ANN, oracle-checkable
+# --------------------------------------------------------------------------
+
+IVF_NPROBE = 2
+IVF_TOPK = 10
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-limited ANN with a DuckDB oracle: the float IVF in
+    similarity.py (build_ivf_index/ivf_search) is the production API, but
+    float centroid averaging isn't bit-stable across engines, so this
+    driver-checkable twin runs the same probe-limited search shape on the
+    QUANTIZED k-means partitioner — everything integer until the final
+    cosine. Centroid-to-query ranking happens driver-side over k rows (the
+    bounded-collect contract shared with the IVF/PQ codebooks); the scan
+    then touches only the nprobe probed clusters — at scale, store the
+    corpus partitioned by cid and this filter prunes whole files."""
+    from .similarity import _qdot
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign, cent = kmeans_quantized(emb, iterations=SEMDEDUP_ITERATIONS)
+    qv = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(F.expr(_VQ_EXPR).alias("vq"))
+        .first()["vq"]
+    ]
+
+    def d2(c):
+        return sum((a - b) * (a - b) for a, b in zip(c, qv))
+
+    crows = cent.collect()
+    probed = [
+        int(r["cid"])
+        for r in sorted(crows, key=lambda r: (d2(r["c"]), r["cid"]))[:IVF_NPROBE]
+    ]
+    qlit = F.array(*[F.lit(x).cast("long") for x in qv])
+    qq = float(sum(x * x for x in qv))  # integer < 2^53, exact as double
+    scored = (
+        emb.select("vec_id", F.expr(_VQ_EXPR).alias("vq"))
+        .join(assign, "vec_id")
+        .filter(F.col("cid").isin(probed) & (F.col("vec_id") != 0))
+    )
+    qcos = _qdot(F.col("vq"), qlit) / (
+        F.sqrt(_qdot(F.col("vq"), F.col("vq")).cast("double"))
+        * F.sqrt(F.lit(qq))
+    )
+    return (
+        scored.select("vec_id", "cid", qcos.alias("qcos"))
+        .orderBy(F.col("qcos").desc(), "vec_id")
+        .limit(IVF_TOPK)
+    )
+
+
+def _sql_ivf_topk() -> str:
+    i = SEMDEDUP_ITERATIONS
+    tail = f""",
+qv AS (SELECT vq FROM e WHERE vec_id = 0),
+cdist AS (
+    SELECT c.cid,
+           CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                j -> (c.c[j] - q.vq[j]) * (c.c[j] - q.vq[j]))) AS BIGINT) AS d
+    FROM cent{i} c CROSS JOIN qv q
+),
+probes AS (SELECT cid FROM cdist ORDER BY d, cid LIMIT {IVF_NPROBE})
+SELECT e.vec_id,
+       a.cid,
+       CAST(list_dot_product(e.vq, q.vq) AS BIGINT)
+           / (sqrt(CAST(CAST(list_dot_product(e.vq, e.vq) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(list_dot_product(q.vq, q.vq) AS BIGINT) AS DOUBLE)))
+           AS qcos
+FROM e JOIN a{i} a ON e.vec_id = a.vec_id
+CROSS JOIN qv q
+WHERE a.cid IN (SELECT cid FROM probes) AND e.vec_id <> 0
+ORDER BY qcos DESC, e.vec_id
+LIMIT {IVF_TOPK}
+"""
+    return _kmeans_cte_body(KM_K, SEMDEDUP_ITERATIONS) + tail
+
+
+SQL_EMB_IVF_TOPK = _sql_ivf_topk()
+
+
+# --------------------------------------------------------------------------
+# PQ asymmetric-distance search + exact rerank, oracle-checkable
+# --------------------------------------------------------------------------
+
+PQ_M = 4
+PQ_RERANK = 50
+
+
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search with a DuckDB oracle — the
+    billion-vector recipe, driver-verified: split vectors into PQ_M
+    subspaces, k-means each independently (quantized/deterministic, same
+    contract as emb_ivf_topk), encode every vector as its m centroid codes,
+    score candidates with a per-subspace negative-squared-L2 lookup table
+    (a pure projection over the codes: map lookups + adds, no vector math
+    per row), exact-rerank the top PQ_RERANK by cosine on the original
+    vectors, and return the top 10. All arithmetic integer until the final
+    cosine, so both engines agree bit-for-bit. The float production API is
+    similarity.build_pq_index/pq_search; this is its checkable twin."""
+    from .similarity import _qdot
+
+    sub_d = _DIM // PQ_M
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes = emb.select("vec_id", F.expr(_VQ_EXPR).alias("vq"))
+    qv = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(F.expr(_VQ_EXPR).alias("vq"))
+        .first()["vq"]
+    ]
+    est = None
+    for j in range(PQ_M):
+        sub = emb.select(
+            "vec_id", F.slice("embedding", j * sub_d + 1, sub_d).alias("embedding")
+        )
+        assign_j, cent_j = kmeans_quantized(sub, iterations=SEMDEDUP_ITERATIONS)
+        codes = codes.join(
+            assign_j.withColumnRenamed("cid", f"code_{j}"), "vec_id"
+        )
+        qsub = qv[j * sub_d : (j + 1) * sub_d]
+        lut = {
+            int(r["cid"]): -sum(
+                (int(a) - b) * (int(a) - b) for a, b in zip(r["c"], qsub)
+            )
+            for r in cent_j.collect()
+        }
+        pairs = []
+        for cid, val in sorted(lut.items()):
+            pairs += [F.lit(cid).cast("long"), F.lit(val).cast("long")]
+        term = F.element_at(F.create_map(*pairs), F.col(f"code_{j}"))
+        est = term if est is None else est + term
+    qq = float(sum(x * x for x in qv))
+    qlit = F.array(*[F.lit(x).cast("long") for x in qv])
+    cands = (
+        codes.filter(F.col("vec_id") != 0)
+        .withColumn("est", est)
+        .orderBy(F.col("est").desc(), "vec_id")
+        .limit(PQ_RERANK)
+    )
+    qcos = _qdot(F.col("vq"), qlit) / (
+        F.sqrt(_qdot(F.col("vq"), F.col("vq")).cast("double"))
+        * F.sqrt(F.lit(qq))
+    )
+    return (
+        cands.select("vec_id", qcos.alias("qcos"))
+        .orderBy(F.col("qcos").desc(), "vec_id")
+        .limit(IVF_TOPK)
+    )
+
+
+def _sql_pq_topk() -> str:
+    i = SEMDEDUP_ITERATIONS
+    sub_d = _DIM // PQ_M
+    parts = []
+    for j in range(PQ_M):
+        vq_sql = (
+            f"list_transform(embedding[{j * sub_d + 1}:{(j + 1) * sub_d}],"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))"
+        )
+        parts.append(
+            _kmeans_cte_body(
+                KM_K, i, suffix=f"p{j}_", vq_sql=vq_sql, dim=sub_d,
+                first=(j == 0),
+            )
+        )
+    luts = []
+    for j in range(PQ_M):
+        luts.append(f""",
+qv{j} AS (SELECT vq FROM ep{j}_ WHERE vec_id = 0),
+lut{j} AS (
+    SELECT c.cid,
+           -CAST(list_sum(list_transform(range(1, {sub_d + 1}),
+                jj -> (c.c[jj] - q.vq[jj]) * (c.c[jj] - q.vq[jj]))) AS BIGINT)
+               AS nd
+    FROM centp{j}_{i} c CROSS JOIN qv{j} q
+)""")
+    full_vq = (
+        "list_transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))"
+    )
+    joins = "\n    ".join(
+        f"JOIN ap{j}_{i} a{j} ON a0.vec_id = a{j}.vec_id" for j in range(1, PQ_M)
+    )
+    lut_joins = "\n    ".join(
+        f"JOIN lut{j} l{j} ON a{j}.cid = l{j}.cid" for j in range(PQ_M)
+    )
+    nd_sum = " + ".join(f"l{j}.nd" for j in range(PQ_M))
+    tail = f""",
+est AS (
+    SELECT a0.vec_id, {nd_sum} AS est
+    FROM ap0_{i} a0
+    {joins}
+    {lut_joins}
+),
+cands AS (
+    SELECT vec_id FROM est WHERE vec_id <> 0
+    ORDER BY est DESC, vec_id LIMIT {PQ_RERANK}
+),
+ef AS (SELECT vec_id, {full_vq} AS vq FROM embeddings),
+qf AS (SELECT vq FROM ef WHERE vec_id = 0)
+SELECT ef.vec_id,
+       CAST(list_dot_product(ef.vq, q.vq) AS BIGINT)
+           / (sqrt(CAST(CAST(list_dot_product(ef.vq, ef.vq) AS BIGINT) AS DOUBLE))
+              * sqrt(CAST(CAST(list_dot_product(q.vq, q.vq) AS BIGINT) AS DOUBLE)))
+           AS qcos
+FROM ef JOIN cands USING (vec_id) CROSS JOIN qf q
+ORDER BY qcos DESC, ef.vec_id
+LIMIT {IVF_TOPK}
+"""
+    return "".join(parts) + "".join(luts) + tail
+
+
+SQL_EMB_PQ_TOPK = _sql_pq_topk()
+
+
 QUERIES = {
     "emb_kmeans": (q_emb_kmeans, SQL_EMB_KMEANS),
     "emb_semantic_dedup": (q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP),
+    "emb_ivf_topk": (q_emb_ivf_topk, SQL_EMB_IVF_TOPK),
+    "emb_pq_topk": (q_emb_pq_topk, SQL_EMB_PQ_TOPK),
 }
