@@ -40,12 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Subset contract: the driver records correctness rows for the FIRST 50
 # queries() entries only (CORRECTNESS_r01/r02 both truncate there), while the
-# registry holds 158. This priority list front-loads one window covering every
+# registry holds 159. This priority list front-loads one window covering every
 # family — reference CDC/SCD2 core, relational/events (incl. the round-2 NTZ
 # regressions), previously-unseen TPC-H, sketches, graph, skew/SQL/DQ, and the
 # LLM-ops flagship surface — so the driver gate exercises the breadth of the
 # engine, not 50 variations of the already-proven core. The remaining queries
-# follow in registry order; ALL 158 are verified against their DuckDB oracles
+# follow in registry order; ALL 159 are verified against their DuckDB oracles
 # by `python tools/check_correctness.py` (same compare as the driver).
 DRIVER_PRIORITY = [
     # reference-parity core (SURVEY.md §2)
@@ -63,10 +63,11 @@ DRIVER_PRIORITY = [
     # TPC-H: q1 anchor + the hard shapes with no prior driver row
     "tpch_q1", "tpch_q2", "tpch_q7", "tpch_q9", "tpch_q13", "tpch_q17",
     "tpch_q20", "tpch_q21",
-    # sketches / graph / skew / shared-SQL / DQ
-    "sketch_hll_distinct", "sketch_bloom_prune", "sketch_histogram_quantiles",
+    # sketches / graph / skew / shared-SQL / DQ / streaming-engine output
+    "sketch_hll_distinct", "sketch_bloom_prune",
     "graph_pagerank", "rel_salted_join", "sql_shared_delta",
     "sql_shared_lateral", "rel_dq_constraints",
+    "streaming_windowed_counts",
     # LLM-ops flagships (BASELINE.json north star)
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
     "dedup_jaccard_prefix", "dedup_cross_source",

@@ -171,3 +171,87 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Oracle-gated streaming query: the driver correctness surface
+# --------------------------------------------------------------------------
+
+def q_streaming_windowed_counts(spark, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts THROUGH THE REAL MICRO-BATCH ENGINE, returned
+    as a batch DataFrame so the driver can oracle-check it: file-stream
+    source over events.parquet, availableNow trigger, watermarked
+    event-time windows, memory sink in complete mode (all windows emitted;
+    the watermark still bounds per-batch state). The value sum uses the
+    repo's quantized-integer idiom so the result is order-independent —
+    a raw double sum would hash differently per partitioning. The memory
+    sink keeps only the window×type aggregate on the driver (bounded);
+    the scan/aggregation runs distributed like any stream.
+
+    Streaming is otherwise driver-unverifiable (no SQL twin can run a
+    Structured Streaming query): this entry closes that gap by making the
+    streaming engine's OUTPUT the thing the DuckDB oracle checks."""
+    import tempfile
+    import uuid
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = normalize_event_time(stream, "ts")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 10000).cast("long")).cast(
+                    "double"
+                )
+                / 10000
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="q_stream_ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+SQL_STREAMING_WINDOWED_COUNTS = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000
+           AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def register_all() -> None:
+    from .. import harness
+
+    harness.register(
+        "streaming_windowed_counts",
+        q_streaming_windowed_counts,
+        SQL_STREAMING_WINDOWED_COUNTS,
+    )
