@@ -83,8 +83,9 @@ NARRATIVE = """\
 - r01: 27.35 s headline-suite total (BENCH_r01.json) — the anchor.
 - r02: no number — `events.parquet` drifted to TIMESTAMP_NTZ under
   PySpark 4.1.2 and the bench crashed before timing anything.
-- r03 (local re-run, post-fix): **~20 s** with no per-query regression
-  vs r01. Movers: dedup_jaccard_prefix 6.95→2.5 s (materialized
+- r03 (local re-runs, post-fix): **20.9-23.3 s** depending on machine
+  noise, with no per-query regression vs r01 beyond run-to-run variance.
+  Movers: dedup_jaccard_prefix 6.95→2.5 s (materialized
   tokenized shingles + PPJoin positional filter + array_intersect
   verification), graph_pagerank 6.92→3.5 s (loop-invariant
   checkpointing), emb_semantic_dedup 4.7→1.3 s (per-cluster BLAS GEMM
