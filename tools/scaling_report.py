@@ -83,8 +83,9 @@ NARRATIVE = """\
 - r01: 27.35 s headline-suite total (BENCH_r01.json) — the anchor.
 - r02: no number — `events.parquet` drifted to TIMESTAMP_NTZ under
   PySpark 4.1.2 and the bench crashed before timing anything.
-- r03 (local re-runs, post-fix): **20.9-23.3 s** depending on machine
-  noise, with no per-query regression vs r01 beyond run-to-run variance.
+- r03 (local re-runs, post-fix): **19.2-23.3 s** depending on machine
+  noise (19.2 s on an idle box), with no per-query regression vs r01
+  beyond run-to-run variance.
   Movers: dedup_jaccard_prefix 6.95→2.5 s (materialized
   tokenized shingles + PPJoin positional filter + array_intersect
   verification), graph_pagerank 6.92→3.5 s (loop-invariant
