@@ -39,41 +39,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Subset contract: the driver records correctness rows for the FIRST 50
-# queries() entries only (CORRECTNESS_r01/r02 both truncate there), while the
-# registry holds 159. This priority list front-loads one window covering every
-# family — reference CDC/SCD2 core, relational/events (incl. the round-2 NTZ
-# regressions), previously-unseen TPC-H, sketches, graph, skew/SQL/DQ, and the
-# LLM-ops flagship surface — so the driver gate exercises the breadth of the
-# engine, not 50 variations of the already-proven core. The remaining queries
-# follow in registry order; ALL 159 are verified against their DuckDB oracles
-# by `python tools/check_correctness.py` (same compare as the driver).
+# queries() entries only (CORRECTNESS_r01..r03 all truncate there), while the
+# registry holds 160. Round-4 rotation: the §2 core + r01-r03 greens are
+# proven (84 queries ever-checked, 80 ever-green), so this window carries
+# (a) the 4 r03 reds, re-listed to put their fixes on record — the HUGEINT
+# oracle sweep (events_range_join, rel_dq_constraints, emb_kmeans) and the
+# array serialization (multimodal_metadata) — and (b) 46 queries that have
+# never had a driver row: the UDAF/UDTF/grouped-map surface, the repaired
+# latent-HUGEINT/array queries, remaining TPC-H, the time-series family,
+# sketches, IVF/PQ ANN, the dedup long tail incl. the new
+# connected-components driver row, and the LLM text ops. The ~30 still-dark
+# queries (simple relational/scalar shapes, all green under
+# tools/check_correctness.py's driver-faithful compare) rotate in next
+# round. Remaining queries follow in registry order.
 DRIVER_PRIORITY = [
-    # reference-parity core (SURVEY.md §2)
-    "cdc_add_meta", "cdc_delta", "cdc_inserts", "cdc_updates",
-    "cdc_merge_cdc", "cdc_deleted_by_full_load", "cdc_deletes_by_column",
-    "cdc_historize_two_runs", "scd2_merge", "scd2_split_active",
-    "scd2_split_hist", "schema_prepare",
-    # relational / events (window-lag + sessionize + range-join were the
-    # round-2 TIMESTAMP_NTZ regressions; asof join had no driver row).
-    # rel_union sits past the window: U1 stays proven via cdc_merge_cdc.
-    "rel_filter_project", "rel_window_lag",
-    "events_sessionize", "events_range_join", "events_asof_join",
-    "multimodal_metadata", "multimodal_decode_image",
-    "multimodal_decode_video",
-    # TPC-H: q1 anchor + the hard shapes with no prior driver row
-    "tpch_q1", "tpch_q2", "tpch_q7", "tpch_q9", "tpch_q13", "tpch_q17",
-    "tpch_q20", "tpch_q21",
-    # sketches / graph / skew / shared-SQL / DQ / streaming-engine output
-    "sketch_hll_distinct", "sketch_bloom_prune",
-    "graph_pagerank", "rel_salted_join", "sql_shared_delta",
-    "sql_shared_lateral", "rel_dq_constraints",
-    "streaming_windowed_counts",
-    # LLM-ops flagships (BASELINE.json north star)
-    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
-    "dedup_jaccard_prefix", "dedup_cross_source",
-    "text_quality", "text_langid", "text_tfidf_topk", "text_contamination",
-    "curation_pipeline",
-    "emb_topk", "emb_ann_lsh", "emb_kmeans", "emb_semantic_dedup",
+    # r03 reds, fixed this round: BIGINT-cast oracles + array serialization
+    "events_range_join", "rel_dq_constraints", "emb_kmeans",
+    "multimodal_metadata",
+    # Arrow-boundary surface: pandas UDF / UDAF / grouped-map / UDTF
+    "text_tokens_pandas_udf", "events_udaf_pandas",
+    "events_grouped_map_zscore", "text_chunks_udtf",
+    # repaired latent-HUGEINT / array-output queries (VERDICT r03 items 1-2)
+    "events_json_extract", "rel_null_semantics", "rel_pivot_native",
+    "rel_profile_orders", "tpch_q12", "events_multires_rollup",
+    "text_hashed_bow", "text_chunk_dedup", "text_inverted_index",
+    "text_unigram_logprob", "rel_higher_order", "rel_array_agg",
+    # TPC-H shapes with no prior driver row
+    "tpch_q8", "tpch_q11", "tpch_q15", "tpch_q16", "tpch_q19", "tpch_q22",
+    # time-series analytics family
+    "events_transition_matrix", "events_rfm", "events_cohort_retention",
+    "events_gapfill_locf",
+    # sketches with no prior driver row
+    "sketch_theta_kmv", "sketch_countmin", "sketch_histogram_quantiles",
+    # ANN scale paths: probe-limited IVF, PQ ADC + rerank
+    "emb_ivf_topk", "emb_pq_topk",
+    # dedup long tail + the connected-components fixpoint loop (new row)
+    "dedup_jaccard_pairs", "dedup_minhash_bands", "dedup_simhash_pairs",
+    "dedup_clusters",
+    # embedding ops with no prior driver row
+    "emb_knn_per_label", "emb_neardup_pairs", "emb_lsh_buckets",
+    # LLM text ops with no prior driver row
+    "text_gopher_rules", "text_token_entropy", "text_fingerprint",
+    "text_tokens_bpe", "text_winnow_fingerprint", "text_pii_redact",
+    "text_weighted_reservoir",
+    # multimodal audio decode (image/video proven in r03)
+    "multimodal_decode_audio",
 ]
 
 
@@ -81,7 +91,10 @@ def _ordered_registry():
     from pandas_etl_framework_spark.harness import REGISTRY
 
     missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
-    assert not missing, f"DRIVER_PRIORITY names not in REGISTRY: {missing}"
+    if missing:
+        # not an assert: under `python -O` an assert is stripped and a typo
+        # here would silently reorder the driver window instead of failing
+        raise ValueError(f"DRIVER_PRIORITY names not in REGISTRY: {missing}")
     ordered = {n: REGISTRY[n] for n in DRIVER_PRIORITY}
     ordered.update((n, v) for n, v in REGISTRY.items() if n not in ordered)
     return ordered

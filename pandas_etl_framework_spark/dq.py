@@ -129,25 +129,31 @@ def q_rel_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.unionByName(fk_row)
 
 
+# Every SUM is cast to BIGINT: DuckDB SUM(int) returns HUGEINT, which the
+# driver's pandas canonicalizer hashes differently than Spark's BIGINT.
 SQL_REL_DQ_CONSTRAINTS = """
 SELECT 'totalprice_positive' AS rule,
-       SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END)
-           AS n_violations,
+       CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE)
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
        COUNT(*) AS n_rows
 FROM orders
 UNION ALL
 SELECT 'orderdate_not_null',
-       SUM(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END), COUNT(*)
+       CAST(SUM(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)
+            AS BIGINT),
+       COUNT(*)
 FROM orders
 UNION ALL
 SELECT 'priority_known',
-       SUM(CASE WHEN COALESCE(o_orderpriority IN ('1-URGENT', '2-HIGH',
-           '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'), FALSE) THEN 0 ELSE 1 END),
+       CAST(SUM(CASE WHEN COALESCE(o_orderpriority IN ('1-URGENT', '2-HIGH',
+           '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'), FALSE) THEN 0 ELSE 1 END)
+            AS BIGINT),
        COUNT(*)
 FROM orders
 UNION ALL
 SELECT 'totalprice_ceiling',
-       SUM(CASE WHEN COALESCE(o_totalprice <= 300000, FALSE) THEN 0 ELSE 1 END),
+       CAST(SUM(CASE WHEN COALESCE(o_totalprice <= 300000, FALSE)
+                THEN 0 ELSE 1 END) AS BIGINT),
        COUNT(*)
 FROM orders
 UNION ALL

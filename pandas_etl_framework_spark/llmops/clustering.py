@@ -201,7 +201,7 @@ def _sql_kmeans(k: int = KM_K, iterations: int = KM_ITERATIONS) -> str:
     tail = f"""
 SELECT a.cid,
        COUNT(*) AS n_members,
-       SUM(a.vec_id) AS sum_vec_id,
+       CAST(SUM(a.vec_id) AS BIGINT) AS sum_vec_id,
        CAST(ANY_VALUE(cc.ss) AS DOUBLE) / 1000000000000.0 AS centroid_sqnorm
 FROM a{iterations} a
 JOIN (SELECT cid,
@@ -252,6 +252,12 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64 -> |dot| <= 6.4e13), so float64 GEMM returns the same integers the
     # JVM long arithmetic produced, and sqrt/divide are the identical IEEE
     # ops the expression version ran per pair.
+    # The GEMM is tiled (row-chunks of Q against the full cluster) so peak
+    # worker memory is TILE x n, not n x n: a large or skewed cluster costs
+    # more time, never an OOM. Survivor pairs are threshold-filtered per
+    # tile before materialization.
+    TILE = 2048
+
     def _pairs(pdf):
         import numpy as np
         import pandas as pd
@@ -260,16 +266,26 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         Q = np.stack(pdf["q"].to_numpy()).astype("float64")
         nrm = np.sqrt(pdf["sq_norm"].to_numpy().astype("float64"))
-        cos = (Q @ Q.T) / np.outer(nrm, nrm)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        c = cos[ia, ib]
-        keep = c * COS_DEN > COS_NUM
+        n = len(ids)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, TILE):
+            e = min(s + TILE, n)
+            cos = (Q[s:e] @ Q.T) / np.outer(nrm[s:e], nrm)
+            ii, jj = np.nonzero(cos * COS_DEN > COS_NUM)
+            keep = jj > ii + s  # strict upper triangle in global indices
+            ii, jj = ii[keep], jj[keep]
+            out_a.append(ids[ii + s])
+            out_b.append(ids[jj])
+            out_c.append(cos[ii, jj])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype="int64")
+        b = np.concatenate(out_b) if out_b else np.array([], dtype="int64")
+        c = np.concatenate(out_c) if out_c else np.array([], dtype="float64")
         return pd.DataFrame(
             {
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "cid": np.full(int(keep.sum()), pdf["cid"].iloc[0]),
-                "qcos": c[keep],
+                "vec_a": a,
+                "vec_b": b,
+                "cid": np.full(len(a), pdf["cid"].iloc[0]),
+                "qcos": c,
             }
         )
 

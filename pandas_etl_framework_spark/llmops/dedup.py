@@ -573,6 +573,50 @@ def dedup_clusters(
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Driver row for the iterate-to-fixpoint surface: connected components
+    over the MinHash-LSH candidate pairs, keeper = min doc_id per
+    component. The min-label-propagation loop is exactly the shape that
+    silently drifts without an oracle, so the DuckDB twin recomputes
+    components independently (recursive transitive closure)."""
+    docs = _docs(spark, sf_dir)
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    return dedup_clusters(docs, pairs)
+
+
+# Oracle: same LSH candidate pairs, then components via recursive
+# transitive closure (UNION-distinct recursion terminates; near-dup
+# clusters are tiny so the closure stays bounded). keeper = min reachable
+# node id; singleton docs keep themselves via the LEFT JOIN + COALESCE.
+SQL_DEDUP_CLUSTERS = (
+    f"WITH RECURSIVE {SQL_SHINGLES},{SQL_MINHASH_BANDS_BODY}"
+    """,
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (
+    SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS keeper_doc_id,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Prefix-filtered Jaccard join (PPJoin-style similarity self-join)
 # --------------------------------------------------------------------------
@@ -680,9 +724,15 @@ def jaccard_prefix_pairs(
     # a packed array, the pair aggregation disappears, and at this SF both
     # doc-keyed joins broadcast. Exact under set semantics: shingles_df
     # emits distinct shingles per doc, so array size == count(*).
+    # array_distinct before sizing: shingles are distinct per doc as
+    # STRINGS, but a within-doc xxhash64 collision would leave a duplicate
+    # token id — array_intersect dedups while a raw size would not, so
+    # both measures are taken on the deduped token set.
     toks = (
         sh.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("tok")).alias("toks"))
+        .agg(
+            F.sort_array(F.array_distinct(F.collect_list("tok"))).alias("toks")
+        )
         .withColumn("set_size", F.size("toks"))
     )
     ta = toks.select(
@@ -749,6 +799,7 @@ QUERIES = {
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
     "dedup_minhash_bands": (q_dedup_minhash_bands, SQL_DEDUP_MINHASH_BANDS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
 }

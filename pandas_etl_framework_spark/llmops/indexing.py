@@ -150,7 +150,13 @@ def inverted_index(docs_tf: DataFrame, cap: int = POSTINGS_CAP) -> DataFrame:
 
 
 def q_text_inverted_index(spark, sf_dir):
-    return inverted_index(_term_freq(spark, sf_dir))
+    # The library form keeps postings as array<long>; the driver-facing
+    # projection serializes it (the driver's pandas canonicalizer cannot
+    # sort/hash list-typed columns).
+    out = inverted_index(_term_freq(spark, sf_dir))
+    return out.withColumn(
+        "postings", F.array_join(F.col("postings").cast("array<string>"), ",")
+    )
 
 
 def _sql_inverted_index() -> str:
@@ -158,7 +164,9 @@ def _sql_inverted_index() -> str:
 WITH docs AS (SELECT doc_id, text FROM documents),
 {_SQL_TF},
 stats AS (
-    SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf FROM tf GROUP BY term
+    SELECT term, COUNT(*) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf
+    FROM tf GROUP BY term
 ),
 ranked AS (
     SELECT term, doc_id,
@@ -166,7 +174,8 @@ ranked AS (
     FROM tf
 ),
 heads AS (
-    SELECT term, list_sort(list(doc_id)) AS postings
+    SELECT term,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
     FROM ranked WHERE rk <= {POSTINGS_CAP} GROUP BY term
 )
 SELECT stats.term, stats.df, stats.total_tf, heads.postings
@@ -228,7 +237,8 @@ scored AS (
                AS tok_surp_q
     FROM tf JOIN corpus USING (term) CROSS JOIN tot
 )
-SELECT doc_id, SUM(tf) AS n_tokens, SUM(tok_surp_q) AS surprisal_sum_q,
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tok_surp_q) AS BIGINT) AS surprisal_sum_q,
        CAST(SUM(tok_surp_q) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
            AS mean_surprisal_micro
 FROM scored GROUP BY doc_id
@@ -332,7 +342,7 @@ def _sql_hashed_bow() -> str:
 WITH docs AS (SELECT doc_id, text FROM documents),
 {_SQL_TF}
 SELECT doc_id, {_sql_hex_base("md5(term)")} % {BOW_DIM} AS bucket,
-       SUM(tf) AS cnt
+       CAST(SUM(tf) AS BIGINT) AS cnt
 FROM tf GROUP BY doc_id, bucket
 """
 
@@ -419,8 +429,8 @@ cross_docs AS (
     SELECT h, COUNT(*) AS n_docs_with FROM per_doc_hash GROUP BY h
 )
 SELECT doc_id,
-       SUM(n_local) AS n_chunks,
-       SUM(CASE WHEN n_docs_with > 1 THEN n_local ELSE 0 END)
+       CAST(SUM(n_local) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN n_docs_with > 1 THEN n_local ELSE 0 END) AS BIGINT)
            AS n_shared_chunks,
        CAST(SUM(CASE WHEN n_docs_with > 1 THEN n_local ELSE 0 END) AS DOUBLE)
            / SUM(n_local) AS shared_ratio

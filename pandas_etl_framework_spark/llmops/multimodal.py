@@ -92,7 +92,15 @@ def decode_image(content: bytes) -> dict:
             "only netpbm P6/P5 decodable without codec libraries; "
             f"got magic {magic!r}"
         )
-    (width, height, _maxval), off = _netpbm_header(content)
+    (width, height, maxval), off = _netpbm_header(content)
+    if maxval > 255:
+        # per the netpbm spec, maxval 256-65535 means 2-byte big-endian
+        # samples; silently reading the raster as 8-bit would return a
+        # wrong mean_pixel with no error
+        raise NotImplementedError(
+            f"netpbm maxval {maxval} implies 16-bit samples; only 8-bit "
+            "(maxval <= 255) rasters are decoded"
+        )
     n_samples = width * height * (3 if magic == b"P6" else 1)
     raster = content[off : off + n_samples]
     if len(raster) != n_samples:
@@ -414,10 +422,15 @@ def q_multimodal_metadata(spark, sf_dir):
         modality.alias("modality"),
         "n_bytes",
         F.md5(F.col("hx")).alias("content_md5"),
-        F.sequence(
-            F.lit(0).cast("long"),
-            (F.col("n_bytes") - 1).cast("long"),
-            F.lit(CHUNK_BYTES).cast("long"),
+        # serialized to a CSV string: the driver's pandas canonicalizer
+        # cannot sort/hash list-typed columns
+        F.array_join(
+            F.sequence(
+                F.lit(0).cast("long"),
+                (F.col("n_bytes") - 1).cast("long"),
+                F.lit(CHUNK_BYTES).cast("long"),
+            ).cast("array<string>"),
+            ",",
         ).alias("chunk_offsets"),
     )
 
@@ -441,7 +454,7 @@ SELECT doc_id,
             ELSE 'application/octet-stream' END AS modality,
        n_bytes,
        md5(hx) AS content_md5,
-       range(0, n_bytes, {CHUNK_BYTES}) AS chunk_offsets
+       array_to_string(range(0, n_bytes, {CHUNK_BYTES}), ',') AS chunk_offsets
 FROM h
 """
 

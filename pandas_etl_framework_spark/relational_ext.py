@@ -238,7 +238,8 @@ SQL_EVENTS_JSON_EXTRACT = """
 SELECT event_type, COUNT(*) AS n,
        MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -263,7 +264,8 @@ def q_events_udaf_pandas(spark, sf_dir):
 
 SQL_EVENTS_UDAF_PANDAS = """
 SELECT event_type,
-       SUM(abs(CAST(round(value * 10000) AS BIGINT))) AS abs_value_q
+       CAST(SUM(abs(CAST(round(value * 10000) AS BIGINT))) AS BIGINT)
+           AS abs_value_q
 FROM events GROUP BY event_type
 """
 

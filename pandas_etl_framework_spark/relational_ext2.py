@@ -62,9 +62,12 @@ def q_pivot_native(spark, sf_dir):
 
 SQL_PIVOT_NATIVE = """
 SELECT o_orderpriority,
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_F,
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_O,
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_P
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0)
+            AS BIGINT) AS n_F,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0)
+            AS BIGINT) AS n_O,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0)
+            AS BIGINT) AS n_P
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -154,7 +157,8 @@ def q_profile_orders(spark, sf_dir):
 
 SQL_PROFILE_ORDERS = "\nUNION ALL\n".join(
     f"SELECT '{c}' AS column, COUNT(*) AS n_rows, "
-    f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+    f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_nulls, "
     f"COUNT(DISTINCT {c}) AS n_distinct FROM orders"
     for c in PROFILE_COLS
 )
@@ -241,7 +245,8 @@ sessions AS (
            MIN(ts) AS session_start, MAX(ts) AS session_end
     FROM with_id GROUP BY user_id, session_seq
 )
-SELECT e.event_id, e.user_id, e.ts, s.session_seq
+SELECT e.event_id, e.user_id, e.ts,
+       CAST(s.session_seq AS BIGINT) AS session_seq
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
 JOIN sessions s
   ON e.user_id = s.user_id
@@ -312,14 +317,17 @@ def q_array_agg(spark, sf_dir):
     plain lists)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(
+            F.array_sort(F.collect_set("l_linestatus")), ","
+        ).alias("statuses"),
         F.size(F.array_sort(F.collect_set("l_suppkey"))).alias("n_suppliers"),
     )
 
 
 SQL_ARRAY_AGG = """
 SELECT l_returnflag,
-       list_sort(list(DISTINCT l_linestatus)) AS statuses,
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+           AS statuses,
        CAST(LEN(list_sort(list(DISTINCT l_suppkey))) AS INTEGER) AS n_suppliers
 FROM lineitem GROUP BY l_returnflag
 """
@@ -382,9 +390,9 @@ SELECT o_orderstatus,
        COUNT(*) AS n_rows,
        COUNT(maybe_price) AS n_nonnull,
        MIN(maybe_price) AS min_price,
-       SUM(CAST(maybe_price > 200000 AS BIGINT)) AS n_big,
-       SUM(CAST(maybe_price IS NOT DISTINCT FROM NULL AS BIGINT))
-           AS n_null_safe_eq
+       CAST(SUM(CAST(maybe_price > 200000 AS BIGINT)) AS BIGINT) AS n_big,
+       CAST(SUM(CAST(maybe_price IS NOT DISTINCT FROM NULL AS BIGINT))
+            AS BIGINT) AS n_null_safe_eq
 FROM o GROUP BY o_orderstatus
 """
 
@@ -641,7 +649,9 @@ def q_higher_order_funcs(spark, sf_dir):
             "arr", F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("total_qq"),
         F.size(F.filter("arr", lambda x: x > 2500)).alias("n_big"),
-        F.slice("arr", 1, 3).alias("head3"),
+        F.array_join(F.slice("arr", 1, 3).cast("array<string>"), ",").alias(
+            "head3"
+        ),
     )
 
 
@@ -655,7 +665,7 @@ SELECT l_orderkey,
        LEN(arr) AS n_items,
        CAST(list_sum(arr) AS BIGINT) AS total_qq,
        LEN(list_filter(arr, x -> x > 2500)) AS n_big,
-       arr[1:3] AS head3
+       array_to_string(arr[1:3], ',') AS head3
 FROM per_order
 """
 

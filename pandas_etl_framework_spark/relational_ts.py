@@ -190,12 +190,12 @@ WITH hourly AS (
 ),
 daily AS (
     SELECT event_type, date_trunc('day', bucket) AS bucket,
-           SUM(n) AS n, SUM(sv_q) AS sv_q
+           CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sv_q) AS BIGINT) AS sv_q
     FROM hourly GROUP BY event_type, date_trunc('day', bucket)
 ),
 weekly AS (
     SELECT event_type, date_trunc('week', bucket) AS bucket,
-           SUM(n) AS n, SUM(sv_q) AS sv_q
+           CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sv_q) AS BIGINT) AS sv_q
     FROM daily GROUP BY event_type, date_trunc('week', bucket)
 )
 SELECT 'hour' AS resolution, event_type, bucket, n,

@@ -190,7 +190,17 @@ def q_streaming_windowed_counts(spark, sf_dir: str) -> DataFrame:
 
     Streaming is otherwise driver-unverifiable (no SQL twin can run a
     Structured Streaming query): this entry closes that gap by making the
-    streaming engine's OUTPUT the thing the DuckDB oracle checks."""
+    streaming engine's OUTPUT the thing the DuckDB oracle checks.
+
+    HARNESS-ONLY BOUNDARY: a complete-mode memory sink is driver-resident
+    state and only acceptable here because the aggregate is bounded
+    (window x event_type) and the query is a one-shot availableNow run.
+    The production paths are the foreachBatch / file sinks in
+    streaming/historize.py, whose state lives in the checkpoint and sink,
+    not on the driver. The checkpoint dir and sink table are torn down
+    before returning — the result is materialized first, so repeated runs
+    leak neither disk nor catalog entries."""
+    import shutil
     import tempfile
     import uuid
 
@@ -232,7 +242,12 @@ def q_streaming_windowed_counts(spark, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    sink = spark.table(name)
+    rows = sink.collect()  # bounded: one row per (window, event_type)
+    out = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
 
 
 SQL_STREAMING_WINDOWED_COUNTS = """
