@@ -222,6 +222,9 @@ SQL_EMB_KMEANS = _sql_kmeans()
 
 SEMDEDUP_ITERATIONS = 2
 COS_NUM, COS_DEN = 2, 5  # threshold 0.40 as an exact rational
+# GEMM tile: peak per-worker memory in the semantic-dedup grouped map is
+# TILE x cluster_size float64s, independent of cluster skew
+SEMDEDUP_GEMM_TILE = 2048
 
 
 def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,7 +259,7 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # worker memory is TILE x n, not n x n: a large or skewed cluster costs
     # more time, never an OOM. Survivor pairs are threshold-filtered per
     # tile before materialization.
-    TILE = 2048
+    TILE = SEMDEDUP_GEMM_TILE
 
     def _pairs(pdf):
         import numpy as np

@@ -92,9 +92,30 @@ def tfidf_topk(
 
 
 def q_text_tfidf_topk(spark, sf_dir):
+    """tfidf_topk with the corpus size folded into the plan as a broadcast
+    singleton instead of an eager driver-side ``.count()`` job — the same
+    one-lazy-plan idiom as rel_dq_constraints' row-count join."""
     docs = _docs(spark, sf_dir)
-    n_docs = docs.select("doc_id").distinct().count()
-    return tfidf_topk(_term_freq(spark, sf_dir), n_docs)
+    n_docs_df = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    docs_tf = _term_freq(spark, sf_dir)
+    df_tbl = docs_tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_q = F.floor(
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+        * LN_SCALE
+    ).cast("bigint")
+    scored = (
+        docs_tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs_df))
+        .withColumn("score_q", (F.col("tf") * idf_q).cast("bigint"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK_TERMS)
+        .select("doc_id", "term", "tf", "df", "score_q", "rk")
+    )
 
 
 def _sql_tfidf_topk() -> str:

@@ -163,6 +163,11 @@ def test_decode_image_ppm():
         multimodal.decode_image(b"P6\n2 2\n255\nshort")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG....")
+    # maxval > 255 means 2-byte samples: must refuse, not silently read the
+    # first w*h*ch bytes as 8-bit and return a wrong mean
+    wide = b"P5\n2 1\n65535\n" + bytes([1, 0, 2, 0])
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(wide)
 
 
 def test_decode_audio_wav():
@@ -413,6 +418,24 @@ def test_kmeans_separable_clusters_and_determinism(spark):
         for r in kmeans_quantized(df.repartition(16), k=3, iterations=4)[0].collect()
     )
     assert a1 == a2
+
+
+def test_semantic_dedup_gemm_tiling_invariant(spark, monkeypatch):
+    """A tile smaller than every cluster must produce the identical pair
+    set: tiling changes peak memory, never results."""
+    from pandas_etl_framework_spark.llmops import clustering
+
+    sf = "/root/testdata/sf0.001"
+    base = {
+        (r["vec_a"], r["vec_b"], round(r["qcos"], 12))
+        for r in clustering.q_emb_semantic_dedup(spark, sf).collect()
+    }
+    monkeypatch.setattr(clustering, "SEMDEDUP_GEMM_TILE", 3)
+    tiled = {
+        (r["vec_a"], r["vec_b"], round(r["qcos"], 12))
+        for r in clustering.q_emb_semantic_dedup(spark, sf).collect()
+    }
+    assert base == tiled and len(base) > 0
 
 
 def test_semantic_dedup_subset_of_brute_force(spark):

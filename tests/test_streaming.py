@@ -104,6 +104,29 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
         assert joined.count() == 0  # every emitted row matches batch truth
 
 
+def test_windowed_counts_registry_query_cleans_up(spark):
+    """The oracle-gated harness query must not leak its memory-sink temp
+    view or checkpoint dir across invocations (they accumulate over
+    repeated bench/correctness runs)."""
+    import glob
+    import tempfile
+
+    from pandas_etl_framework_spark.streaming.windows import (
+        q_streaming_windowed_counts,
+    )
+
+    ckpt_glob = tempfile.gettempdir() + "/q_stream_ckpt_*"
+    views_before = {t.name for t in spark.catalog.listTables()}
+    dirs_before = set(glob.glob(ckpt_glob))
+    out = q_streaming_windowed_counts(spark, "/root/testdata/sf0.001")
+    assert out.count() > 0  # result survives the sink teardown
+    views_after = {t.name for t in spark.catalog.listTables()}
+    assert not {
+        t for t in views_after - views_before if t.startswith("stream_win_")
+    }
+    assert set(glob.glob(ckpt_glob)) - dirs_before == set()
+
+
 def test_sessionize_stream_stateful(spark, tmp_path):
     """applyInPandasWithState sessionization: closed sessions match the
     batch gap logic."""
