@@ -677,6 +677,11 @@ def jaccard_prefix_pairs(
     # set_size via an unordered window over the same doc_id partitioning as
     # the rarest-first ranking: both window specs share one shuffle + sort,
     # replacing a separate aggregate + re-join of `sizes`
+    # dfreq is one row per distinct shingle — broadcast is right while the
+    # vocabulary fits an executor (shingled fixture text: 27k tokens at
+    # sf0.1). At corpus scale where distinct shingles ~ corpus size, drop
+    # the hint: the join and the doc_id window below then run as two
+    # ordinary shuffles and nothing else changes.
     prefix = (
         sh.join(F.broadcast(dfreq), "tok")
         .withColumn("rk", F.row_number().over(w))

@@ -233,15 +233,28 @@ def q_streaming_windowed_counts(spark, sf_dir: str) -> DataFrame:
     )
     name = f"stream_win_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="q_stream_ckpt_")
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Size the state store to the STATE, not the input: the stateful
+    # shuffle's partition count is pinned by the checkpoint at first
+    # micro-batch, and this aggregate's state cardinality is
+    # (windows x event_types) — tiny. 32 state partitions cost ~0.5s of
+    # per-batch task/state-store overhead here; 8 is right-sized and the
+    # same sizing rule (state volume, not data volume) applies on a
+    # cluster. Scoped set + restore: the checkpoint is fresh per call, so
+    # the pinning never leaks across queries.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     sink = spark.table(name)
     rows = sink.collect()  # bounded: one row per (window, event_type)
     out = spark.createDataFrame(rows, sink.schema)
