@@ -81,9 +81,8 @@ DRIVER_PRIORITY = [
     # LLM text ops with no prior driver row
     "text_gopher_rules", "text_token_entropy", "text_fingerprint",
     "text_tokens_bpe", "text_winnow_fingerprint", "text_pii_redact",
-    "text_weighted_reservoir",
-    # multimodal audio decode (image/video proven in r03)
-    "multimodal_decode_audio",
+    # new this round: sequence packing + domain-mixture sampling
+    "text_pack_sequences", "text_source_mixture",
 ]
 
 

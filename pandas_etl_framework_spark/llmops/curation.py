@@ -316,8 +316,98 @@ FROM ranked WHERE rk <= {RESERVOIR_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Source-mixture rebalancing (domain mixing)
+# --------------------------------------------------------------------------
+
+def source_mixture(docs, target_share_mod: int = _SAMPLE_MOD):
+    """Rebalance the corpus toward a UNIFORM per-source token budget:
+    sources over their share are deterministically downsampled, sources at
+    or under theirs are kept whole — the static domain-mixing step of a
+    pretraining data pipeline (each corpus slice gets a token budget; the
+    sampler enforces it).
+
+    keep-rate_s = min(1, T / (k * S_s)) where S_s is the source's token
+    count, T the corpus total, and k the number of sources. The Bernoulli
+    draw reuses the content-stable md5 bucket of quality_weighted_sample
+    (deterministic across runs/engines/partitionings), and the rate
+    compare is exact integer arithmetic:
+    keep  <=>  bucket * k * S_s < T * MOD.
+    Overflow bound: bucket < MOD = 1e6, so the left product stays under
+    2^63 while k * S_s < 9.2e12 — beyond that, pre-divide the rational
+    (both sides by gcd or by MOD) before comparing.
+
+    One aggregate for the per-source totals (k rows, broadcast back), one
+    singleton for (T, k) — the per-doc decision is then a pure projection
+    that composes with the scan; no extra shuffle of the corpus.
+    """
+    n_tokens = F.size(tokens_col()).cast("long")
+    d = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    per_src = d.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % target_share_mod
+    )
+    return (
+        d.join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "src_tokens",
+            bucket.alias("bucket"),
+            (
+                bucket * F.col("n_sources") * F.col("src_tokens")
+                < F.col("total_tokens") * F.lit(target_share_mod)
+            ).alias("kept"),
+        )
+    )
+
+
+def q_text_source_mixture(spark, sf_dir):
+    return source_mixture(_docs(spark, sf_dir))
+
+
+def _sql_source_mixture() -> str:
+    from ..sketches import _sql_hex_to_long
+
+    bucket = _sql_hex_to_long("md5(CAST(doc_id AS VARCHAR))", 1, 8)
+    return rf"""
+WITH d AS (
+    SELECT doc_id, source,
+           CAST(LEN(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+s AS (
+    SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+    FROM d GROUP BY source
+),
+t AS (
+    SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_sources
+    FROM s
+)
+SELECT d.doc_id, d.source, d.n_tokens, s.src_tokens,
+       {bucket} % {_SAMPLE_MOD} AS bucket,
+       ({bucket} % {_SAMPLE_MOD}) * t.n_sources * s.src_tokens
+           < t.total_tokens * {_SAMPLE_MOD} AS kept
+FROM d JOIN s USING (source) CROSS JOIN t
+"""
+
+
+SQL_TEXT_SOURCE_MIXTURE = _sql_source_mixture()
+
+
 QUERIES = {
     "text_pii_redact": (q_text_pii_redact, SQL_TEXT_PII_REDACT),
+    "text_source_mixture": (q_text_source_mixture, SQL_TEXT_SOURCE_MIXTURE),
     "text_weighted_reservoir": (
         q_text_weighted_reservoir,
         _sql_weighted_reservoir(),

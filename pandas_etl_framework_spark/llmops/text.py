@@ -366,6 +366,94 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Sequence packing (concat-then-chop into fixed token budgets)
+# --------------------------------------------------------------------------
+
+PACK_SEQ_TOKENS = 512    # token budget per training sequence
+PACK_SHARDS = 16         # independent packing streams
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = PACK_SEQ_TOKENS,
+    shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Assign every document a position in a packed training sequence:
+    the GPT-style pretraining layout that concatenates documents in a
+    deterministic order and chops the stream into fixed ``budget``-token
+    sequences (documents may span a boundary).
+
+    Packing is sharded: documents hash to ``shards`` independent streams
+    (shard = doc_id mod shards) and the running token offset is a window
+    cumsum WITHIN the shard — so the only global order is per-shard, the
+    shuffle is one hash partition by shard, and parallelism is the shard
+    count, not 1. At 100 TB you set shards ~ the write parallelism you
+    want for the packed output; a single global cumsum (one partition,
+    one task) is exactly what this layout avoids.
+
+    Output per document: shard, token count, absolute start offset in the
+    shard's stream, the sequence index and in-sequence offset where the
+    document begins, and whether it crosses a sequence boundary. All
+    arithmetic is integer, so the result is engine-exact.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.size(tokens_col()).cast("long")
+    d = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(shards)).cast("long").alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    start_tok = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    d = d.withColumn("start_tok", start_tok)
+    seq = F.floor(F.col("start_tok") / budget).cast("long")
+    return d.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_tok",
+        seq.alias("seq_in_shard"),
+        F.pmod(F.col("start_tok"), F.lit(budget)).cast("long").alias(
+            "seq_offset"
+        ),
+        (F.col("start_tok") + F.col("n_tokens") > (seq + 1) * budget).alias(
+            "spans_boundary"
+        ),
+    )
+
+
+def q_text_pack_sequences(spark, sf_dir):
+    return pack_sequences(_docs(spark, sf_dir))
+
+
+SQL_TEXT_PACK_SEQUENCES = rf"""
+WITH d AS (
+    SELECT doc_id,
+           CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard,
+           CAST(LEN(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, shard, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS BIGINT) AS start_tok
+    FROM d
+)
+SELECT doc_id, shard, n_tokens, start_tok,
+       CAST(start_tok // {PACK_SEQ_TOKENS} AS BIGINT) AS seq_in_shard,
+       CAST(start_tok % {PACK_SEQ_TOKENS} AS BIGINT) AS seq_offset,
+       start_tok + n_tokens
+           > (start_tok // {PACK_SEQ_TOKENS} + 1) * {PACK_SEQ_TOKENS}
+           AS spans_boundary
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
 # End-to-end curation pipeline
 # --------------------------------------------------------------------------
 
@@ -694,4 +782,5 @@ QUERIES = {
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_tokens_bpe": (q_text_tokens_bpe, SQL_TEXT_TOKENS_BPE),
     "text_winnow_fingerprint": (q_text_winnow_fingerprint, SQL_TEXT_WINNOW),
+    "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK_SEQUENCES),
 }

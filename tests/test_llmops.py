@@ -420,6 +420,60 @@ def test_kmeans_separable_clusters_and_determinism(spark):
     assert a1 == a2
 
 
+def test_source_mixture_downsamples_heavy_source(spark):
+    """A source over its uniform token share is downsampled toward it; a
+    source under its share is kept whole. Decisions are deterministic."""
+    from pandas_etl_framework_spark.llmops.curation import source_mixture
+
+    rows = []
+    for i in range(400):
+        rows.append((i, "big", "w " * 9))   # 9 tokens
+    for i in range(400, 500):
+        rows.append((i, "small", "w"))      # 1 token
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = source_mixture(docs).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # small: T/(k*S) = 3700/(2*100) > 1 -> keep everything
+    assert all(r["kept"] for r in by_src["small"])
+    # big: rate = 3700/(2*3600) ~ 0.514 -> kept fraction lands near it
+    frac = sum(r["kept"] for r in by_src["big"]) / len(by_src["big"])
+    assert 0.35 < frac < 0.65
+    again = {r["doc_id"]: r["kept"] for r in source_mixture(docs).collect()}
+    assert again == {r["doc_id"]: r["kept"] for r in out}
+
+
+def test_pack_sequences_layout(spark):
+    """Packed layout invariants: per shard, documents are laid out
+    contiguously in doc_id order with no gaps or overlaps, in-sequence
+    offsets stay under the budget, and the boundary flag is exact."""
+    from pandas_etl_framework_spark.llmops.text import (
+        PACK_SEQ_TOKENS,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = pack_sequences(docs).collect()
+    assert len(out) == docs.count()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) > 1
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rows:
+            assert r["start_tok"] == pos  # contiguous, no gap/overlap
+            assert 0 <= r["seq_offset"] < PACK_SEQ_TOKENS
+            assert r["seq_in_shard"] == r["start_tok"] // PACK_SEQ_TOKENS
+            assert r["spans_boundary"] == (
+                r["start_tok"] + r["n_tokens"]
+                > (r["seq_in_shard"] + 1) * PACK_SEQ_TOKENS
+            )
+            pos += r["n_tokens"]
+
+
 def test_semantic_dedup_gemm_tiling_invariant(spark, monkeypatch):
     """A tile smaller than every cluster must produce the identical pair
     set: tiling changes peak memory, never results."""
