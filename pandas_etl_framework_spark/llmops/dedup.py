@@ -798,8 +798,89 @@ WHERE {JACCARD_T_DEN} * intersection
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental dedup: new ingest batch vs the historical corpus
+# --------------------------------------------------------------------------
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup one new ingest batch against an already-deduped historical
+    corpus AND within itself — the steady-state shape of a crawl pipeline:
+    each new snapshot is deduped incrementally, never corpus-vs-corpus
+    again.
+
+    Per new document: its content fingerprint, whether an earlier document
+    in the same batch already carries it (keep-lowest-doc_id rule), whether
+    the historical corpus already contains it, and the resulting keep flag.
+
+    Scale shape: the corpus side is pruned to its single fingerprint
+    column at the scan (at 100 TB you persist the fingerprint column — or
+    a bucketed fingerprint store — and never re-read text); both joins
+    shuffle on the fingerprint, batch-sized not corpus-sized on the probe
+    side. When the batch is small relative to the corpus, prepend a
+    broadcast Bloom prune (sketches.bloom_filter) on the corpus scan so
+    only fingerprint partitions that can match are shuffled.
+    """
+    fp = F.md5(F.col(text_col))
+    corpus_fps = (
+        corpus.select(fp.alias("fp")).distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    batch = new_batch.select("doc_id", fp.alias("fp"))
+    first = batch.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        batch.join(first, "fp")
+        .join(corpus_fps, "fp", "left")
+        .select(
+            "doc_id",
+            "fp",
+            (F.col("doc_id") != F.col("first_doc")).alias("dup_in_batch"),
+            F.coalesce(F.col("in_corpus"), F.lit(False)).alias("dup_in_corpus"),
+            (
+                (F.col("doc_id") == F.col("first_doc"))
+                & F.coalesce(~F.col("in_corpus"), F.lit(True))
+            ).alias("keep"),
+        )
+    )
+
+
+INCR_BATCH_SOURCE = "src0"   # harness split: src0 is the "new" ingest
+
+
+def q_dedup_incremental(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return incremental_dedup(
+        docs.filter(F.col("source") == INCR_BATCH_SOURCE),
+        docs.filter(F.col("source") != INCR_BATCH_SOURCE),
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH batch AS (
+    SELECT doc_id, md5(text) AS fp FROM documents
+    WHERE source = '{INCR_BATCH_SOURCE}'
+),
+corpus_fps AS (
+    SELECT DISTINCT md5(text) AS fp FROM documents
+    WHERE source <> '{INCR_BATCH_SOURCE}'
+),
+first AS (SELECT fp, MIN(doc_id) AS first_doc FROM batch GROUP BY fp)
+SELECT b.doc_id, b.fp,
+       b.doc_id <> f.first_doc AS dup_in_batch,
+       c.fp IS NOT NULL AS dup_in_corpus,
+       b.doc_id = f.first_doc AND c.fp IS NULL AS keep
+FROM batch b
+JOIN first f USING (fp)
+LEFT JOIN corpus_fps c USING (fp)
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_DEDUP_JACCARD_PREFIX),
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
     "dedup_minhash_bands": (q_dedup_minhash_bands, SQL_DEDUP_MINHASH_BANDS),

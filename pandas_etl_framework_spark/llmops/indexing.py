@@ -267,6 +267,134 @@ FROM scored GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Corpus-bigram surprisal (add-one-smoothed bigram LM, CCNet-style filter)
+# --------------------------------------------------------------------------
+
+def bigram_freq(docs: DataFrame) -> DataFrame:
+    """(doc_id, bigram, tfb): word bigrams built shuffle-free in the scan
+    projection (``zip_with`` over two slices — no window, no posexplode
+    ordering shuffle), then one map-side-combined count shuffle."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("doc_id", toks.alias("t"))
+    n = F.size(F.col("t"))
+    big = F.zip_with(
+        F.slice(F.col("t"), 1, n - 1),
+        F.slice(F.col("t"), 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select("doc_id", F.explode(big).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("tfb"))
+    )
+
+
+def bigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Per-document mean bigram surprisal under an add-one-smoothed corpus
+    bigram LM — the CCNet screening shape with the corpus itself as the LM.
+
+    For each bigram (w1,w2): surp_q = FLOOR(1e6 * ln((c(w1·)+V)/(c(w1,w2)+1)))
+    — the quantized -ln of the Laplace-smoothed P(w2|w1), where c(w1·) is
+    w1's left-context count and V the unigram vocabulary size.
+
+    Scale shape: the doc-bigram ⋈ corpus-bigram join shuffles on the bigram
+    key — at 100 TB the bigram vocabulary is far past broadcast range, so
+    the shuffle join IS the right plan, and the left-context table is
+    derived FROM the corpus aggregate, not from a corpus re-scan. V is a
+    broadcast singleton. All arithmetic integer-or-single-division;
+    engine-exact at the 1e-6 ln grid.
+
+    The doc-bigram relation feeds three consumers (probe side, corpus
+    counts, and — via those — left contexts); Catalyst does not reuse an
+    exchange whose consumers diverge, so without materialization the
+    tokenize+count subtree would run three times. ``localCheckpoint``
+    (lazy) cuts that to once — per-executor disk on a cluster, the same
+    trade the MinHash/PPJoin paths make (dedup.py).
+    """
+    db = bigram_freq(docs).localCheckpoint(eager=False)
+    corpus_b = db.groupBy("bigram").agg(F.sum("tfb").alias("cb"))
+    left_ctx = (
+        corpus_b.groupBy(
+            F.substring_index(F.col("bigram"), " ", 1).alias("w1")
+        ).agg(F.sum("cb").alias("cleft"))
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    vocab = (
+        docs.select(F.explode(toks).alias("term"))
+        .agg(F.count_distinct("term").cast("long").alias("v"))
+    )
+    surp_q = F.floor(
+        F.log(
+            (F.col("cleft") + F.col("v")).cast("double")
+            / (F.col("cb") + 1).cast("double")
+        )
+        * LN_SCALE
+    ).cast("long")
+    return (
+        db.join(corpus_b, "bigram")
+        .withColumn("w1", F.substring_index(F.col("bigram"), " ", 1))
+        .join(left_ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("big_surp_q", F.col("tfb") * surp_q)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tfb").alias("n_bigrams"),
+            F.sum("big_surp_q").alias("surprisal_sum_q"),
+        )
+        .withColumn(
+            "mean_surprisal_micro",
+            F.col("surprisal_sum_q").cast("double")
+            / F.col("n_bigrams").cast("double"),
+        )
+    )
+
+
+def q_text_bigram_logprob(spark, sf_dir):
+    return bigram_surprisal(_docs(spark, sf_dir))
+
+
+def _sql_bigram_logprob() -> str:
+    return rf"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+tokd AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM docs
+),
+db AS (
+    SELECT doc_id, u.b AS bigram, COUNT(*) AS tfb
+    FROM tokd, UNNEST(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS u(b)
+    GROUP BY doc_id, u.b
+),
+corpus_b AS (SELECT bigram, SUM(tfb) AS cb FROM db GROUP BY bigram),
+left_ctx AS (
+    SELECT split_part(bigram, ' ', 1) AS w1, SUM(cb) AS cleft
+    FROM corpus_b GROUP BY 1
+),
+vocab AS (
+    SELECT COUNT(DISTINCT u.term) AS v
+    FROM tokd, UNNEST(t) AS u(term)
+),
+scored AS (
+    SELECT db.doc_id, db.tfb,
+           db.tfb * CAST(FLOOR(LN(
+               CAST(left_ctx.cleft + vocab.v AS DOUBLE)
+               / CAST(corpus_b.cb + 1 AS DOUBLE)) * {LN_SCALE}) AS BIGINT)
+               AS big_surp_q
+    FROM db
+    JOIN corpus_b USING (bigram)
+    JOIN left_ctx ON split_part(db.bigram, ' ', 1) = left_ctx.w1
+    CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(SUM(tfb) AS BIGINT) AS n_bigrams,
+       CAST(SUM(big_surp_q) AS BIGINT) AS surprisal_sum_q,
+       CAST(SUM(big_surp_q) AS DOUBLE) / CAST(SUM(tfb) AS DOUBLE)
+           AS mean_surprisal_micro
+FROM scored GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Cross-source exact overlap (inter-dataset contamination / dedup signal)
 # --------------------------------------------------------------------------
 
@@ -466,5 +594,6 @@ QUERIES = {
     "text_chunk_dedup": (q_text_chunk_dedup, _sql_chunk_dedup()),
     "text_inverted_index": (q_text_inverted_index, _sql_inverted_index()),
     "text_unigram_logprob": (q_text_unigram_logprob, _sql_unigram_logprob()),
+    "text_bigram_logprob": (q_text_bigram_logprob, _sql_bigram_logprob()),
     "dedup_cross_source": (q_dedup_cross_source, SQL_CROSS_SOURCE),
 }

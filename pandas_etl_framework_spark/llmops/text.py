@@ -454,6 +454,103 @@ FROM c
 
 
 # --------------------------------------------------------------------------
+# Hashed linear quality classifier (fasttext-style scoring, zero shuffle)
+# --------------------------------------------------------------------------
+
+CLS_WEIGHT_SPAN = 1000   # micro-weights drawn from [-SPAN, +SPAN]
+
+
+def _weight_q(col: F.Column) -> F.Column:
+    """Deterministic integer micro-weight for one feature string: the
+    md5-derived bucket mapped into [-CLS_WEIGHT_SPAN, +CLS_WEIGHT_SPAN].
+
+    Stand-in for a trained model's weight-table lookup — a real deployment
+    broadcasts the learned `bucket -> weight` array and indexes it here;
+    everything else (feature hashing, bigram construction, the dot product
+    as a projection) is the production shape."""
+    base = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    return base % (2 * CLS_WEIGHT_SPAN + 1) - CLS_WEIGHT_SPAN
+
+
+def classifier_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """fasttext-style linear text classifier over hashed unigram + word-
+    bigram features, evaluated as a PURE PROJECTION: tokenize, build the
+    bigram list with ``zip_with`` over two slices, map every feature to its
+    hashed weight with ``transform``, and fold with ``aggregate`` — all
+    higher-order array functions inside whole-stage codegen.  No explode,
+    no groupBy, no shuffle, no Python: per-document cost is O(tokens) in
+    the scan stage itself, so scoring 100 TB is exactly one pass with no
+    exchange — the cheapest possible shape for corpus-wide quality
+    filtering ahead of dedup/mixing.
+
+    Output: n_feats, integer logit (engine-exact), mean weight (single
+    IEEE division), and the keep decision at the logit>=0 boundary.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = docs.select("doc_id", toks.alias("t"))
+    n = F.size(F.col("t"))
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, n - 1),
+        F.slice(F.col("t"), 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, _weight_q),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = d.select(
+        "doc_id",
+        (2 * n - 1).cast("long").alias("n_feats"),
+        (fold(F.col("t")) + fold(bigrams)).alias("logit_q"),
+    )
+    return d.select(
+        "doc_id",
+        "n_feats",
+        "logit_q",
+        (F.col("logit_q").cast("double") / F.col("n_feats").cast("double"))
+        .alias("mean_weight"),
+        (F.col("logit_q") >= 0).alias("keep"),
+    )
+
+
+def q_text_classifier(spark, sf_dir):
+    return classifier_score(_docs(spark, sf_dir))
+
+
+def _sql_text_classifier() -> str:
+    from .dedup import _sql_hex_base
+
+    w = f"({_sql_hex_base('md5(x)')} % {2 * CLS_WEIGHT_SPAN + 1}" \
+        f" - {CLS_WEIGHT_SPAN})"
+    return rf"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+feats AS (
+    SELECT doc_id,
+           CAST(2 * len(t) - 1 AS BIGINT) AS n_feats,
+           CAST(
+               list_sum(list_transform(t, x -> {w}))
+             + COALESCE(list_sum(list_transform(
+                   list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i + 1]),
+                   x -> {w})), 0)
+             AS BIGINT) AS logit_q
+    FROM d
+)
+SELECT doc_id, n_feats, logit_q,
+       CAST(logit_q AS DOUBLE) / CAST(n_feats AS DOUBLE) AS mean_weight,
+       logit_q >= 0 AS keep
+FROM feats
+"""
+
+
+SQL_TEXT_CLASSIFIER = _sql_text_classifier()
+
+
+# --------------------------------------------------------------------------
 # End-to-end curation pipeline
 # --------------------------------------------------------------------------
 
@@ -783,4 +880,5 @@ QUERIES = {
     "text_tokens_bpe": (q_text_tokens_bpe, SQL_TEXT_TOKENS_BPE),
     "text_winnow_fingerprint": (q_text_winnow_fingerprint, SQL_TEXT_WINNOW),
     "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK_SEQUENCES),
+    "text_classifier": (q_text_classifier, SQL_TEXT_CLASSIFIER),
 }

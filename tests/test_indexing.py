@@ -205,3 +205,51 @@ def test_cross_source_overlap_counts_pairs(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["source_a"], r["source_b"], r["n_shared_texts"]) == ("s1", "s2", 1)
+
+
+def test_bigram_surprisal_exact_tiny_corpus(spark):
+    """Hand-computed add-one-smoothed bigram surprisal on a 3-doc corpus:
+    the repeated bigram scores lower than the one-off, and every quantized
+    value matches the Python recomputation exactly."""
+    import math
+
+    from pandas_etl_framework_spark.llmops.indexing import (
+        LN_SCALE,
+        bigram_surprisal,
+    )
+
+    texts = {1: "a b a b", 2: "a b c", 3: "c a"}
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    # corpus model in python
+    bigrams = {}
+    vocab = set()
+    for t in texts.values():
+        toks = t.split()
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            bigrams[(a, b)] = bigrams.get((a, b), 0) + 1
+    left = {}
+    for (a, _), c in bigrams.items():
+        left[a] = left.get(a, 0) + c
+    v = len(vocab)
+
+    def surp_q(a, b):
+        return math.floor(
+            math.log((left[a] + v) / (bigrams[(a, b)] + 1)) * LN_SCALE
+        )
+
+    expected = {}
+    for doc_id, t in texts.items():
+        toks = t.split()
+        bs = list(zip(toks, toks[1:]))
+        expected[doc_id] = (len(bs), sum(surp_q(a, b) for a, b in bs))
+
+    out = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
+    for doc_id, (n, s) in expected.items():
+        assert out[doc_id]["n_bigrams"] == n
+        assert out[doc_id]["surprisal_sum_q"] == s
+        assert out[doc_id]["mean_surprisal_micro"] == s / n
+    # the thrice-seen bigram (a,b) must be less surprising than one-offs
+    assert surp_q("a", "b") < surp_q("b", "c")

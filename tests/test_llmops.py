@@ -568,3 +568,61 @@ def test_sample_video_frames_y4m_end_to_end(spark):
     assert [r["frame_ts_ms"] for r in sorted(per[2], key=lambda r: r["frame_index"])] == [0, 600, 1200]
     d = multimodal.decode_image(bytes(per[2][0]["frame"]))
     assert (d["width"], d["height"], d["mean_pixel"]) == (6, 4, 60.0)
+
+
+def test_classifier_score_matches_python_exactly(spark):
+    """The hashed-linear logit is recomputed in pure Python from the same
+    md5 bucketing — values must match bit-for-bit, and the plan must stay
+    shuffle-free (no Exchange: scoring is a scan-stage projection)."""
+    import hashlib
+
+    from pandas_etl_framework_spark.llmops.text import (
+        CLS_WEIGHT_SPAN,
+        classifier_score,
+    )
+
+    def w(feat: str) -> int:
+        base = int(hashlib.md5(feat.encode()).hexdigest()[:8], 16)
+        return base % (2 * CLS_WEIGHT_SPAN + 1) - CLS_WEIGHT_SPAN
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta"), (3, "x x x x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in classifier_score(docs).collect()}
+    for doc_id, text in [(1, "alpha beta gamma"), (2, "delta"), (3, "x x x x")]:
+        toks = text.split()
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        logit = sum(w(f) for f in feats)
+        r = out[doc_id]
+        assert r["n_feats"] == len(feats)
+        assert r["logit_q"] == logit
+        assert r["keep"] == (logit >= 0)
+    plan = classifier_score(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_incremental_dedup_routing(spark):
+    """Batch doc duplicating corpus -> dropped; duplicate pair within the
+    batch -> earliest kept (unless also in corpus); fresh doc -> kept."""
+    from pandas_etl_framework_spark.llmops.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(100, "old news"), (101, "ancient text")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "old news"),       # dup of corpus
+            (2, "fresh stuff"),    # new
+            (3, "fresh stuff"),    # dup within batch
+            (4, "ancient text"),   # dup of corpus
+            (5, "ancient text"),   # dup of corpus AND of batch doc 4
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(batch, corpus).collect()}
+    assert {d for d, r in out.items() if r["keep"]} == {2}
+    assert out[1]["dup_in_corpus"] and not out[1]["dup_in_batch"]
+    assert out[3]["dup_in_batch"] and not out[3]["dup_in_corpus"]
+    assert out[5]["dup_in_batch"] and out[5]["dup_in_corpus"]
+    assert not out[4]["dup_in_batch"] and out[4]["dup_in_corpus"]
