@@ -279,10 +279,17 @@ def q_text_chunks_udtf(spark, sf_dir):
     """Python UDTF (table function): split each document into fixed-size
     character chunks — one input row to N output rows through the UDTF
     surface (the reference has no UDTF at all, SURVEY.md §2.6). Chunking is
-    the canonical LLM-pipeline pre-embedding step."""
+    the canonical LLM-pipeline pre-embedding step.
+
+    ``useArrow=True`` moves the row transfer onto the Arrow batch path
+    (ArrowEvalPythonUDTF) — without it this was the repo's only
+    pickle-serialized Python eval in any plan."""
     from pyspark.sql.functions import lit, udtf
 
-    @udtf(returnType="doc_id: bigint, chunk_index: int, chunk: string")
+    @udtf(
+        returnType="doc_id: bigint, chunk_index: int, chunk: string",
+        useArrow=True,
+    )
     class ChunkDoc:
         def eval(self, doc_id: int, text: str):
             if text is None:

@@ -30,6 +30,8 @@ QUERIES = [
     "text_tfidf_topk",
     "dedup_jaccard_prefix",
     "rel_salted_join",
+    "text_classifier",
+    "text_bigram_logprob",
 ]
 
 
