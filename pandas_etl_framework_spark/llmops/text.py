@@ -551,6 +551,84 @@ SQL_TEXT_CLASSIFIER = _sql_text_classifier()
 
 
 # --------------------------------------------------------------------------
+# BPE merge-candidate statistics (tokenizer-training inner loop)
+# --------------------------------------------------------------------------
+
+BPE_TOP_MERGES = 20
+
+
+def bpe_pair_stats(docs: DataFrame, top: int = BPE_TOP_MERGES) -> DataFrame:
+    """One round of the BPE tokenizer-training inner loop: the corpus-wide
+    frequency of adjacent character pairs, ranked to give the next merge
+    candidates.
+
+    The load-bearing optimization is counting over the WORD VOCABULARY,
+    not the corpus: words are counted first (one shuffle over corpus
+    tokens, map-side combined), then character pairs are expanded from
+    each *distinct* word and weighted by its count. At 100 TB the
+    vocabulary is millions of rows while the corpus is trillions of
+    tokens, so the expensive explode runs on the small relation — the
+    same trick every real BPE trainer uses (word-frequency dict first).
+    Iterating merges re-runs this with a re-segmented vocabulary; the
+    per-round shape is identical.
+
+    Top-``top`` by (count DESC, pair ASC) — a total order, so the cut is
+    deterministic; TakeOrdered, no global sort. The final rank window
+    runs over ``top`` rows only.
+    """
+    from pyspark.sql import Window
+
+    words = (
+        docs.select(F.explode(tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = F.when(
+        F.length("word") >= 2,
+        F.expr("transform(sequence(1, length(word) - 1),"
+               " i -> substring(word, i, 2))"),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    top_pairs = (
+        words.select(F.explode(pairs).alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair"))
+        .limit(top)
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return top_pairs.withColumn("merge_rank", F.row_number().over(w))
+
+
+def q_text_bpe_pairs(spark, sf_dir):
+    return bpe_pair_stats(_docs(spark, sf_dir))
+
+
+SQL_TEXT_BPE_PAIRS = rf"""
+WITH words AS (
+    SELECT u.w AS word, COUNT(*) AS n
+    FROM documents,
+         UNNEST(string_split_regex(trim(text), '\s+')) AS u(w)
+    GROUP BY u.w
+),
+pairs AS (
+    SELECT p.pair, CAST(SUM(n) AS BIGINT) AS pair_count
+    FROM words,
+         UNNEST(list_transform(range(1, length(word)),
+                               i -> substr(word, i, 2))) AS p(pair)
+    GROUP BY p.pair
+),
+topk AS (
+    SELECT pair, pair_count
+    FROM pairs ORDER BY pair_count DESC, pair LIMIT {BPE_TOP_MERGES}
+)
+SELECT pair, pair_count,
+       CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS INTEGER)
+           AS merge_rank
+FROM topk
+"""
+
+
+# --------------------------------------------------------------------------
 # End-to-end curation pipeline
 # --------------------------------------------------------------------------
 
@@ -881,4 +959,5 @@ QUERIES = {
     "text_winnow_fingerprint": (q_text_winnow_fingerprint, SQL_TEXT_WINNOW),
     "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK_SEQUENCES),
     "text_classifier": (q_text_classifier, SQL_TEXT_CLASSIFIER),
+    "text_bpe_pairs": (q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
 }

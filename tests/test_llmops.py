@@ -626,3 +626,28 @@ def test_incremental_dedup_routing(spark):
     assert out[3]["dup_in_batch"] and not out[3]["dup_in_corpus"]
     assert out[5]["dup_in_batch"] and out[5]["dup_in_corpus"]
     assert not out[4]["dup_in_batch"] and out[4]["dup_in_corpus"]
+
+
+def test_bpe_pair_stats_vocabulary_weighted(spark):
+    """Classic BPE example: pair counts must equal corpus-level adjacent
+    character-pair frequencies (vocabulary counting is an optimization,
+    not a semantics change), ranked deterministically."""
+    from collections import Counter
+
+    from pandas_etl_framework_spark.llmops.text import bpe_pair_stats
+
+    texts = ["low low low lower", "lowest low newer", "new new"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expected = Counter()
+    for t in texts:
+        for w in t.split():
+            for i in range(len(w) - 1):
+                expected[w[i : i + 2]] += 1
+    out = bpe_pair_stats(docs, top=5).collect()
+    want = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["pair"], r["pair_count"]) for r in out] == want
+    assert [r["merge_rank"] for r in out] == [1, 2, 3, 4, 5]
+    # 'lo' appears in low x4, lower, lowest -> 6; ties broken by pair asc
+    assert out[0]["pair"] == "lo" and out[0]["pair_count"] == 6
