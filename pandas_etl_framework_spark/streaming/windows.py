@@ -275,6 +275,76 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_streaming_dedup(spark, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup THROUGH THE REAL MICRO-BATCH ENGINE,
+    oracle-checkable: file-stream the events table, run
+    ``historize.streaming_dedup`` on (user_id, event_type) with ts as
+    event time, availableNow trigger, append-mode memory sink (dedup
+    emits rows immediately — no watermark-close wait), then aggregate
+    the deduped stream per event_type so the driver compares a bounded
+    result. The dedup state is watermark-bounded: keys older than the
+    delay are dropped from the state store, which is what makes exact
+    ingest-dedup viable on an unbounded 100 TB stream.
+
+    Same HARNESS-ONLY BOUNDARY as q_streaming_windowed_counts: memory
+    sink + one-shot availableNow for verifiability; production sinks are
+    foreachBatch/file. Checkpoint dir and sink table are torn down after
+    materialization."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .historize import streaming_dedup
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = streaming_dedup(
+        stream, ["user_id", "event_type"], event_time_col="ts"
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="q_stream_dedup_ckpt_")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # bounded driver result: per-type count of surviving rows
+        rows = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_unique bigint"
+    )
+
+
+# availableNow over one parquet file = a single micro-batch, so the
+# watermark never advances past any in-flight row and the surviving set
+# is exactly the batch-distinct of the dedup key (+ event time).
+SQL_STREAMING_DEDUP = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique
+FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
+GROUP BY event_type
+"""
+
+
 def register_all() -> None:
     from .. import harness
 
@@ -282,4 +352,9 @@ def register_all() -> None:
         "streaming_windowed_counts",
         q_streaming_windowed_counts,
         SQL_STREAMING_WINDOWED_COUNTS,
+    )
+    harness.register(
+        "streaming_dedup_counts",
+        q_streaming_dedup,
+        SQL_STREAMING_DEDUP,
     )

@@ -42,8 +42,9 @@ BNLJ_SINGLETON_OK = {
 }
 
 SKIP = {
-    # executes a real micro-batch stream on call, not a lazy plan
+    # execute a real micro-batch stream on call, not a lazy plan
     "streaming_windowed_counts",
+    "streaming_dedup_counts",
 }
 
 

@@ -329,3 +329,35 @@ def test_streaming_versioned_append(spark, tmp_path):
     store = VersionedStore(spark, str(tmp_path / "vstore"))
     assert store.read().count() == 25
     assert store.read(version=0).count() == 10  # time travel to batch 1
+
+
+def test_streaming_dedup_registry_query_matches_batch_and_cleans_up(spark):
+    """The oracle-gated streaming-dedup query equals the batch distinct
+    semantics at availableNow granularity and leaks neither its memory
+    sink nor its checkpoint dir."""
+    import glob
+    import tempfile
+
+    from pandas_etl_framework_spark.relational import normalize_event_time
+    from pandas_etl_framework_spark.streaming.windows import q_streaming_dedup
+
+    sf = "/root/testdata/sf0.001"
+    ckpt_glob = tempfile.gettempdir() + "/q_stream_dedup_ckpt_*"
+    views_before = {t.name for t in spark.catalog.listTables()}
+    dirs_before = set(glob.glob(ckpt_glob))
+    out = {r["event_type"]: r["n_unique"] for r in q_streaming_dedup(spark, sf).collect()}
+    events = normalize_event_time(spark.read.parquet(f"{sf}/events.parquet"), "ts")
+    batch = {
+        r["event_type"]: r["n"]
+        for r in events.select("user_id", "event_type", "ts")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == batch
+    views_after = {t.name for t in spark.catalog.listTables()}
+    assert not {
+        t for t in views_after - views_before if t.startswith("stream_dedup_")
+    }
+    assert set(glob.glob(ckpt_glob)) - dirs_before == set()
