@@ -627,8 +627,60 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 JACCARD_T_NUM, JACCARD_T_DEN = 3, 5       # t = 0.6
 
 
+def token_sets_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, toks, set_size) with ``toks`` the sorted-distinct xxhash64
+    token-id array of the document's word-``n``-gram shingles — built as a
+    PURE PROJECTION (split → shingle lambda → hash lambda → distinct →
+    sort, all inside the scan stage).  One row per document.
+
+    This replaces the explode → groupBy → collect_list → sort_array
+    round-trip (a corpus-tokens-sized shuffle plus a per-doc sort) that
+    previously rebuilt the same arrays for PPJoin verification: the array
+    never leaves the row, so the set representation costs zero exchanges.
+    ``array_distinct`` on the hashed ids keeps set_size and the
+    intersection measure consistent under (improbable) within-doc 64-bit
+    collisions.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda t, i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + off) for off in range(n)]
+    )
+    tok_ids = F.sort_array(
+        F.array_distinct(
+            F.transform(
+                F.array_distinct(F.transform(idx, lambda i: gram(toks, i))),
+                lambda s: F.xxhash64(s),
+            )
+        )
+    )
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(parallelism)
+        .select("doc_id", tok_ids.alias("toks"))
+        .withColumn("set_size", F.size("toks"))
+    )
+
+
+def token_sets_from_shingles(sh: DataFrame) -> DataFrame:
+    """Adapter for callers holding an exploded (doc_id, shingle) relation
+    (tests, synthetic fixtures): collapse it to the (doc_id, toks,
+    set_size) shape ``jaccard_prefix_pairs`` consumes. Costs the groupBy
+    that ``token_sets_df`` avoids — use that one when you have the docs."""
+    return (
+        sh.select("doc_id", F.xxhash64("shingle").alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.array_distinct(F.collect_list("tok"))).alias("toks"))
+        .withColumn("set_size", F.size("toks"))
+    )
+
+
 def jaccard_prefix_pairs(
-    sh: DataFrame, t_num: int = JACCARD_T_NUM, t_den: int = JACCARD_T_DEN
+    token_sets: DataFrame,
+    t_num: int = JACCARD_T_NUM,
+    t_den: int = JACCARD_T_DEN,
 ) -> DataFrame:
     """All pairs with Jaccard(shingles) >= t, found via prefix filtering
     (PPJoin's candidate-generation idea, SIGMOD'08 / WWW'08 public
@@ -645,6 +697,11 @@ def jaccard_prefix_pairs(
     join, then survivors are verified with an exact intersection count;
     the filter ``t_den*i >= t_num*(|A|+|B|-i)`` is pure integers.
 
+    Input: a (doc_id, toks, set_size) relation with ``toks`` the
+    sorted-distinct 64-bit token-id array per document — from
+    ``token_sets_df`` (zero-shuffle projection over docs) or
+    ``token_sets_from_shingles`` (adapter for exploded fixtures).
+
     Token identity: shingle strings are mapped once to 64-bit xxhash64
     ids, so every downstream shuffle/sort/join moves 8-byte longs instead
     of multi-word strings (measured ~30% of the query's wall time at
@@ -655,37 +712,35 @@ def jaccard_prefix_pairs(
     for corpora approaching 2^32 distinct shingles switch the id to
     ``concat(xxhash64, crc32)`` or verify survivors on strings).
     """
-    # The token relation is referenced four times below (document
-    # frequencies, sizes, prefix build, both sides of the verification
-    # join). Without materialization Spark re-runs the parquet scan + token
-    # explode once per reference (the r01 plan showed FileScan×20 /
-    # Generate×20) — at corpus scale that re-reads the corpus for every
-    # reference. localCheckpoint materializes the exploded relation once to
-    # executor-local storage and truncates the lineage, so every reference
-    # is a block read; unlike .cache() it cannot silently fall back to
-    # recomputation under memory pressure.
-    sh = sh.select("doc_id", F.xxhash64("shingle").alias("tok")).localCheckpoint(
-        eager=True
-    )
+    # The token-set relation is referenced four times below (document
+    # frequencies, prefix build, both sides of the verification join).
+    # Without materialization Spark re-runs the parquet scan + tokenize
+    # once per reference (the r01 plan showed FileScan×20 / Generate×20) —
+    # at corpus scale that re-reads the corpus for every reference.
+    # localCheckpoint materializes it once (ONE ROW PER DOC — arrays, not
+    # exploded tokens) to executor-local storage and truncates the
+    # lineage; unlike .cache() it cannot silently fall back to
+    # recomputation under memory pressure. The exploded (doc_id, tok,
+    # set_size) view below is derived from the checkpointed arrays, so the
+    # explode costs no extra scan and set_size rides along for free —
+    # the former per-doc COUNT window is gone.
+    ts = token_sets.localCheckpoint(eager=True)
+    sh = ts.select("doc_id", "set_size", F.explode("toks").alias("tok"))
     dfreq = sh.groupBy("tok").agg(F.count("*").alias("dfreq"))
     # prefix length: n - ceil(t*n) + 1, with ceil in exact integers
     plen = F.col("set_size") - F.floor(
         (t_num * F.col("set_size") + t_den - 1) / t_den
     ).cast("long") + 1
-    wd = Window.partitionBy("doc_id")
-    w = wd.orderBy("dfreq", "tok")
-    # set_size via an unordered window over the same doc_id partitioning as
-    # the rarest-first ranking: both window specs share one shuffle + sort,
-    # replacing a separate aggregate + re-join of `sizes`
+    w = Window.partitionBy("doc_id").orderBy("dfreq", "tok")
     # dfreq is one row per distinct shingle — broadcast is right while the
     # vocabulary fits an executor (shingled fixture text: 27k tokens at
     # sf0.1). At corpus scale where distinct shingles ~ corpus size, drop
     # the hint: the join and the doc_id window below then run as two
-    # ordinary shuffles and nothing else changes.
+    # ordinary shuffles and nothing else changes. set_size rides in from
+    # the token-set arrays — no per-doc COUNT window needed.
     prefix = (
         sh.join(F.broadcast(dfreq), "tok")
         .withColumn("rk", F.row_number().over(w))
-        .withColumn("set_size", F.count(F.lit(1)).over(wd))
         .filter(F.col("rk") <= plen)
         .select("doc_id", "tok", "set_size", "rk")
     )
@@ -721,31 +776,19 @@ def jaccard_prefix_pairs(
         )
         .distinct()
     )
-    # Verification: instead of re-exploding both candidate docs into
-    # (doc, tok) rows and shuffle-joining on tok equality (token-count-sized
-    # shuffle + a pair-keyed aggregation), collapse each doc's token set to
-    # ONE sorted array row and compute |A∩B| per candidate pair with
-    # array_intersect. Each doc's set now crosses the wire once per side as
-    # a packed array, the pair aggregation disappears, and at this SF both
-    # doc-keyed joins broadcast. Exact under set semantics: shingles_df
-    # emits distinct shingles per doc, so array size == count(*).
-    # array_distinct before sizing: shingles are distinct per doc as
-    # STRINGS, but a within-doc xxhash64 collision would leave a duplicate
-    # token id — array_intersect dedups while a raw size would not, so
-    # both measures are taken on the deduped token set.
-    toks = (
-        sh.groupBy("doc_id")
-        .agg(
-            F.sort_array(F.array_distinct(F.collect_list("tok"))).alias("toks")
-        )
-        .withColumn("set_size", F.size("toks"))
-    )
-    ta = toks.select(
+    # Verification: the checkpointed token-set arrays ARE the verification
+    # representation — |A∩B| per candidate pair via array_intersect on the
+    # sorted id arrays. Each doc's set crosses the wire once per side as a
+    # packed array, there is no pair-keyed aggregation, and at this SF
+    # both doc-keyed joins broadcast. set_size and the intersection are
+    # both measured on the same array_distinct'ed ids, so an (improbable)
+    # within-doc 64-bit collision cannot skew the Jaccard ratio.
+    ta = ts.select(
         F.col("doc_id").alias("doc_a"),
         F.col("toks").alias("toks_a"),
         F.col("set_size").alias("size_a"),
     )
-    tb = toks.select(
+    tb = ts.select(
         F.col("doc_id").alias("doc_b"),
         F.col("toks").alias("toks_b"),
         F.col("set_size").alias("size_b"),
@@ -770,8 +813,8 @@ def jaccard_prefix_pairs(
 
 
 def q_dedup_jaccard_prefix(spark, sf_dir):
-    # no .cache() — jaccard_prefix_pairs localCheckpoints the shingles itself
-    return jaccard_prefix_pairs(shingles_df(_docs(spark, sf_dir)))
+    # no .cache() — jaccard_prefix_pairs localCheckpoints the token sets
+    return jaccard_prefix_pairs(token_sets_df(_docs(spark, sf_dir)))
 
 
 # Oracle: BRUTE FORCE at the same threshold — prefix filtering must be

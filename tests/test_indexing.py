@@ -128,14 +128,14 @@ def test_jaccard_prefix_filter_is_lossless(spark):
         JACCARD_T_NUM,
         jaccard_prefix_pairs,
         q_dedup_jaccard_pairs,
-        shingles_df,
+        token_sets_df,
     )
 
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     smart = {
         (r["doc_a"], r["doc_b"]): r["intersection"]
-        for r in jaccard_prefix_pairs(shingles_df(docs)).collect()
+        for r in jaccard_prefix_pairs(token_sets_df(docs)).collect()
     }
     brute = {
         (r["doc_a"], r["doc_b"]): r["intersection"]
