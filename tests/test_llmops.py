@@ -651,3 +651,21 @@ def test_bpe_pair_stats_vocabulary_weighted(spark):
     assert [r["merge_rank"] for r in out] == [1, 2, 3, 4, 5]
     # 'lo' appears in low x4, lower, lowest -> 6; ties broken by pair asc
     assert out[0]["pair"] == "lo" and out[0]["pair_count"] == 6
+
+
+def test_token_sets_projection_equals_shingle_aggregation(spark):
+    """token_sets_df (zero-shuffle projection) and token_sets_from_shingles
+    (explode+groupBy adapter) must produce identical arrays — they are two
+    constructions of the same set representation."""
+    from pandas_etl_framework_spark.llmops.dedup import (
+        shingles_df,
+        token_sets_df,
+        token_sets_from_shingles,
+    )
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    a = {r["doc_id"]: (list(r["toks"]), r["set_size"])
+         for r in token_sets_df(docs).collect()}
+    b = {r["doc_id"]: (list(r["toks"]), r["set_size"])
+         for r in token_sets_from_shingles(shingles_df(docs)).collect()}
+    assert a == b and len(a) == docs.count()
