@@ -738,6 +738,13 @@ def jaccard_prefix_pairs(
     # the hint: the join and the doc_id window below then run as two
     # ordinary shuffles and nothing else changes. set_size rides in from
     # the token-set arrays — no per-doc COUNT window needed.
+    # Both sides of the candidate self-join consume `prefix`, so the dfreq
+    # join + ranking window run twice (plan shows Window×2) — but both
+    # start from the CHECKPOINTED token sets, so the duplicate is window
+    # CPU only, no re-scan. Measured at sf0.1, checkpointing `prefix`
+    # costs more (materialization write) than the duplicate window saves;
+    # on a cluster where the prefix slice is large relative to executor
+    # CPU, add .localCheckpoint(eager=False) here and re-measure.
     prefix = (
         sh.join(F.broadcast(dfreq), "tok")
         .withColumn("rk", F.row_number().over(w))
