@@ -92,13 +92,23 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+# exact integer microseconds — a float epoch round-trip can drift by an
+# ulp and break hash parity with the event-time values it came from
 SESSION_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_ts", T.DoubleType()),
-        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
         T.StructField("n_events", T.LongType()),
     ]
 )
+
+_GAP_US = SESSION_GAP_SECONDS * 1_000_000
+_GAP_MS = SESSION_GAP_SECONDS * 1_000
+
+
+def _us_ts(us: int) -> pd.Timestamp:
+    # ns-integer constructor: exact, no float epoch involved
+    return pd.Timestamp(us * 1_000)
 
 
 def _session_fn(
@@ -106,69 +116,81 @@ def _session_fn(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Custom stateful operator: per-user open-session state; emits a session
-    row whenever the inter-event gap exceeds SESSION_GAP_SECONDS or the
-    processing-time timeout closes an idle session."""
-    import datetime
-
+    """Custom stateful operator: per-user open-session state; emits a
+    session row when the inter-event gap exceeds SESSION_GAP_SECONDS, or
+    when the EVENT-TIME timeout closes an idle session — i.e. the
+    watermark has advanced past the session's last event + gap, so no
+    on-time row can extend it. Event-time (not processing-time) timeouts
+    make the output deterministic in event time and let an availableNow
+    run terminate: wall-clock timers would spin empty micro-batches
+    forever waiting for real time to pass."""
     (user_id,) = key
 
     if state.hasTimedOut:
-        start_ts, last_ts, n = state.get
+        start_us, last_us, n = state.get
         state.remove()
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
-                "session_start": [datetime.datetime.utcfromtimestamp(start_ts)],
-                "session_end": [datetime.datetime.utcfromtimestamp(last_ts)],
+                "session_start": [_us_ts(start_us)],
+                "session_end": [_us_ts(last_us)],
                 "n_events": [n],
             }
         )
         return
 
-    ts_values: list[float] = []
+    ts_values: list[int] = []
     for pdf in pdfs:
-        ts_values.extend(t.timestamp() for t in pdf["ts"])
+        # pandas Timestamp.value is integer nanoseconds — exact
+        ts_values.extend(t.value // 1_000 for t in pdf["ts"])
     ts_values.sort()
 
     if state.exists:
-        start_ts, last_ts, n = state.get
+        start_us, last_us, n = state.get
     else:
-        start_ts, last_ts, n = None, None, 0
+        start_us, last_us, n = None, None, 0
 
     closed = {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
     for t in ts_values:
-        if start_ts is None:
-            start_ts, last_ts, n = t, t, 1
-        elif t - last_ts > SESSION_GAP_SECONDS:
+        if start_us is None:
+            start_us, last_us, n = t, t, 1
+        elif t - last_us > _GAP_US:
             closed["user_id"].append(user_id)
-            closed["session_start"].append(datetime.datetime.utcfromtimestamp(start_ts))
-            closed["session_end"].append(datetime.datetime.utcfromtimestamp(last_ts))
+            closed["session_start"].append(_us_ts(start_us))
+            closed["session_end"].append(_us_ts(last_us))
             closed["n_events"].append(n)
-            start_ts, last_ts, n = t, t, 1
+            start_us, last_us, n = t, t, 1
         else:
-            last_ts, n = t, n + 1
+            last_us, n = t, n + 1
 
-    state.update((start_ts, last_ts, n))
-    state.setTimeoutDuration(SESSION_GAP_SECONDS * 1000)
+    state.update((start_us, last_us, n))
+    # fire when the watermark passes last event + gap; Spark compares in
+    # integer ms (event times floor-truncated to ms), so truncate the same
+    # way. Must exceed the current watermark or Spark rejects the timer.
+    timeout_ms = last_us // 1_000 + _GAP_MS
+    state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
     if closed["user_id"]:
         yield pd.DataFrame(closed)
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame, watermark_delay: str = "10 minutes"
+) -> DataFrame:
     """Gap-based sessionization as a custom stateful streaming operator
     (``applyInPandasWithState``): the streaming twin of the batch
     ``events_sessionize`` harness query. State is one small tuple per user —
-    bounded by the active-user cardinality, not the event volume.
-    """
+    bounded by the active-user cardinality, not the event volume. The
+    watermark both bounds late data and drives the event-time timeout that
+    closes idle sessions deterministically."""
     return (
-        events.groupBy("user_id")
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
         .applyInPandasWithState(
             _session_fn,
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -345,6 +367,194 @@ GROUP BY event_type
 """
 
 
+def q_streaming_sessionize(spark, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL OPERATOR (``applyInPandasWithState``
+    sessionization, ``sessionize_stream``) through the real micro-batch
+    engine, oracle-checkable. availableNow over one parquet file runs the
+    data as one micro-batch (watermark still initial → every gap-closed
+    session is emitted, none dropped), then one watermark-advance batch
+    that fires the EVENT-TIME timeouts: trailing sessions whose
+    last-event + gap lies strictly before the final watermark
+    (floor-ms(max ts) − 10 min) are closed and emitted too; the rest stay
+    in state. Both emission rules are deterministic in event time and
+    SQL-expressible, which is what lets a DuckDB oracle check a stateful
+    streaming operator at all.
+
+    State is one (start, last, count) tuple per active user — bounded by
+    user cardinality, not event volume — so the same operator runs
+    unchanged on an unbounded stream at any scale. Same HARNESS-ONLY
+    BOUNDARY as the other streaming rows: memory sink + one-shot
+    availableNow for verifiability; production sinks are foreachBatch /
+    file (streaming/historize.py). Checkpoint dir and sink table are torn
+    down after materialization."""
+    import shutil
+    import tempfile
+    import uuid
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = normalize_event_time(stream, "ts")
+    sessions = sessionize_stream(stream)
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="q_stream_sess_ckpt_")
+    # state cardinality = active users, not events: 8 partitions (see the
+    # state-store sizing note in q_streaming_windowed_counts)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sink = spark.table(name)
+        rows = sink.collect()  # one row per closed session — bounded
+        schema = sink.schema
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# Batch sessionization (the events_sessionize shape, but in exact integer
+# microseconds to mirror the operator's integer state), emitting
+# (a) every non-trailing session (gap-closed in the data batch) and
+# (b) trailing sessions the event-time timeout closes: Spark fires a timer
+# when timeout_ms < watermark_ms, with event times floor-truncated to ms
+# (epoch_ms floors the same way) and the one-shot final watermark at
+# floor-ms(global max ts) − 10 min. COUNT(*) is BIGINT in DuckDB (no
+# HUGEINT cast needed); the HUGEINT session_seq stays internal to the CTEs.
+SQL_STREAMING_SESSIONIZE = f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                       > {SESSION_GAP_SECONDS * 1_000_000}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+with_id AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM flagged
+),
+sessions AS (
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM with_id
+    GROUP BY user_id, session_seq
+)
+SELECT s.user_id, s.session_start, s.session_end, s.n_events
+FROM sessions s
+JOIN (
+    SELECT user_id, MAX(session_seq) AS max_seq
+    FROM sessions GROUP BY user_id
+) m ON s.user_id = m.user_id
+WHERE s.session_seq < m.max_seq
+   OR epoch_ms(s.session_end) + {SESSION_GAP_SECONDS * 1_000}
+        < (SELECT MAX(epoch_ms(ts)) FROM events) - 600000
+"""
+
+
+def q_streaming_interval_join(spark, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (``interval_join_streams``) through the
+    real micro-batch engine, oracle-checkable: view→purchase attribution —
+    purchases by the same user within 30 minutes of a view. Two file-stream
+    sources over the same events table (filtered to each side's type),
+    both watermarked; the bounded time predicate is what lets the engine
+    evict join state on a real stream (state ≤ watermark_delay + max_delay
+    per key). availableNow over one parquet file = a single micro-batch
+    with the initial watermark, so no row is evicted before matching and
+    the inner-join output is exactly the batch interval join — the
+    SQL-expressible ground truth.
+
+    Same HARNESS-ONLY BOUNDARY as the other streaming rows (memory sink,
+    one-shot trigger, checkpoint + sink torn down after materialization)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(event_type: str, id_alias: str, ts_alias: str, extra=None):
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        s = normalize_event_time(s, "ts")
+        cols = [
+            F.col("user_id"),
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(ts_alias),
+        ]
+        if extra is not None:
+            cols.append(extra)
+        return s.filter(F.col("event_type") == event_type).select(*cols)
+
+    views = side("view", "view_id", "view_ts")
+    purchases = side(
+        "purchase", "purchase_id", "purchase_ts", F.col("value").alias("amount")
+    )
+    joined = interval_join_streams(
+        views,
+        purchases,
+        ["user_id"],
+        "view_ts",
+        "purchase_ts",
+        max_delay="30 minutes",
+        watermark_delay="10 minutes",
+    )
+    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="q_stream_ij_ckpt_")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sink = spark.table(name)
+        rows = sink.collect()  # attribution pairs — bounded by match count
+        schema = sink.schema
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+SQL_STREAMING_INTERVAL_JOIN = """
+SELECT l.user_id, l.event_id AS view_id, l.ts AS view_ts,
+       r.event_id AS purchase_id, r.ts AS purchase_ts, r.value AS amount
+FROM events l
+JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'view' AND r.event_type = 'purchase'
+ AND r.ts >= l.ts
+ AND r.ts <= l.ts + INTERVAL 30 MINUTE
+"""
+
+
 def register_all() -> None:
     from .. import harness
 
@@ -357,4 +567,14 @@ def register_all() -> None:
         "streaming_dedup_counts",
         q_streaming_dedup,
         SQL_STREAMING_DEDUP,
+    )
+    harness.register(
+        "streaming_sessionize",
+        q_streaming_sessionize,
+        SQL_STREAMING_SESSIONIZE,
+    )
+    harness.register(
+        "streaming_interval_join",
+        q_streaming_interval_join,
+        SQL_STREAMING_INTERVAL_JOIN,
     )

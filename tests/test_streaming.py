@@ -128,18 +128,24 @@ def test_windowed_counts_registry_query_cleans_up(spark):
 
 
 def test_sessionize_stream_stateful(spark, tmp_path):
-    """applyInPandasWithState sessionization: closed sessions match the
-    batch gap logic."""
+    """applyInPandasWithState sessionization: gap-closed sessions emit in
+    the data batch; the event-time timeout closes idle sessions once the
+    watermark passes last-event + gap; sessions the watermark hasn't
+    reached stay open — and the availableNow run terminates (wall-clock
+    timers would spin empty micro-batches forever)."""
     import datetime
 
     base = datetime.datetime(2024, 1, 1, 0, 0, 0)
     rows = []
-    # user 7: two sessions separated by a 2h gap; second session still open
+    # user 7: two sessions separated by a ~3h gap; the second session ends
+    # at the stream's max ts, so the final watermark (max - 10 min) can
+    # never pass its last event + 30 min -> stays open
     for i in range(3):
         rows.append((7, base + datetime.timedelta(minutes=5 * i)))
     for i in range(2):
         rows.append((7, base + datetime.timedelta(hours=3, minutes=i)))
-    # user 8: one long session, never closed in-batch
+    # user 8: one event at base; watermark (3h01 - 10min) passes
+    # base + 30 min -> closed by the event-time timeout
     rows.append((8, base,))
     src = str(tmp_path / "sess_src")
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
@@ -155,14 +161,15 @@ def test_sessionize_stream_stateful(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    closed = spark.sql("select * from sessions").collect()
-    # only user 7's first session closes within the batch (gap observed)
-    assert len(closed) == 1
-    s = closed[0]
-    assert s["user_id"] == 7
-    assert s["n_events"] == 3
-    assert (s["session_end"] - s["session_start"]).total_seconds() == 600
+    assert q.awaitTermination(300), "availableNow sessionize did not terminate"
+    closed = {r["user_id"]: r for r in spark.sql("select * from sessions").collect()}
+    assert set(closed) == {7, 8}
+    s7 = closed[7]  # gap-closed in the data batch
+    assert s7["n_events"] == 3
+    assert (s7["session_end"] - s7["session_start"]).total_seconds() == 600
+    s8 = closed[8]  # closed by the event-time timeout
+    assert s8["n_events"] == 1
+    assert s8["session_start"] == s8["session_end"]
 
 
 def test_watermark_drops_late_rows(spark, tmp_path):
@@ -359,5 +366,134 @@ def test_streaming_dedup_registry_query_matches_batch_and_cleans_up(spark):
     views_after = {t.name for t in spark.catalog.listTables()}
     assert not {
         t for t in views_after - views_before if t.startswith("stream_dedup_")
+    }
+    assert set(glob.glob(ckpt_glob)) - dirs_before == set()
+
+
+def test_streaming_sessionize_registry_query_matches_batch_and_cleans_up(spark):
+    """The oracle-gated stateful-sessionize query emits exactly the
+    gap-closed sessions plus the trailing sessions the event-time timeout
+    closes, and leaks neither its memory sink nor its checkpoint dir."""
+    import glob
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from pandas_etl_framework_spark.relational import (
+        SESSION_GAP_SECONDS,
+        normalize_event_time,
+    )
+    from pandas_etl_framework_spark.streaming.windows import (
+        q_streaming_sessionize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ckpt_glob = tempfile.gettempdir() + "/q_stream_sess_ckpt_*"
+    views_before = {t.name for t in spark.catalog.listTables()}
+    dirs_before = set(glob.glob(ckpt_glob))
+
+    out = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in q_streaming_sessionize(spark, sf).collect()
+    }
+
+    events = normalize_event_time(spark.read.parquet(f"{sf}/events.parquet"), "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    sessions = (
+        events.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > SESSION_GAP_SECONDS), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn(
+            "max_seq", F.max("session_seq").over(Window.partitionBy("user_id"))
+        )
+    )
+
+    def ms(dt) -> int:  # exact floor-to-ms, matching Spark's watermark math
+        return pd.Timestamp(dt).value // 1_000_000
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    wm_ms = ms(max_ts) - 600_000
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessions.collect()
+        if r["session_seq"] < r["max_seq"]
+        or ms(r["session_end"]) + SESSION_GAP_SECONDS * 1_000 < wm_ms
+    }
+    assert out == batch
+    assert len(out) > 0
+
+    views_after = {t.name for t in spark.catalog.listTables()}
+    assert not {
+        t for t in views_after - views_before if t.startswith("stream_sess_")
+    }
+    assert set(glob.glob(ckpt_glob)) - dirs_before == set()
+
+
+def test_streaming_interval_join_registry_query_matches_batch_and_cleans_up(spark):
+    """The oracle-gated stream-stream interval join equals the batch
+    interval join at availableNow granularity and leaks neither its memory
+    sink nor its checkpoint dir."""
+    import glob
+    import tempfile
+
+    from pandas_etl_framework_spark.relational import normalize_event_time
+    from pandas_etl_framework_spark.streaming.windows import (
+        q_streaming_interval_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ckpt_glob = tempfile.gettempdir() + "/q_stream_ij_ckpt_*"
+    views_before = {t.name for t in spark.catalog.listTables()}
+    dirs_before = set(glob.glob(ckpt_glob))
+
+    out_df = q_streaming_interval_join(spark, sf)
+    out = {tuple(r) for r in out_df.collect()}
+
+    events = normalize_event_time(spark.read.parquet(f"{sf}/events.parquet"), "ts")
+    v = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    batch = {
+        tuple(r)
+        for r in v.join(
+            p,
+            (v.user_id == p.p_user_id)
+            & (p.purchase_ts >= v.view_ts)
+            & (p.purchase_ts <= v.view_ts + F.expr("INTERVAL 30 minutes")),
+            "inner",
+        )
+        .drop("p_user_id")
+        .select(out_df.columns)
+        .collect()
+    }
+    assert out == batch
+    assert len(out) > 0
+
+    views_after = {t.name for t in spark.catalog.listTables()}
+    assert not {
+        t for t in views_after - views_before if t.startswith("stream_ij_")
     }
     assert set(glob.glob(ckpt_glob)) - dirs_before == set()
