@@ -1,8 +1,9 @@
 """Batch ↔ streaming sessionization equivalence on real event data:
 every session the stateful streaming operator closes must exist, with
 identical bounds and event count, in the batch window-function result —
-and the closed set must be exactly 'all batch sessions except each user's
-final (still-open) one'."""
+and the closed set must be exactly 'all non-trailing batch sessions, plus
+each trailing session the event-time timeout fires for (last event + gap
+strictly before the final watermark, in Spark's floor-to-ms timer math)'."""
 
 from __future__ import annotations
 
@@ -39,16 +40,30 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
         for r in batch_rows
     }
-    # each user's final session is still open in the stream; all others closed
+    # each user's final session stays open in the stream UNLESS the final
+    # watermark (floor-ms(max ts) - 10 min) strictly passes its
+    # last event + gap, in which case the event-time timeout closes it
+    import pandas as pd
+
+    from pandas_etl_framework_spark.streaming.windows import (
+        SESSION_GAP_SECONDS,
+    )
+
+    def ms(dt) -> int:
+        return pd.Timestamp(dt).value // 1_000_000
+
+    wm_ms = max(ms(r["session_end"]) for r in batch_rows) - 600_000
     last_per_user = {}
     for r in batch_rows:
         cur = last_per_user.get(r["user_id"])
         if cur is None or r["session_start"] > cur["session_start"]:
             last_per_user[r["user_id"]] = r
-    expected_closed = batch_all - {
+    still_open = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
         for r in last_per_user.values()
+        if ms(r["session_end"]) + SESSION_GAP_SECONDS * 1_000 >= wm_ms
     }
+    expected_closed = batch_all - still_open
 
     assert streamed == expected_closed
     assert len(streamed) > 0
