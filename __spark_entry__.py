@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Subset contract: the driver records correctness rows for the FIRST 50
 # queries() entries only (CORRECTNESS_r01..r03 all truncate there), while the
-# registry holds 160. Round-4 rotation: the §2 core + r01-r03 greens are
+# registry holds 169. Round-4 rotation: the §2 core + r01-r03 greens are
 # proven (84 queries ever-checked, 80 ever-green), so this window carries
 # (a) the 4 r03 reds, re-listed to put their fixes on record — the HUGEINT
 # oracle sweep (events_range_join, rel_dq_constraints, emb_kmeans) and the
@@ -48,8 +48,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # never had a driver row: the UDAF/UDTF/grouped-map surface, the repaired
 # latent-HUGEINT/array queries, remaining TPC-H, the time-series family,
 # sketches, IVF/PQ ANN, the dedup long tail incl. the new
-# connected-components driver row, and the LLM text ops. The ~30 still-dark
-# queries (simple relational/scalar shapes, all green under
+# connected-components driver row, and the LLM text ops. The ~35 still-dark
+# queries (simple relational/scalar shapes plus this round's new
+# streaming_sessionize / streaming_interval_join rows, all green under
 # tools/check_correctness.py's driver-faithful compare) rotate in next
 # round. Remaining queries follow in registry order.
 DRIVER_PRIORITY = [

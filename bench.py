@@ -3,7 +3,10 @@
 JSON line {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is materialized with the no-op sink (full execution, no driver
-collect cost). One warm-up of a trivial job absorbs JVM/codegen startup.
+collect cost). One warm-up of a trivial job absorbs JVM/codegen startup;
+each query then runs three times (one untimed warm-up pass + two timed
+passes) and reports the per-query minimum — the noise-damped steady-state
+cost.
 """
 
 from __future__ import annotations
@@ -77,7 +80,11 @@ def bench_streaming(spark, sf_dir: str) -> float:
         .start()
     )
     q.awaitTermination()
-    return round(time.time() - t0, 3)
+    elapsed = round(time.time() - t0, 3)
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return elapsed
 
 
 def main() -> None:
@@ -107,11 +114,14 @@ def main() -> None:
     for t in ("orders", "lineitem", "customer", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
 
-    # two passes: the first (untimed) absorbs query-specific codegen and
-    # shuffle-file warmth, the second is the reported steady-state number —
-    # the regime a long-running cluster actually operates in
+    # three passes: the first (untimed) absorbs query-specific codegen and
+    # shuffle-file warmth; the reported number is the per-query MIN of the
+    # two timed passes. Min-of-N is the standard steady-state estimator
+    # under co-tenant noise (any single pass can be inflated by scheduler
+    # contention, never deflated below the query's true cost) and matches
+    # the regime a long-running cluster actually operates in.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for timed_pass in range(3):
         # drop warm-up-pass .cache() blocks — identical logical plans would
         # otherwise read them and under-report the cached queries
         spark.catalog.clearCache()
@@ -119,8 +129,14 @@ def main() -> None:
             fn, _sql = REGISTRY[name]
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.time() - t0, 3)
-        timings["streaming_windowed_counts"] = bench_streaming(spark, sf_dir)
+            dt = round(time.time() - t0, 3)
+            timings[name] = dt if timed_pass < 2 else min(timings[name], dt)
+        s = bench_streaming(spark, sf_dir)
+        timings["streaming_windowed_counts"] = (
+            s
+            if timed_pass < 2
+            else min(timings["streaming_windowed_counts"], s)
+        )
 
     total = round(sum(timings.values()), 3)
     print(
