@@ -178,8 +178,193 @@ ORDER BY rank DESC, node LIMIT 50
 SQL_GRAPH_PAGERANK = _sql_pagerank(3)
 
 
+# --------------------------------------------------------------------------
+# Triangle counting over the co-supply backbone
+# --------------------------------------------------------------------------
+
+def cosupply_backbone(spark, sf_dir: str) -> DataFrame:
+    """Strong-tie supplier graph: (u, v) supplier pairs that share
+    SIGNIFICANTLY more distinct parts than chance — shared > μ + z·√μ with
+    z = 3/2, where μ is the mean shared-part count over all co-supplying
+    pairs. The raw co-supply graph on uniform fixture data is complete
+    (every pair shares something), so backbone extraction — keep edges
+    whose weight is a Poisson surprise — is what makes downstream graph
+    analytics meaningful; it's the standard normalization for
+    co-occurrence networks.
+
+    The test is EXACT INTEGER arithmetic (both engines agree bit-for-bit):
+    shared > S/P  ⟺  shared·P > S, and
+    shared > S/P + (3/2)·√(S/P)  ⟺  4·(shared·P − S)² > 9·S·P
+    (given the first inequality holds). Overflow headroom: shared·P and
+    S·P stay < 2^63 while P·max(shared) < ~3·10^9; at corpus scales beyond
+    that, divide S and P by their gcd or switch the surprise test to
+    doubles (the backbone is a heuristic — only the triangle count below
+    needs exactness).
+
+    One shuffle on part for the pair expansion, one on (u, v) for the
+    weights; the per-part pair fan-out is C(suppliers_per_part, 2) — for
+    skewed catalogs cap it by sampling suppliers within ultra-common parts
+    before pairing."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    stats = pairs.agg(
+        F.sum("shared").alias("s_sum"), F.count("*").alias("p_cnt")
+    )
+    lhs = F.col("shared") * F.col("p_cnt") - F.col("s_sum")
+    return (
+        pairs.crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("shared") * F.col("p_cnt") > F.col("s_sum"))
+            & (4 * lhs * lhs > 9 * F.col("s_sum") * F.col("p_cnt"))
+        )
+        .select("u", "v")
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected simple graph given as
+    canonical (u < v) edges: one row (n_edges, n_triangles, n_wedges,
+    clustering_coeff).
+
+    DEGREE-ORDERED ORIENTATION: re-key every node to
+    degree·2^32 + node_id and orient each edge from the smaller to the
+    larger key. Every out-neighborhood is then bounded by O(√m) — the
+    classic arboricity bound — so the wedge join (e1.a = e2.a) fans out to
+    Σ outdeg² = O(m^1.5) candidates REGARDLESS of hub skew, instead of
+    Σ deg² (quadratic in the hottest hub) for the naive orientation.
+    That re-key is the entire 100 TB story: the two joins below shuffle on
+    long keys and AQE handles the residual skew. The count is
+    orientation-invariant — each triangle has exactly one vertex that
+    precedes the other two in ANY total order, so it is counted exactly
+    once whatever order is used (the DuckDB oracle uses raw id order).
+
+    n_wedges = Σ C(deg, 2) in exact integers (deg·(deg−1) is always even);
+    clustering_coeff = 3·triangles / wedges, one double division performed
+    identically on both engines."""
+    edges = edges.localCheckpoint(eager=True)  # feeds deg + 3 join sides
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    keyed = deg.select(
+        "n", (F.col("d") * F.lit(1 << 32) + F.col("n")).alias("k")
+    )
+    ek = (
+        edges.join(F.broadcast(keyed).withColumnRenamed("n", "u"), "u")
+        .withColumnRenamed("k", "ku")
+        .join(
+            F.broadcast(keyed).withColumnRenamed("n", "v").withColumnRenamed("k", "kv"),
+            "v",
+        )
+        .select(
+            F.least("ku", "kv").alias("a"), F.greatest("ku", "kv").alias("b")
+        )
+        .localCheckpoint(eager=True)  # three references below
+    )
+    e1, e2, e3 = ek.alias("e1"), ek.alias("e2"), ek.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b")),
+        )
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("div(d * (d - 1), 2)")).alias("n_wedges")
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            "n_edges",
+            "n_triangles",
+            F.coalesce("n_wedges", F.lit(0)).alias("n_wedges"),
+            F.when(
+                F.coalesce(F.col("n_wedges"), F.lit(0)) > 0,
+                # 3·tri exact in integers, ONE double division — identical
+                # on both engines (a 3.0 literal is DECIMAL in DuckDB)
+                (3 * F.col("n_triangles")).cast("double") / F.col("n_wedges"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Triangle census of the co-supply backbone (graph analytics beyond
+    the iterate-to-fixpoint family: a multi-way self-join the optimizer
+    must get right)."""
+    return triangle_count(cosupply_backbone(spark, sf_dir))
+
+
+# Oracle: same backbone (identical integer surprise test), triangles via
+# the raw-id orientation — the census is orientation-invariant, so the
+# degree-ordered Spark plan and the id-ordered SQL must agree exactly.
+SQL_GRAPH_TRIANGLES = """
+WITH ps AS (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+),
+pairs AS (
+    SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    GROUP BY a.s, b.s
+),
+stats AS (
+    SELECT CAST(SUM(shared) AS BIGINT) AS s_sum,
+           CAST(COUNT(*) AS BIGINT) AS p_cnt
+    FROM pairs
+),
+e AS (
+    SELECT u, v FROM pairs, stats
+    WHERE shared * p_cnt > s_sum
+      AND 4 * (shared * p_cnt - s_sum) * (shared * p_cnt - s_sum)
+            > 9 * s_sum * p_cnt
+),
+deg AS (
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+    GROUP BY n
+),
+tri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       COALESCE((SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg), 0)
+           AS n_wedges,
+       CASE WHEN COALESCE((SELECT SUM(d * (d - 1) // 2) FROM deg), 0) > 0
+            THEN CAST(3 * (SELECT n_triangles FROM tri) AS DOUBLE)
+                 / (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
+            ELSE CAST(0.0 AS DOUBLE) END AS clustering_coeff
+"""
+
+
 QUERIES = {
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
 }
 
 
