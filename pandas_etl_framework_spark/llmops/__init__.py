@@ -18,10 +18,20 @@ def register_all() -> None:
         dedup,
         indexing,
         multimodal,
+        projection,
         similarity,
         text,
     )
 
-    for mod in (text, dedup, similarity, curation, clustering, multimodal, indexing):
+    for mod in (
+        text,
+        dedup,
+        similarity,
+        curation,
+        clustering,
+        multimodal,
+        indexing,
+        projection,
+    ):
         for name, (fn, sql) in mod.QUERIES.items():
             harness.register(name, fn, sql)

@@ -1,0 +1,190 @@
+"""Distributed covariance moments and PCA projection over embeddings.
+
+The covariance of an n×d embedding table is assembled from MERGEABLE
+SECOND-MOMENT SUMS: each Arrow batch contributes a d×d integer Gramian
+(one BLAS-shaped ``q.T @ q`` per batch) plus first-moment sums, and a
+single (i, j)-keyed reduce of those d²-sized partials finishes the job.
+Work is one pass over the corpus; shuffle volume is d² rows per batch —
+independent of n — which is what makes the pattern viable at 100 TB
+(the same partial-Gramian trick behind Spark MLlib's RowMatrix
+covariance, re-expressed on DataFrames).
+
+Components are quantized engine-side (Spark SQL ``round``) exactly like
+clustering.py's k-means, so the moment sums are exact integers and the
+DuckDB oracle (generate_series unnest + pair join) agrees bit-for-bit.
+PCA itself — eigendecomposition of the d×d covariance — is driver-sized
+by construction (d², never n) and stays a library function verified
+against numpy in pytest; eigensolvers are not SQL-expressible, so the
+oracle gate covers the distributed part (the moments), which is the part
+that can actually go wrong at scale.
+
+No counterpart in the reference (pandas CDC/SCD toolkit); public
+patterns: MLlib RowMatrix.computeCovariance, Bishop PRML §12.1.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _emb
+
+COV_DIM = 64
+# smaller scale than clustering's 10^6: the moment sums must stay in
+# int64 — |q| <= COV_SCALE*|x|max, so s_xy <= n*(COV_SCALE*|x|max)^2;
+# with |x|max < 0.6 this holds to n ~ 2.5e9 rows. Raise the scale only
+# with the row count budgeted against 2^63.
+COV_SCALE = 100_000
+
+_QCOV_EXPR = (
+    "transform(embedding, x -> cast(round(cast(x as double) * 100000.0, 0)"
+    " as bigint))"
+)
+
+
+def covariance_moments(
+    qdf: DataFrame, dim: int = COV_DIM, vec_col: str = "q"
+) -> DataFrame:
+    """Exact integer moment sums of a quantized-vector relation:
+    one row per 1-based (i, j) with i <= j, columns
+    (i, j, s_xy, s_i, s_j, n) where s_xy = Σ q[i]·q[j], s_i = Σ q[i].
+
+    cov[i,j] = (n·s_xy − s_i·s_j) / (n²·scale²) — left to the consumer in
+    floats; forming n·s_xy here would need another ~n of integer headroom.
+    """
+    iu, ju = np.triu_indices(dim)
+
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.stack(pdf[vec_col].to_numpy()).astype(np.int64)
+            g = arr.T @ arr  # int64 GEMM — exact
+            s = arr.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    # j = 0 carries first moments, (0, 0) the row count
+                    "i": np.concatenate([iu + 1, np.arange(1, dim + 1), [0]]),
+                    "j": np.concatenate([ju + 1, np.zeros(dim, np.int64), [0]]),
+                    "v": np.concatenate([g[iu, ju], s, [len(pdf)]]),
+                }
+            )
+
+    partial = qdf.mapInPandas(gram, "i long, j long, v long")
+    red = partial.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    sxy = red.filter(F.col("j") >= 1).select("i", "j", F.col("v").alias("s_xy"))
+    firsts = red.filter((F.col("j") == 0) & (F.col("i") >= 1)).select(
+        "i", F.col("v").alias("s")
+    )
+    n = red.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("v").alias("n")
+    )
+    # d- and d²-sized relations: every join broadcasts
+    return (
+        sxy.join(F.broadcast(firsts.select(F.col("i"), F.col("s").alias("s_i"))), "i")
+        .join(
+            F.broadcast(
+                firsts.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(n))
+        .select("i", "j", "s_xy", "s_i", "s_j", "n")
+    )
+
+
+def q_emb_covariance(spark, sf_dir):
+    """Driver row for the mergeable-moment pattern: integer covariance
+    moments of the embeddings table (2080 rows at d=64)."""
+    qdf = _emb(spark, sf_dir).select(F.expr(_QCOV_EXPR).alias("q"))
+    return covariance_moments(qdf)
+
+
+SQL_EMB_COVARIANCE = f"""
+WITH q AS (
+    SELECT vec_id, g.i AS i,
+           CAST(round(CAST(embedding[g.i] AS DOUBLE) * 100000.0, 0)
+                AS BIGINT) AS qv
+    FROM embeddings, generate_series(1, {COV_DIM}) AS g(i)
+),
+pairs AS (
+    SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS s_xy
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+),
+firsts AS (
+    SELECT i, CAST(SUM(qv) AS BIGINT) AS s FROM q GROUP BY i
+),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+SELECT p.i, p.j, p.s_xy, fa.s AS s_i, fb.s AS s_j, cnt.n
+FROM pairs p
+JOIN firsts fa ON fa.i = p.i
+JOIN firsts fb ON fb.i = p.j
+CROSS JOIN cnt
+"""
+
+
+def pca_components(
+    moments: pd.DataFrame, dim: int = COV_DIM, k: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k principal axes from collected moment rows (driver-side d×d
+    eigendecomposition — d², never n). Returns (components k×d in the
+    ORIGINAL float units, explained variances)."""
+    n = int(moments["n"].iloc[0])
+    cov = np.zeros((dim, dim))
+    i = moments["i"].to_numpy() - 1
+    j = moments["j"].to_numpy() - 1
+    v = (
+        n * moments["s_xy"].to_numpy(dtype=np.float64)
+        - moments["s_i"].to_numpy(dtype=np.float64)
+        * moments["s_j"].to_numpy(dtype=np.float64)
+    ) / (float(n) ** 2 * COV_SCALE**2)
+    cov[i, j] = v
+    cov[j, i] = v
+    w, vecs = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    return vecs[:, order].T.copy(), w[order]
+
+
+def pca_project(
+    emb: DataFrame, k: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Project every embedding onto its corpus' top-k principal axes:
+    moments (one distributed pass) → driver eigh (d×d) → broadcast
+    components → one Arrow GEMM pass. Output: (vec_id, pc array<double>).
+    """
+    spark = emb.sparkSession
+    qdf = emb.select(F.expr(_QCOV_EXPR).alias("q"))
+    mom = covariance_moments(qdf).toPandas()  # d²/2 rows — driver-sized
+    comps, _ = pca_components(mom, k=k)
+    mean = (
+        mom[mom["i"] == mom["j"]]
+        .sort_values("i")["s_i"]
+        .to_numpy(dtype=np.float64)
+        / (int(mom["n"].iloc[0]) * COV_SCALE)
+    )
+    bc = spark.sparkContext.broadcast((comps, mean))
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c, m = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            pc = (arr - m) @ c.T
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "pc": list(pc)}
+            )
+
+    return emb.select("vec_id", vec_col).mapInPandas(
+        project, "vec_id long, pc array<double>"
+    )
+
+
+QUERIES = {
+    "emb_covariance": (q_emb_covariance, SQL_EMB_COVARIANCE),
+}

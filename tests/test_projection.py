@@ -1,0 +1,84 @@
+"""PCA projection: the distributed moment pipeline must agree with a
+driver-side numpy replication bit-for-bit (both build the covariance from
+the same exact integer sums), and the axes must behave like principal
+axes (descending explained variance, orthonormal)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pandas_etl_framework_spark.llmops.projection import (
+    COV_SCALE,
+    covariance_moments,
+    pca_components,
+    pca_project,
+)
+from pandas_etl_framework_spark.llmops.similarity import _emb
+
+SF = "/root/testdata/sf0.001"
+
+
+def _half_away(x: np.ndarray) -> np.ndarray:
+    # Spark SQL round() is half-away-from-zero; numpy's is half-even
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def _quantized_matrix(spark) -> np.ndarray:
+    rows = _emb(spark, SF).orderBy("vec_id").collect()
+    arr = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return _half_away(arr * COV_SCALE).astype(np.int64), arr
+
+
+def test_covariance_moments_match_numpy_exactly(spark):
+    q, _ = _quantized_matrix(spark)
+    from pyspark.sql import functions as F
+
+    from pandas_etl_framework_spark.llmops.projection import _QCOV_EXPR
+
+    qdf = _emb(spark, SF).select(F.expr(_QCOV_EXPR).alias("q"))
+    mom = covariance_moments(qdf).toPandas()
+    g = q.T @ q
+    s = q.sum(axis=0)
+    for r in mom.itertuples():
+        assert r.n == len(q)
+        assert r.s_xy == g[r.i - 1, r.j - 1]
+        assert r.s_i == s[r.i - 1] and r.s_j == s[r.j - 1]
+    assert len(mom) == 64 * 65 // 2
+
+
+def test_pca_project_matches_driver_replication(spark):
+    q, arr = _quantized_matrix(spark)
+    out = (
+        pca_project(_emb(spark, SF), k=4)
+        .orderBy("vec_id")
+        .collect()
+    )
+    pc_spark = np.array([r["pc"] for r in out])
+    assert pc_spark.shape == (len(arr), 4)
+
+    # replicate: identical integer moments -> identical covariance ->
+    # identical eigh -> identical projection arithmetic
+    n, dim = q.shape
+    mom = pd.DataFrame(
+        [
+            {
+                "i": i + 1,
+                "j": j + 1,
+                "s_xy": int((q[:, i] * q[:, j]).sum()),
+                "s_i": int(q[:, i].sum()),
+                "s_j": int(q[:, j].sum()),
+                "n": n,
+            }
+            for i in range(dim)
+            for j in range(i, dim)
+        ]
+    )
+    comps, var = pca_components(mom, k=4)
+    mean = q.sum(axis=0) / (n * COV_SCALE)
+    expected = (arr - mean) @ comps.T
+    assert np.allclose(pc_spark, expected, rtol=1e-9, atol=1e-12)
+
+    # principal-axis sanity: orthonormal rows, descending nonneg variance
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-9)
+    assert np.all(np.diff(var) <= 1e-12) and var[-1] >= -1e-12
