@@ -555,6 +555,85 @@ JOIN events r
 """
 
 
+def q_streaming_enrich(spark, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC JOIN through the real micro-batch engine,
+    oracle-checkable: the events stream is enriched per micro-batch
+    against two static dimensions (customer, then nation — both read as
+    ordinary batch DataFrames) and aggregated per nation. Stream-static
+    joins are stateless on the stream side — each micro-batch joins
+    against the (re-resolvable) static relation, which Spark plans as a
+    BROADCAST join here, so an unbounded stream enriches against a
+    dimension without any join state at all. This is the standard
+    streaming-ETL enrichment shape; state exists only in the final
+    aggregate (bounded by nation cardinality).
+
+    The value sum uses the quantized-integer idiom (see
+    q_streaming_windowed_counts) so the result is partition-order
+    independent. Same HARNESS-ONLY BOUNDARY as the other streaming rows:
+    bounded complete-mode memory sink, one-shot availableNow, checkpoint
+    and sink torn down after materialization."""
+    import shutil
+    import tempfile
+    import uuid
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    enriched = stream.join(F.broadcast(customer), "user_id").join(
+        F.broadcast(nation), "c_nationkey"
+    )
+    agg = enriched.groupBy("n_name").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 10000).cast("long")).cast("double")
+            / 10000
+        ).alias("sum_value"),
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="q_stream_enrich_ckpt_")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sink = spark.table(name)
+        rows = sink.collect()  # one row per nation — bounded
+        schema = sink.schema
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+SQL_STREAMING_ENRICH = """
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(e.value * 10000) AS BIGINT)) AS DOUBLE) / 10000
+           AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
 def register_all() -> None:
     from .. import harness
 
@@ -577,4 +656,9 @@ def register_all() -> None:
         "streaming_interval_join",
         q_streaming_interval_join,
         SQL_STREAMING_INTERVAL_JOIN,
+    )
+    harness.register(
+        "streaming_enrich",
+        q_streaming_enrich,
+        SQL_STREAMING_ENRICH,
     )

@@ -497,3 +497,49 @@ def test_streaming_interval_join_registry_query_matches_batch_and_cleans_up(spar
         t for t in views_after - views_before if t.startswith("stream_ij_")
     }
     assert set(glob.glob(ckpt_glob)) - dirs_before == set()
+
+
+def test_streaming_enrich_registry_query_matches_batch_and_cleans_up(spark):
+    """The oracle-gated stream-static enrichment equals the batch
+    join+aggregate and leaks neither its memory sink nor its checkpoint."""
+    import glob
+    import tempfile
+
+    from pandas_etl_framework_spark.streaming.windows import q_streaming_enrich
+
+    sf = "/root/testdata/sf0.001"
+    ckpt_glob = tempfile.gettempdir() + "/q_stream_enrich_ckpt_*"
+    views_before = {t.name for t in spark.catalog.listTables()}
+    dirs_before = set(glob.glob(ckpt_glob))
+
+    out = {tuple(r) for r in q_streaming_enrich(spark, sf).collect()}
+
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    customer = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf}/nation.parquet").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    batch = {
+        tuple(r)
+        for r in events.join(customer, "user_id")
+        .join(nation, "c_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 10000).cast("long")).cast("double")
+                / 10000
+            ).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert out == batch
+    assert len(out) > 0
+
+    views_after = {t.name for t in spark.catalog.listTables()}
+    assert not {
+        t for t in views_after - views_before if t.startswith("stream_enrich_")
+    }
+    assert set(glob.glob(ckpt_glob)) - dirs_before == set()
