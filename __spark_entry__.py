@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Subset contract: the driver records correctness rows for the FIRST 50
 # queries() entries only (CORRECTNESS_r01..r03 all truncate there), while the
-# registry holds 169. Round-4 rotation: the §2 core + r01-r03 greens are
+# registry holds 172. Round-4 rotation: the §2 core + r01-r03 greens are
 # proven (84 queries ever-checked, 80 ever-green), so this window carries
 # (a) the 4 r03 reds, re-listed to put their fixes on record — the HUGEINT
 # oracle sweep (events_range_join, rel_dq_constraints, emb_kmeans) and the

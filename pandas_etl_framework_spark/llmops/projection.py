@@ -75,7 +75,16 @@ def covariance_moments(
             )
 
     partial = qdf.mapInPandas(gram, "i long, j long, v long")
-    red = partial.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    # The reduced moments are referenced three times (pair sums, first
+    # moments, count); without materialization each branch re-runs the
+    # whole corpus Gramian pass (the plan showed MapInPandas×4 /
+    # FileScan×4). localCheckpoint pins the ~d²/2-row result so the
+    # corpus is scanned exactly once.
+    red = (
+        partial.groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .localCheckpoint(eager=True)
+    )
     sxy = red.filter(F.col("j") >= 1).select("i", "j", F.col("v").alias("s_xy"))
     firsts = red.filter((F.col("j") == 0) & (F.col("i") >= 1)).select(
         "i", F.col("v").alias("s")

@@ -32,6 +32,8 @@ QUERIES = [
     "rel_salted_join",
     "text_classifier",
     "text_bigram_logprob",
+    "graph_triangles",
+    "emb_covariance",
 ]
 
 
