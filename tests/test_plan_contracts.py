@@ -39,12 +39,17 @@ BNLJ_SINGLETON_OK = {
     "text_unigram_logprob", "text_bigram_logprob",      # LM totals
     "text_contamination",      # split-context singleton
     "curation_pipeline",
+    "graph_triangles",         # n_edges x tri x wedges one-row census rows
+    "emb_covariance",          # row-count singleton joined onto d^2 moments
 }
 
 SKIP = {
     # execute a real micro-batch stream on call, not a lazy plan
     "streaming_windowed_counts",
     "streaming_dedup_counts",
+    "streaming_sessionize",
+    "streaming_interval_join",
+    "streaming_enrich",
 }
 
 
