@@ -194,6 +194,184 @@ def pca_project(
     )
 
 
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (data-independent sketch)
+# --------------------------------------------------------------------------
+
+RP_K = 16
+
+
+def _rp_sign(k: int, i: int) -> int:
+    """±1 sign of cell (component k, 1-based dim i) of the projection
+    matrix, derived from md5 so the DuckDB oracle can re-derive the SAME
+    matrix in SQL (md5 is the only hash both engines share — the same
+    portability trick as dedup.py's SimHash). High bit of the first hex
+    digit: '8'-'f' → +1, else −1."""
+    import hashlib
+
+    h = hashlib.md5(f"{k}:{i}".encode()).hexdigest()
+    return 1 if int(h[0], 16) >= 8 else -1
+
+
+def random_projection(
+    emb: DataFrame, k: int = RP_K, dim: int = COV_DIM, vec_col: str = "embedding"
+) -> DataFrame:
+    """Project quantized embeddings onto k pseudo-random ±1 sign vectors
+    (Achlioptas' database-friendly Johnson–Lindenstrauss transform,
+    cols rp0..rp{k-1}).
+
+    Unlike PCA this needs NO training pass: the matrix is a pure function
+    of (k, i), so the whole operator is a single zero-shuffle scan
+    projection — every row maps independently, the plan is one
+    WholeStageCodegen over the file scan, and it parallelizes to any
+    corpus size with no driver state and no broadcast. Sums are exact
+    integers: |q| ≤ scale·|x|max, so a 64-dim ±1 dot stays far inside
+    int64.
+
+    Public pattern: Achlioptas (2003) sparse JL; no reference counterpart.
+    """
+    q = F.expr(_QCOV_EXPR).alias("q")
+    out = emb.select("vec_id", q)
+    cols = [F.col("vec_id")]
+    for kk in range(k):
+        signs = F.array(
+            *[F.lit(_rp_sign(kk, i)).cast("long") for i in range(1, dim + 1)]
+        )
+        cols.append(
+            F.aggregate(
+                F.zip_with(F.col("q"), signs, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias(f"rp{kk}")
+        )
+    return out.select(*cols)
+
+
+def q_emb_random_projection(spark, sf_dir):
+    """Driver row for the JL sketch: 16 signed-sum components per vector,
+    matrix re-derived in the oracle from the same md5 construction."""
+    return random_projection(_emb(spark, sf_dir))
+
+
+def _sql_rp_components() -> str:
+    comps = []
+    for kk in range(RP_K):
+        comps.append(
+            f"CAST(SUM(CASE WHEN s.k = {kk} THEN q.qv * s.sgn END) AS BIGINT)"
+            f" AS rp{kk}"
+        )
+    return ",\n       ".join(comps)
+
+
+SQL_EMB_RANDOM_PROJECTION = f"""
+WITH q AS (
+    SELECT vec_id, g.i AS i,
+           CAST(round(CAST(embedding[g.i] AS DOUBLE) * 100000.0, 0)
+                AS BIGINT) AS qv
+    FROM embeddings, generate_series(1, {COV_DIM}) AS g(i)
+),
+signs AS (
+    SELECT gk.k AS k, gi.i AS i,
+           CASE WHEN instr('89abcdef',
+                           substr(md5(gk.k || ':' || gi.i), 1, 1)) > 0
+                THEN 1 ELSE -1 END AS sgn
+    FROM generate_series(0, {RP_K - 1}) AS gk(k),
+         generate_series(1, {COV_DIM}) AS gi(i)
+)
+SELECT q.vec_id,
+       {_sql_rp_components()}
+FROM q JOIN signs s ON s.i = q.i
+GROUP BY q.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization (storage/serving compression)
+# --------------------------------------------------------------------------
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x| / 127,
+    code[i] = round(x[i] · 127 / max|x|) ∈ [−127, 127] — the standard
+    4× embedding-store compression (FAISS SQ8 / vector-DB int8).
+
+    Array-native output (vec_id, scale double, code array<long>); a pure
+    per-row map — zero shuffles, no corpus statistics — so it composes
+    with any downstream scan at any scale. An all-zero vector keeps
+    code = 0 (scale 0 guarded).
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    maxabs = F.array_max(F.transform(x, F.abs))
+    code = F.when(
+        maxabs == 0.0, F.transform(x, lambda v: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(x, lambda v: F.round(v * 127.0 / maxabs).cast("long"))
+    )
+    return emb.select(
+        "vec_id", maxabs.alias("maxabs"), code.alias("code")
+    ).select(
+        "vec_id",
+        (F.col("maxabs") / 127.0).alias("scale"),
+        "code",
+    )
+
+
+def q_emb_quantize_int8(spark, sf_dir):
+    """Driver row for int8 quantization. Harness projection serializes the
+    code array (driver comparator can't hash lists — VERDICT r03 item 2)
+    and quantizes the float scale to an exact integer; the library keeps
+    the array-native form."""
+    out = quantize_int8(_emb(spark, sf_dir))
+    return out.select(
+        "vec_id",
+        F.round(F.col("scale") * 127.0 * 100000.0).cast("long").alias("maxabs_q"),
+        F.array_join(F.col("code"), ",").alias("code_csv"),
+    )
+
+
+SQL_EMB_QUANTIZE_INT8 = """
+WITH x AS (
+    SELECT vec_id,
+           list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+    FROM embeddings
+),
+m AS (
+    SELECT vec_id, xs,
+           list_max(list_transform(xs, v -> abs(v))) AS maxabs
+    FROM x
+)
+SELECT vec_id,
+       CAST(round(maxabs * 100000.0) AS BIGINT) AS maxabs_q,
+       array_to_string(
+           CASE WHEN maxabs = 0
+                THEN list_transform(xs, v -> CAST(0 AS BIGINT))
+                ELSE list_transform(
+                    xs, v -> CAST(round(v * 127.0 / maxabs) AS BIGINT))
+           END, ',') AS code_csv
+FROM m
+"""
+
+
+def q_emb_pca_project(spark, sf_dir):
+    """Driver row (rows-only: eigensolvers aren't SQL-expressible, so no
+    oracle twin — the moments feeding it ARE oracle-gated via
+    emb_covariance) for the full PCA path: moments → driver eigh →
+    broadcast components → Arrow GEMM projection. Harness projection
+    rounds and serializes the pc array for driver-comparator safety."""
+    out = pca_project(_emb(spark, sf_dir), k=8)
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("pc"), lambda v: F.round(v, 4)), ","
+        ).alias("pc_csv"),
+    )
+
+
 QUERIES = {
     "emb_covariance": (q_emb_covariance, SQL_EMB_COVARIANCE),
+    "emb_random_projection": (
+        q_emb_random_projection,
+        SQL_EMB_RANDOM_PROJECTION,
+    ),
+    "emb_quantize_int8": (q_emb_quantize_int8, SQL_EMB_QUANTIZE_INT8),
+    "emb_pca_project": (q_emb_pca_project, None),
 }

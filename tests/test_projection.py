@@ -82,3 +82,42 @@ def test_pca_project_matches_driver_replication(spark):
     # principal-axis sanity: orthonormal rows, descending nonneg variance
     assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-9)
     assert np.all(np.diff(var) <= 1e-12) and var[-1] >= -1e-12
+
+
+def test_random_projection_matches_numpy(spark):
+    from pandas_etl_framework_spark.llmops.projection import (
+        RP_K,
+        _rp_sign,
+        random_projection,
+    )
+
+    q, _ = _quantized_matrix(spark)
+    out = (
+        random_projection(_emb(spark, SF))
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    signs = np.array(
+        [[_rp_sign(k, i) for i in range(1, q.shape[1] + 1)] for k in range(RP_K)]
+    )
+    expected = q @ signs.T  # exact int64
+    got = out[[f"rp{k}" for k in range(RP_K)]].to_numpy()
+    assert (got == expected).all()
+    # the ±1 matrix must be balanced enough to be a useful JL transform
+    assert 0.3 < (signs > 0).mean() < 0.7
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    from pandas_etl_framework_spark.llmops.projection import quantize_int8
+
+    out = quantize_int8(_emb(spark, SF)).orderBy("vec_id").collect()
+    rows = _emb(spark, SF).orderBy("vec_id").collect()
+    for r, src in zip(out, rows):
+        x = np.asarray(src["embedding"], dtype=np.float64)
+        code = np.asarray(r["code"], dtype=np.int64)
+        assert np.abs(code).max() <= 127
+        if r["scale"] > 0:
+            # dequantized error is bounded by half a quantization step
+            assert np.abs(code * r["scale"] - x).max() <= r["scale"] / 2 + 1e-12
+        else:
+            assert (code == 0).all() and np.abs(x).max() == 0.0
