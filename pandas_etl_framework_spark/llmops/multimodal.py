@@ -28,7 +28,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -674,8 +674,176 @@ FROM ks
 """
 
 
+# --------------------------------------------------------------------------
+# Perceptual-hash image dedup (dHash)
+# --------------------------------------------------------------------------
+
+DHASH_COLS = 9  # 9x8 downsample grid -> 8 comparisons x 8 rows
+DHASH_ROWS = 8
+
+
+def _decode_netpbm_gray(content: bytes) -> "tuple[int, int, object]":
+    """Real netpbm parse to a per-pixel integer grid: P5 rasters verbatim,
+    P6 rasters collapsed to the exact integer CHANNEL SUM (0-765) so every
+    downstream comparison stays integer-exact (a /3 mean would reintroduce
+    float rounding). Returns (width, height, int64 H×W ndarray)."""
+    import numpy as np
+
+    magic = bytes(content[:2])
+    if magic not in (b"P6", b"P5"):
+        raise NotImplementedError(
+            f"only netpbm P6/P5 decodable without codec libraries; got {magic!r}"
+        )
+    (width, height, maxval), off = _netpbm_header(content)
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm rasters are not decoded")
+    ch = 3 if magic == b"P6" else 1
+    n = width * height * ch
+    raster = np.frombuffer(content, dtype=np.uint8, count=n, offset=off)
+    if raster.size != n:
+        raise ValueError("truncated netpbm raster")
+    return width, height, raster.reshape(height, width, ch).astype(
+        np.int64
+    ).sum(axis=2)
+
+
+def dhash63(gray) -> int:
+    """63-bit difference hash of one integer pixel grid: exact integer
+    block sums over a 9×8 grid (edges at floor(i·W/9), floor(j·H/8) — any
+    input size), bit (r, c) = [mean(r, c+1) > mean(r, c)] with the mean
+    comparison done by integer cross-multiplication (sum·width, never a
+    float division — adjacent blocks can have different widths when W is
+    not a multiple of 9, and comparing raw sums there would break
+    brightness invariance). Packed at 2^(r·8+c) with the sign bit
+    (r=7, c=7) dropped so the hash fits a BIGINT in every engine.
+    Brightness-invariant: a uniform offset adds equally to both sides of
+    every (cross-multiplied) comparison.
+
+    Public pattern: dHash (Krawetz 2013) / pHash family; the block-mean
+    downsample replaces PIL's resize so the result is byte-deterministic.
+    """
+    import numpy as np
+
+    h, w = gray.shape
+    xs = [w * c // DHASH_COLS for c in range(DHASH_COLS)]
+    ys = [h * r // DHASH_ROWS for r in range(DHASH_ROWS)]
+    widths = np.diff(xs + [w])  # block heights cancel within a row
+    blocks = np.add.reduceat(np.add.reduceat(gray, ys, axis=0), xs, axis=1)
+    bits = (
+        blocks[:, 1:] * widths[None, :-1] > blocks[:, :-1] * widths[None, 1:]
+    ).astype(np.int64)
+    weights = 1 << (
+        np.arange(DHASH_ROWS)[:, None] * 8 + np.arange(DHASH_COLS - 1)[None, :]
+    )
+    weights[DHASH_ROWS - 1, DHASH_COLS - 2] = 0  # drop the int64 sign bit
+    return int((bits * weights).sum())
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, dhash) from a binary image column via real netpbm decode
+    + dHash in one Arrow-batched pass — the near-dup fingerprint step of
+    an image-corpus dedup: one scan, no shuffle; grouping/joining on the
+    hash is the caller's (cheap, 8-byte-key) follow-up."""
+
+    def hash_batch(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = {"media_id": [], "dhash": []}
+            for _, r in pdf.iterrows():
+                _, _, gray = _decode_netpbm_gray(r["content"])
+                out["media_id"].append(r["media_id"])
+                out["dhash"].append(dhash63(gray))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        hash_batch, "media_id long, dhash long"
+    )
+
+
+_PHASH_W, _PHASH_H = 18, 16  # 2x2-exact blocks under the 9x8 grid
+
+
+def q_multimodal_phash_dedup(spark, sf_dir):
+    """Image near-dup detection end-to-end: synthesize a gradient PGM per
+    document (pixel (x, y) of group g = doc_id%40 is
+    ((g+1)·(x²+3y)) % 97 + 40 + doc_id%3 — the per-doc brightness term
+    doc_id%3 makes same-group images byte-DIFFERENT but dHash-identical),
+    run the REAL parse→downsample→hash path, and window-count docs per
+    hash. The oracle recomputes the raster closed-form in SQL and must
+    agree bit-for-bit on all 63 hash bits AND on the duplicate-group
+    sizes — a decoder bug, a block-boundary bug, or a packing bug each
+    flips it red."""
+    import numpy as np
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    xs = np.arange(_PHASH_W)[None, :]
+    ys = np.arange(_PHASH_H)[:, None]
+
+    def synth(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        header = f"P5\n{_PHASH_W} {_PHASH_H}\n255\n".encode()
+        for pdf in batches:
+            out = {"media_id": [], "content": []}
+            for doc_id in pdf["doc_id"]:
+                g = int(doc_id) % 40
+                off = int(doc_id) % 3
+                px = ((g + 1) * (xs * xs + 3 * ys)) % 97 + 40 + off
+                out["media_id"].append(int(doc_id))
+                out["content"].append(header + px.astype(np.uint8).tobytes())
+            yield pd.DataFrame(out)
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "media_id long, content binary"
+    )
+    hashed = image_dhash(media)
+    w = Window.partitionBy("dhash")
+    return hashed.select(
+        F.col("media_id").alias("doc_id"),
+        "dhash",
+        F.count("*").over(w).cast("long").alias("n_dupes"),
+    )
+
+
+SQL_MULTIMODAL_PHASH_DEDUP = f"""
+WITH params AS (
+    SELECT doc_id, doc_id % 40 AS g, doc_id % 3 AS off FROM documents
+),
+px AS (
+    SELECT doc_id,
+           gx.x AS x, gy.y AS y,
+           ((g + 1) * (gx.x * gx.x + 3 * gy.y)) % 97 + 40 + off AS v
+    FROM params,
+         generate_series(0, {_PHASH_W - 1}) AS gx(x),
+         generate_series(0, {_PHASH_H - 1}) AS gy(y)
+),
+blocks AS (
+    SELECT doc_id, x // 2 AS c, y // 2 AS r, SUM(v) AS s
+    FROM px GROUP BY doc_id, x // 2, y // 2
+),
+bits AS (
+    SELECT a.doc_id, a.r, a.c,
+           CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS bit
+    FROM blocks a
+    JOIN blocks b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+    WHERE NOT (a.r = {DHASH_ROWS - 1} AND a.c = {DHASH_COLS - 2})
+),
+hashes AS (
+    SELECT doc_id,
+           CAST(SUM(bit * (CAST(1 AS BIGINT) << (r * 8 + c))) AS BIGINT)
+               AS dhash
+    FROM bits GROUP BY doc_id
+)
+SELECT doc_id, dhash,
+       CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_dupes
+FROM hashes
+"""
+
+
 QUERIES = {
     "multimodal_metadata": (q_multimodal_metadata, SQL_MULTIMODAL_METADATA),
+    "multimodal_phash_dedup": (
+        q_multimodal_phash_dedup,
+        SQL_MULTIMODAL_PHASH_DEDUP,
+    ),
     "multimodal_decode_image": (
         q_multimodal_decode_image,
         SQL_MULTIMODAL_DECODE_IMAGE,

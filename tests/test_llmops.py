@@ -669,3 +669,64 @@ def test_token_sets_projection_equals_shingle_aggregation(spark):
     b = {r["doc_id"]: (list(r["toks"]), r["set_size"])
          for r in token_sets_from_shingles(shingles_df(docs)).collect()}
     assert a == b and len(a) == docs.count()
+
+
+def test_dhash_properties():
+    """dHash: brightness-invariant, content-sensitive, general-dims block
+    sums match a naive reference, P6 collapses channels by exact sum."""
+    import numpy as np
+
+    from pandas_etl_framework_spark.llmops.multimodal import (
+        DHASH_COLS,
+        DHASH_ROWS,
+        _decode_netpbm_gray,
+        dhash63,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 200, size=(20, 31)).astype(np.int64)
+    h = dhash63(img)
+    assert dhash63(img + 55) == h  # uniform brightness offset
+    flipped = img[:, ::-1].copy()
+    assert dhash63(flipped) != h  # content change flips bits
+    assert 0 <= h < 2**63
+
+    # naive reference: floor-boundary block sums + comparisons
+    H, W = img.shape
+    xs = [W * c // DHASH_COLS for c in range(DHASH_COLS)] + [W]
+    ys = [H * r // DHASH_ROWS for r in range(DHASH_ROWS)] + [H]
+    expected = 0
+    for r in range(DHASH_ROWS):
+        for c in range(DHASH_COLS - 1):
+            wa = xs[c + 1] - xs[c]
+            wb = xs[c + 2] - xs[c + 1]
+            a = img[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].sum()
+            b = img[ys[r]:ys[r + 1], xs[c + 1]:xs[c + 2]].sum()
+            if b * wa > a * wb and not (r == DHASH_ROWS - 1 and c == DHASH_COLS - 2):
+                expected += 1 << (r * 8 + c)
+    assert h == expected
+
+    # P6 decode: channel-sum grid
+    rgb = rng.randint(0, 255, size=(4, 5, 3)).astype(np.uint8)
+    buf = b"P6\n5 4\n255\n" + rgb.tobytes()
+    w, hh, gray = _decode_netpbm_gray(buf)
+    assert (w, hh) == (5, 4)
+    assert (gray == rgb.astype(np.int64).sum(axis=2)).all()
+
+
+def test_phash_dedup_groups_ignore_brightness(spark):
+    """Same-group synthesized images differ byte-wise (brightness term) but
+    share one dhash; n_dupes equals the group size."""
+    from collections import Counter
+
+    from pandas_etl_framework_spark.llmops.multimodal import (
+        q_multimodal_phash_dedup,
+    )
+
+    rows = q_multimodal_phash_dedup(spark, SF_DIR).collect()
+    by_group: dict[int, set] = {}
+    for r in rows:
+        by_group.setdefault(r["doc_id"] % 40, set()).add(r["dhash"])
+    assert all(len(s) == 1 for s in by_group.values())
+    counts = Counter(r["dhash"] for r in rows)
+    assert all(r["n_dupes"] == counts[r["dhash"]] for r in rows)
