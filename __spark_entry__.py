@@ -74,11 +74,17 @@ DRIVER_PRIORITY = [
     "sketch_theta_kmv", "sketch_countmin", "sketch_histogram_quantiles",
     # ANN scale paths: probe-limited IVF, PQ ADC + rerank
     "emb_ivf_topk", "emb_pq_topk",
-    # dedup long tail + the connected-components fixpoint loop (new row)
-    "dedup_jaccard_pairs", "dedup_minhash_bands", "dedup_simhash_pairs",
+    # the connected-components fixpoint loop (new row); the pair-level
+    # siblings (dedup_jaccard_pairs / dedup_minhash_bands /
+    # dedup_simhash_pairs / emb_lsh_buckets) ceded their slots to this
+    # round's four new operators below — each sibling's family is already
+    # driver-green via another member, so the new ops carry more signal
     "dedup_clusters",
     # embedding ops with no prior driver row
-    "emb_knn_per_label", "emb_neardup_pairs", "emb_lsh_buckets",
+    "emb_knn_per_label", "emb_neardup_pairs",
+    # new this round: JL sketch, int8 quantization, PCA path, image phash
+    "emb_random_projection", "emb_quantize_int8", "emb_pca_project",
+    "multimodal_phash_dedup",
     # LLM text ops with no prior driver row
     "text_gopher_rules", "text_token_entropy", "text_fingerprint",
     "text_tokens_bpe", "text_winnow_fingerprint", "text_pii_redact",
