@@ -362,9 +362,118 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
 """
 
 
+# --------------------------------------------------------------------------
+# k-hop BFS: shortest hop distance from a seed set
+# --------------------------------------------------------------------------
+
+def khop_distances(
+    edges: DataFrame, seeds: DataFrame, hops: int = 3
+) -> DataFrame:
+    """(node, dist) for every node within ``hops`` of ``seeds`` (column
+    ``node``) over ``edges`` (src, dst) — breadth-first frontier
+    expansion, the third iterative-join shape after PageRank's
+    full-relation recompute and connected components' fixpoint loop.
+
+    Per round only the FRONTIER (nodes first reached last round) joins
+    the edge relation, so round k's join cost tracks the frontier size,
+    not the visited set; an anti-join against the visited set keeps the
+    frontier minimal. Edges are localCheckpointed once; visited/frontier
+    are lazily checkpointed per round so lineage stays flat. Frontier and
+    visited relations are broadcast (node-id rows); beyond ~10^8 visited
+    nodes, swap to edges pre-partitioned on src with the visited set
+    shuffle-joined — same plan swap PageRank documents.
+    """
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    visited = seeds.select("node", F.lit(0).cast("long").alias("dist"))
+    frontier = visited.select("node").localCheckpoint(eager=True)
+    for k in range(1, hops + 1):
+        reached = (
+            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            reached.join(
+                F.broadcast(visited.select("node")), "node", "left_anti"
+            )
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(
+            frontier.select("node", F.lit(k).cast("long").alias("dist"))
+        ).localCheckpoint(eager=False)
+    return visited
+
+
+def q_graph_khop(spark, sf_dir):
+    """3-hop BFS over the purchase graph from the sparse seed set
+    custkey % 97 == 0; output is every reached node (display id) with its
+    hop distance."""
+    edges = purchase_edges(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    seeds = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") * 2).cast("long").alias("node")
+    )
+    dist = khop_distances(edges, seeds, hops=3)
+    return dist.select(
+        decode_node(F.col("node")).alias("node"), "dist"
+    )
+
+
+SQL_GRAPH_KHOP = """
+WITH pairs AS (
+    SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+),
+e AS (
+    SELECT c AS src, s AS dst FROM pairs
+    UNION ALL
+    SELECT s AS src, c AS dst FROM pairs
+),
+d0 AS (
+    SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+    FROM customer WHERE c_custkey % 97 = 0
+),
+n1 AS (
+    SELECT DISTINCT e.dst AS node FROM e JOIN d0 ON e.src = d0.node
+),
+d1 AS (
+    SELECT * FROM d0
+    UNION ALL
+    SELECT node, CAST(1 AS BIGINT) FROM n1
+    WHERE node NOT IN (SELECT node FROM d0)
+),
+n2 AS (
+    SELECT DISTINCT e.dst AS node FROM e
+    JOIN d1 ON e.src = d1.node AND d1.dist = 1
+),
+d2 AS (
+    SELECT * FROM d1
+    UNION ALL
+    SELECT node, CAST(2 AS BIGINT) FROM n2
+    WHERE node NOT IN (SELECT node FROM d1)
+),
+n3 AS (
+    SELECT DISTINCT e.dst AS node FROM e
+    JOIN d2 ON e.src = d2.node AND d2.dist = 2
+),
+d3 AS (
+    SELECT * FROM d2
+    UNION ALL
+    SELECT node, CAST(3 AS BIGINT) FROM n3
+    WHERE node NOT IN (SELECT node FROM d2)
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+            ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+       dist
+FROM d3
+"""
+
+
 QUERIES = {
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "graph_khop": (q_graph_khop, SQL_GRAPH_KHOP),
 }
 
 

@@ -46,3 +46,36 @@ def test_triangle_count_empty_graph(spark):
     assert df["n_triangles"] == 0
     assert df["n_wedges"] == 0
     assert df["clustering_coeff"] == 0.0
+
+
+def test_khop_distances_match_networkx_style_bfs(spark):
+    """BFS distances must equal a driver-side reference BFS over the same
+    edges, and each round's frontier must exclude already-visited nodes
+    (dist is the MINIMUM hop count, not the last)."""
+    from collections import deque
+
+    from pandas_etl_framework_spark.graph import khop_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (5, 6), (7, 8)],
+        "src long, dst long",
+    )
+    sym = edges.union(edges.selectExpr("dst AS src", "src AS dst"))
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in khop_distances(sym, seeds, hops=3).collect()}
+
+    adj = {}
+    for s, d in [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (5, 6), (7, 8)]:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    ref, q = {1: 0}, deque([1])
+    while q:
+        u = q.popleft()
+        if ref[u] >= 3:
+            continue
+        for v in adj.get(u, ()):
+            if v not in ref:
+                ref[v] = ref[u] + 1
+                q.append(v)
+    # {1:0, 2:1, 3:1, 4:2, 5:3}; node 6 is 4 hops out, 7/8 disconnected
+    assert got == ref
