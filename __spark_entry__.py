@@ -40,19 +40,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Subset contract: the driver records correctness rows for the FIRST 50
 # queries() entries only (CORRECTNESS_r01..r03 all truncate there), while the
-# registry holds 172. Round-4 rotation: the §2 core + r01-r03 greens are
+# registry holds 181. Round-4 rotation: the §2 core + r01-r03 greens are
 # proven (84 queries ever-checked, 80 ever-green), so this window carries
 # (a) the 4 r03 reds, re-listed to put their fixes on record — the HUGEINT
 # oracle sweep (events_range_join, rel_dq_constraints, emb_kmeans) and the
 # array serialization (multimodal_metadata) — and (b) 46 queries that have
 # never had a driver row: the UDAF/UDTF/grouped-map surface, the repaired
 # latent-HUGEINT/array queries, remaining TPC-H, the time-series family,
-# sketches, IVF/PQ ANN, the dedup long tail incl. the new
-# connected-components driver row, and the LLM text ops. The ~35 still-dark
-# queries (simple relational/scalar shapes plus this round's new
-# streaming_sessionize / streaming_interval_join rows, all green under
-# tools/check_correctness.py's driver-faithful compare) rotate in next
-# round. Remaining queries follow in registry order.
+# sketches, IVF/PQ ANN, the connected-components driver row, the §2
+# IO-lifecycle round-trips, this round's new operators (JL sketch, int8
+# quantization, PCA path, image phash), and the LLM text ops. The ~40
+# still-dark queries (simple relational/scalar shapes, pair-level dedup
+# siblings of green family members, and the streaming rows — all green
+# under tools/check_correctness.py's driver-faithful compare) rotate in
+# next round. Remaining queries follow in registry order.
 DRIVER_PRIORITY = [
     # r03 reds, fixed this round: BIGINT-cast oracles + array serialization
     "events_range_join", "rel_dq_constraints", "emb_kmeans",
@@ -80,14 +81,20 @@ DRIVER_PRIORITY = [
     # round's four new operators below — each sibling's family is already
     # driver-green via another member, so the new ops carry more signal
     "dedup_clusters",
-    # embedding ops with no prior driver row
-    "emb_knn_per_label", "emb_neardup_pairs",
+    # §2 IO/lifecycle ops that had no driver-row shape through r03 — now
+    # driven through a real scratch-dir write→read round-trip (S1 CSV
+    # source, S4 partitioned sink, S5 store reset + S6 empty-relation
+    # bootstrap, C6 simulate_runs through the disk store); these took the
+    # slots of emb_knn_per_label / emb_neardup_pairs / text_token_entropy /
+    # text_winnow_fingerprint, whose families are already driver-green
+    "io_csv_roundtrip", "io_partitioned_sink", "io_store_reset",
+    "cdc_simulate_runs",
     # new this round: JL sketch, int8 quantization, PCA path, image phash
     "emb_random_projection", "emb_quantize_int8", "emb_pca_project",
     "multimodal_phash_dedup",
     # LLM text ops with no prior driver row
-    "text_gopher_rules", "text_token_entropy", "text_fingerprint",
-    "text_tokens_bpe", "text_winnow_fingerprint", "text_pii_redact",
+    "text_gopher_rules", "text_fingerprint",
+    "text_tokens_bpe", "text_pii_redact",
     # new this round: sequence packing + domain-mixture sampling
     "text_pack_sequences", "text_source_mixture",
 ]

@@ -1,0 +1,174 @@
+"""Driver-checkable IO lifecycle queries.
+
+The IO operators (CSV source main.py:16, partitioned parquet sink
+main.py:24, store reset main.py:27-28, empty-relation bootstrap
+SCDHelpers.py:26-30, simulate_runs main.py:26-34) are file-path ops with
+no natural driver-row shape — they were pytest-only through round 3.
+These queries give each a DuckDB-oracle row by running the REAL
+write→read round-trip against a scratch directory and materializing the
+result (localCheckpoint) before the scratch dir is removed, so the
+returned DataFrame no longer depends on the files.
+
+Scale note: the round-trips run at driver-chosen scratch paths only in
+the harness; the library functions themselves are plain Spark
+reader/writer calls that inherit pushdown, pruning, and partitioned
+layout at any scale.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from . import io as eio
+
+
+def _scratch() -> str:
+    return tempfile.mkdtemp(prefix="etl_io_q_")
+
+
+def q_io_csv_roundtrip(spark, sf_dir):
+    """CSV source round-trip: region → CSV files (quoted, with header) →
+    ``read_csv`` with the parquet schema (explicit schema, per the
+    docstring's hash-stability rule) → the original rows."""
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    tmp = _scratch()
+    try:
+        path = f"{tmp}/region_csv"
+        src.write.option("header", "true").csv(path)
+        out = eio.read_csv(spark, path, schema=src.schema).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_IO_CSV_ROUNDTRIP = "SELECT * FROM region"
+
+
+def q_io_partitioned_sink(spark, sf_dir):
+    """Partitioned parquet sink: orders → hive-partitioned store on
+    o_orderstatus → read back → per-partition counts and an exact
+    integer price sum. The partition column survives the round-trip as
+    a directory key; a reader filtering one status would scan only that
+    directory (partition pruning)."""
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tmp = _scratch()
+    try:
+        path = f"{tmp}/orders_by_status"
+        eio.write_table(
+            src, path, mode="overwrite", partition_by=["o_orderstatus"]
+        )
+        out = (
+            eio.read_table(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("sum_price_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_IO_PARTITIONED_SINK = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def q_io_store_reset(spark, sf_dir):
+    """Store lifecycle probe: write a store, count it, reset it
+    (``delete_store``), observe the fault-tolerant reader return None,
+    and bootstrap an empty relation with the original schema — the
+    reference's simulation-reset path (main.py:27-28) end to end."""
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    tmp = _scratch()
+    try:
+        path = f"{tmp}/store"
+        eio.write_store(src, path, partition_by=[], mode="overwrite")
+        n_before = eio.read_parquet_df(spark, path).count()
+        deleted = eio.delete_store(spark, path)
+        gone = eio.read_parquet_df(spark, path)
+        boot = eio.create_dataframe_with_schema(spark, src.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(n_before).cast("long").alias("n_before"),
+        F.lit(deleted).alias("deleted"),
+        F.lit(gone is None).alias("reader_returned_none"),
+        F.lit(boot.count()).cast("long").alias("n_bootstrap"),
+    )
+
+
+SQL_IO_STORE_RESET = """
+SELECT CAST((SELECT COUNT(*) FROM region) AS BIGINT) AS n_before,
+       TRUE AS deleted,
+       TRUE AS reader_returned_none,
+       CAST(0 AS BIGINT) AS n_bootstrap
+"""
+
+
+def q_cdc_simulate_runs(spark, sf_dir):
+    """simulate_runs through the REAL store: two order batches historized
+    via write→read parquet appends (not the functional in-memory delta
+    the cdc_historize_two_runs row uses) must produce the exact same
+    store content — the disk round-trip, partitioned append, and
+    fault-tolerant bootstrap add nothing and lose nothing."""
+    from .cdc import simulate_runs
+    from .harness import (
+        RUN1_TS,
+        RUN2_TS,
+        STAMPED_COLS,
+        orders_batch1,
+        orders_batch2,
+    )
+
+    tmp = _scratch()
+    try:
+        store = simulate_runs(
+            spark,
+            {
+                "run1": orders_batch1(spark, sf_dir),
+                "run2": orders_batch2(spark, sf_dir),
+            },
+            f"{tmp}/store",
+            ["o_orderkey"],
+            load_ts_by_run={"run1": RUN1_TS, "run2": RUN2_TS},
+        )
+        out = store.select(*STAMPED_COLS).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _sql_cdc_simulate_runs() -> str:
+    from .harness import SQL_CDC_HISTORIZE
+
+    return SQL_CDC_HISTORIZE
+
+
+def register_all() -> None:
+    from . import harness
+
+    harness.register("io_csv_roundtrip", q_io_csv_roundtrip, SQL_IO_CSV_ROUNDTRIP)
+    harness.register(
+        "io_partitioned_sink", q_io_partitioned_sink, SQL_IO_PARTITIONED_SINK
+    )
+    harness.register("io_store_reset", q_io_store_reset, SQL_IO_STORE_RESET)
+    harness.register(
+        "cdc_simulate_runs", q_cdc_simulate_runs, _sql_cdc_simulate_runs()
+    )
