@@ -54,3 +54,44 @@ def test_deduplicate_multi_column_content(spark):
     df = spark.createDataFrame(rows, "id long, c1 string, c2 string")
     out = deduplicate(df, ["c1", "c2"], "id")
     assert {r["id"] for r in out.collect()} == {1, 3}
+
+
+def test_io_lifecycle_queries(spark):
+    """The oracle-gated IO round-trip rows also run under pytest: the CSV
+    round-trip preserves rows exactly, the partitioned sink's read-back
+    aggregation matches a direct aggregation, the reset probe reports the
+    full lifecycle, and simulate_runs through the disk store equals the
+    functional two-run historization."""
+    from pandas_etl_framework_spark.harness import q_cdc_historize_two_runs
+    from pandas_etl_framework_spark.io_queries import (
+        q_cdc_simulate_runs,
+        q_io_csv_roundtrip,
+        q_io_partitioned_sink,
+        q_io_store_reset,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    src = spark.read.parquet(f"{sf}/region.parquet")
+    rt = q_io_csv_roundtrip(spark, sf)
+    assert sorted(map(tuple, rt.collect())) == sorted(map(tuple, src.collect()))
+
+    direct = {
+        r["o_orderstatus"]: r["n"]
+        for r in spark.read.parquet(f"{sf}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    sink = {r["o_orderstatus"]: r["n"] for r in q_io_partitioned_sink(spark, sf).collect()}
+    assert sink == direct
+
+    probe = q_io_store_reset(spark, sf).collect()[0]
+    assert probe["n_before"] == src.count()
+    assert probe["deleted"] and probe["reader_returned_none"]
+    assert probe["n_bootstrap"] == 0
+
+    via_store = q_cdc_simulate_runs(spark, sf)
+    functional = q_cdc_historize_two_runs(spark, sf).select(*via_store.columns)
+    assert via_store.exceptAll(functional).count() == 0
+    assert functional.exceptAll(via_store).count() == 0
