@@ -230,21 +230,21 @@ def random_projection(
 
     Public pattern: Achlioptas (2003) sparse JL; no reference counterpart.
     """
-    q = F.expr(_QCOV_EXPR).alias("q")
-    out = emb.select("vec_id", q)
-    cols = [F.col("vec_id")]
+    out = emb.select("vec_id", F.expr(_QCOV_EXPR).alias("q"))
+    # one selectExpr of SQL strings, not 16×64 F.lit Column objects: the
+    # py4j round-trips of the object form dominated wall time (~4 s of
+    # driver-side expression construction vs 0.4 s of execution at sf0.1);
+    # a single server-side parse makes plan build O(1) py4j calls
+    exprs = ["vec_id"]
     for kk in range(k):
-        signs = F.array(
-            *[F.lit(_rp_sign(kk, i)).cast("long") for i in range(1, dim + 1)]
+        signs = ",".join(
+            f"{_rp_sign(kk, i)}L" for i in range(1, dim + 1)
         )
-        cols.append(
-            F.aggregate(
-                F.zip_with(F.col("q"), signs, lambda x, s: x * s),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias(f"rp{kk}")
+        exprs.append(
+            f"aggregate(zip_with(q, array({signs}), (x, s) -> x * s), "
+            f"0L, (acc, x) -> acc + x) AS rp{kk}"
         )
-    return out.select(*cols)
+    return out.selectExpr(*exprs)
 
 
 def q_emb_random_projection(spark, sf_dir):
