@@ -405,8 +405,99 @@ FROM d JOIN s USING (source) CROSS JOIN t
 SQL_TEXT_SOURCE_MIXTURE = _sql_source_mixture()
 
 
+# --------------------------------------------------------------------------
+# Deterministic global shuffle + shard assignment (training order)
+# --------------------------------------------------------------------------
+
+SHUFFLE_SHARDS = 16
+_HEXDIGITS = "0123456789abcdef"
+
+
+def shuffle_shard(
+    docs,
+    n_shards: int = SHUFFLE_SHARDS,
+    id_col: str = "doc_id",
+    salt: str = "epoch0",
+):
+    """Assign every document a (shard, pos) training-order coordinate:
+    shard from the first md5 byte of salt:id, position by md5-lexicographic
+    order within the shard — a reproducible global shuffle (changing
+    ``salt`` re-shuffles per epoch) with no randomness at run time.
+
+    This windowed form is the oracle-checkable shape. The writer path for
+    actual shard files is ``write_training_shards``: repartitionByRange on
+    (shard, h) + sortWithinPartitions — a single range-shuffle whose
+    per-task sort replaces the window, the standard way to materialize a
+    shuffled corpus at any scale.
+    """
+    h = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    d1 = F.instr(F.lit(_HEXDIGITS), F.substring(F.col("h"), 1, 1)) - 1
+    d2 = F.instr(F.lit(_HEXDIGITS), F.substring(F.col("h"), 2, 1)) - 1
+    with_h = docs.select(id_col, h.alias("h")).withColumn(
+        "shard", ((d1 * 16 + d2) % n_shards).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return with_h.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+def write_training_shards(
+    docs,
+    path: str,
+    n_shards: int = SHUFFLE_SHARDS,
+    id_col: str = "doc_id",
+    salt: str = "epoch0",
+) -> None:
+    """Materialize the shuffled corpus as hive-partitioned shard files in
+    shuffle order: one range shuffle (repartitionByRange) + an in-task
+    sort — no global window, no driver state; scales with executor count."""
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    d1 = F.instr(F.lit(_HEXDIGITS), F.substring(F.col("h"), 1, 1)) - 1
+    d2 = F.instr(F.lit(_HEXDIGITS), F.substring(F.col("h"), 2, 1)) - 1
+    (
+        docs.withColumn("h", h)
+        .withColumn("shard", ((d1 * 16 + d2) % n_shards).cast("long"))
+        .repartitionByRange(n_shards, "shard", "h")
+        .sortWithinPartitions("shard", "h", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def q_text_shuffle_shard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shuffle_shard(docs)
+
+
+SQL_TEXT_SHUFFLE_SHARD = f"""
+WITH h AS (
+    SELECT doc_id,
+           md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+),
+s AS (
+    SELECT doc_id, h,
+           CAST(((instr('{_HEXDIGITS}', substr(h, 1, 1)) - 1) * 16
+                 + instr('{_HEXDIGITS}', substr(h, 2, 1)) - 1)
+                % {SHUFFLE_SHARDS} AS BIGINT) AS shard
+    FROM h
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM s
+"""
+
+
 QUERIES = {
     "text_pii_redact": (q_text_pii_redact, SQL_TEXT_PII_REDACT),
+    "text_shuffle_shard": (q_text_shuffle_shard, SQL_TEXT_SHUFFLE_SHARD),
     "text_source_mixture": (q_text_source_mixture, SQL_TEXT_SOURCE_MIXTURE),
     "text_weighted_reservoir": (
         q_text_weighted_reservoir,

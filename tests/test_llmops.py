@@ -730,3 +730,34 @@ def test_phash_dedup_groups_ignore_brightness(spark):
     assert all(len(s) == 1 for s in by_group.values())
     counts = Counter(r["dhash"] for r in rows)
     assert all(r["n_dupes"] == counts[r["dhash"]] for r in rows)
+
+
+def test_write_training_shards_order_matches_shuffle_shard(spark, tmp_path):
+    """The scalable writer (range shuffle + in-task sort) must reproduce
+    the windowed shuffle_shard order exactly: reading each shard directory
+    back in file order yields docs sorted by (h, doc_id), at the positions
+    shuffle_shard assigns."""
+    from pandas_etl_framework_spark.llmops.curation import (
+        shuffle_shard,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    expected = {
+        (r["shard"], r["pos"]): r["doc_id"]
+        for r in shuffle_shard(docs).collect()
+    }
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path)
+    back = spark.read.parquet(path)
+    shards = {r["shard"] for r in back.select("shard").distinct().collect()}
+    assert shards == {s for s, _ in expected}
+    for s in shards:
+        rows = (
+            back.filter(F.col("shard") == s)
+            .orderBy("h", "doc_id")
+            .select("doc_id")
+            .collect()
+        )
+        for i, r in enumerate(rows, start=1):
+            assert expected[(s, i)] == r["doc_id"]
