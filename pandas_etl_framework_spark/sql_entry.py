@@ -94,8 +94,46 @@ def q_sql_shared_lateral(spark, sf_dir):
     return sql(spark, SHARED_SQL_LATERAL)
 
 
+# Recursive CTE (Spark 4 WITH RECURSIVE): a clamped running balance per
+# customer — carry_k = max(0, carry_{k-1} + price_k − threshold) — is a
+# max-plus recurrence that NO window frame can express (each row's value
+# depends non-linearly on the previous result), so it exercises genuine
+# linear recursion: one distributed (custkey, rn) equi-join per depth
+# level, depth bounded by max orders per customer (fixture ~40), path
+# count linear in rows. Spark supports only UNION ALL recursion, which
+# this linear chain satisfies; prices are quantized to integer cents so
+# both engines agree exactly.
+SHARED_SQL_RECURSIVE = """
+WITH RECURSIVE seq AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS rn
+    FROM orders
+    WHERE o_custkey % 50 = 0
+),
+bal(o_custkey, rn, carry) AS (
+    SELECT o_custkey, CAST(1 AS BIGINT),
+           GREATEST(CAST(0 AS BIGINT), price_cents - 15000000)
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.o_custkey, b.rn + 1,
+           GREATEST(CAST(0 AS BIGINT), b.carry + s.price_cents - 15000000)
+    FROM bal b JOIN seq s ON s.o_custkey = b.o_custkey AND s.rn = b.rn + 1
+)
+SELECT o_custkey, rn, carry FROM bal
+"""
+
+
+def q_sql_shared_recursive(spark, sf_dir):
+    register_views(spark, sf_dir)
+    return sql(spark, SHARED_SQL_RECURSIVE)
+
+
 QUERIES = {
     "sql_shared_lateral": (q_sql_shared_lateral, SHARED_SQL_LATERAL),
+    "sql_shared_recursive": (q_sql_shared_recursive, SHARED_SQL_RECURSIVE),
     "sql_shared_agg": (q_sql_shared_agg, SHARED_SQL_AGG),
     "sql_shared_join": (q_sql_shared_join, SHARED_SQL_JOIN),
     "sql_shared_delta": (q_sql_shared_delta, SHARED_SQL_DELTA),
