@@ -458,6 +458,55 @@ SQL_SCD2_SNAPSHOT = (
 )
 
 
+def q_scd2_pit_join(spark, sf_dir):
+    """Point-in-time (as-of) join against the SCD2 store: every fact row
+    probes the dimension at its OWN date — ``probe = 2024-01-09 +
+    (o_orderkey % 4) days`` spans the day before run 1's visibility, both
+    run days, and the day after, so the join must pick the bootstrap
+    version, the closed version, or the run-2 version per row (and drop
+    probes that predate a key's first version — batch-2-only keys before
+    2024-01-11). Plan shape: an equi-join on the key with the BETWEEN as
+    a post-join filter — validity intervals partition time, so each fact
+    matches at most one version. At warehouse scale this is THE SCD2
+    consumption pattern (fact enrichment at transaction time)."""
+    merged = q_scd2_merge(spark, sf_dir)
+    probes = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("probe_key"),
+        F.date_add(
+            F.to_date(F.lit("2024-01-09")),
+            (F.col("o_orderkey") % 4).cast("int"),
+        ).alias("probe_date"),
+    )
+    return (
+        probes.join(merged, probes.probe_key == merged.o_orderkey)
+        .filter(
+            (F.col("probe_date") >= F.col("VALID_FROM"))
+            & (F.col("probe_date") <= F.col("VALID_TO"))
+        )
+        .select(
+            "o_orderkey",
+            "probe_date",
+            "INSERT_RUN_ID",
+            "UPDATE_RUN_ID",
+            "RECORD_HASH",
+            "VALID_FROM",
+            "VALID_TO",
+        )
+    )
+
+
+SQL_SCD2_PIT_JOIN = f"""
+SELECT m.o_orderkey,
+       DATE '2024-01-09' + CAST(p.o_orderkey % 4 AS INTEGER) AS probe_date,
+       m.INSERT_RUN_ID, m.UPDATE_RUN_ID, m.RECORD_HASH,
+       m.VALID_FROM, m.VALID_TO
+FROM orders p
+JOIN (\n{SQL_SCD2_MERGE}\n) m ON p.o_orderkey = m.o_orderkey
+WHERE DATE '2024-01-09' + CAST(p.o_orderkey % 4 AS INTEGER)
+      BETWEEN m.VALID_FROM AND m.VALID_TO
+"""
+
+
 def q_schema_prepare(spark, sf_dir):
     from pyspark.sql import types as T
 
@@ -508,6 +557,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "scd2_split_active": (q_scd2_split_active, SQL_SCD2_SPLIT_ACTIVE),
     "scd2_split_hist": (q_scd2_split_hist, SQL_SCD2_SPLIT_HIST),
     "scd2_snapshot": (q_scd2_snapshot, SQL_SCD2_SNAPSHOT),
+    "scd2_pit_join": (q_scd2_pit_join, SQL_SCD2_PIT_JOIN),
     "schema_prepare": (q_schema_prepare, SQL_SCHEMA_PREPARE),
 }
 

@@ -154,3 +154,26 @@ def test_split_merged_dataset(grades_run1, grades_run2_full):
     hist, active = split_merged_dataset(merged)
     assert hist.count() == 1  # closed Franklin
     assert active.count() == 16
+
+
+def test_pit_join_selects_at_most_one_version_per_probe(spark):
+    """Validity intervals partition time, so the point-in-time join must
+    never fan a fact row out to two versions; probes before a key's first
+    version must drop."""
+    from pandas_etl_framework_spark.harness import q_scd2_pit_join
+
+    out = q_scd2_pit_join(spark, "/root/testdata/sf0.001")
+    from pyspark.sql import functions as F
+
+    dup = (
+        out.groupBy("o_orderkey", "probe_date")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    rows = out.count()
+    n_orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).count()
+    assert 0 < rows < n_orders  # some probes predate their key's history
