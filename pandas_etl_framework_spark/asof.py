@@ -35,10 +35,17 @@ def asof_join(
     right_time: str,
     right_value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Left as-of join: ``left``'s columns plus, per right value column,
     ``<col><suffix>`` holding the value from the latest right row at or
-    before the left row's time (NULL when no right row precedes it)."""
+    before the left row's time (NULL when no right row precedes it).
+
+    ``tolerance_seconds`` mirrors pandas ``merge_asof(tolerance=...)``:
+    a match older than the tolerance is nulled out (the latest preceding
+    right row IS the closest one, so "latest within the window" and
+    "latest, if within the window" coincide). Implemented by carrying the
+    matched right timestamp through the same window — no extra shuffle."""
     right_value_cols = right_value_cols or [
         c for c in right.columns if c not in on and c != right_time
     ]
@@ -79,7 +86,21 @@ def asof_join(
             F.last(c, ignorenulls=True).over(w).alias(f"{c}{suffix}")
             for c in right_value_cols
         ],
+        F.last(
+            F.when(F.col(_SIDE) == 0, F.col(_TS)), ignorenulls=True
+        ).over(w).alias("__asof_rts"),
     )
+    if tolerance_seconds is not None:
+        within = F.col("__asof_rts") >= F.col(_TS) - F.expr(
+            f"INTERVAL {int(tolerance_seconds)} SECONDS"
+        )
+        carried = carried.select(
+            *[c for c in carried.columns if not c.endswith(suffix)],
+            *[
+                F.when(within, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in right_value_cols
+            ],
+        )
     left_cols = [c for c in left.columns]
     return (
         carried.filter(F.col(_SIDE) == 1)

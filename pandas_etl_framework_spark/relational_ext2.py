@@ -198,6 +198,45 @@ ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
 """
 
 
+def q_events_asof_tolerance(spark, sf_dir):
+    """As-of join with a pandas merge_asof-style tolerance: the latest
+    preceding view still matches only if it happened within 10 minutes of
+    the purchase — stale lookups null out instead of attributing."""
+    from .asof import asof_join
+    from .relational import load_events
+
+    events = load_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts_src"), F.col("ts").alias("view_ts")
+    )
+    return asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_time="ts",
+        right_time="view_ts_src",
+        right_value_cols=["view_ts"],
+        tolerance_seconds=600,
+    ).select(
+        "user_id", "event_id", "ts", F.col("view_ts_asof").alias("last_view_ts")
+    )
+
+
+# DuckDB's ASOF JOIN has no tolerance clause; the latest preceding row IS
+# the closest, so nulling matches older than the window is equivalent.
+SQL_EVENTS_ASOF_TOLERANCE = """
+SELECT p.user_id, p.event_id, p.ts,
+       CASE WHEN v.ts >= p.ts - INTERVAL 600 SECONDS THEN v.ts END
+           AS last_view_ts
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
 def q_events_range_join(spark, sf_dir):
     """Range join: assign each error event to the session interval that
     contains it (sessions derived by the batch sessionizer). Bucketized
@@ -696,6 +735,7 @@ QUERIES = {
     "rel_limit_offset": (q_limit_offset, SQL_LIMIT_OFFSET),
     "rel_profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
     "events_asof_join": (q_events_asof, SQL_EVENTS_ASOF),
+    "events_asof_tolerance": (q_events_asof_tolerance, SQL_EVENTS_ASOF_TOLERANCE),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "text_chunks_udtf": (q_text_chunks_udtf, SQL_TEXT_CHUNKS_UDTF),
 }

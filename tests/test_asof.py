@@ -55,3 +55,36 @@ def test_asof_rejects_column_collision(spark, frames):
     bad_right = right.withColumnRenamed("price", "name")  # collides with left
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, bad_right, ["k"], "t", "rt")
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """tolerance_seconds mirrors pandas merge_asof: a preceding right row
+    older than the window must null out, an in-window one must match."""
+    from pandas_etl_framework_spark.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"), (1, "2024-01-01 12:00:00", "b")],
+        "k long, lts string, tag string",
+    ).selectExpr("k", "CAST(lts AS TIMESTAMP) AS lts", "tag")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:55:00", 7.0)], "k long, rts string, v double"
+    ).selectExpr("k", "CAST(rts AS TIMESTAMP) AS rts", "v")
+
+    out = {
+        r["tag"]: r["v_asof"]
+        for r in asof_join(
+            left, right, on=["k"], left_time="lts", right_time="rts",
+            tolerance_seconds=600,
+        ).collect()
+    }
+    assert out["a"] == 7.0      # 5 min old: within tolerance
+    assert out["b"] is None     # >2 h old: stale, nulled
+
+    # without tolerance both carry the value
+    out2 = {
+        r["tag"]: r["v_asof"]
+        for r in asof_join(
+            left, right, on=["k"], left_time="lts", right_time="rts"
+        ).collect()
+    }
+    assert out2 == {"a": 7.0, "b": 7.0}
