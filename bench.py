@@ -99,6 +99,12 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    def _timed(thunk) -> float:
+        t0 = time.time()
+        thunk()
+        return round(time.time() - t0, 3)
+
     # warm-up: JVM + whole-stage codegen (incl. the md5/join/agg paths every
     # query uses) + parquet footers, so timings reflect steady-state engine
     # cost — what a long-running cluster sees — not one-time JIT
@@ -138,6 +144,18 @@ def main() -> None:
             else min(timings["streaming_windowed_counts"], s)
         )
 
+    # CPU calibration: a fixed data-independent JVM workload (codegen'd
+    # arithmetic over range()), min of two runs. Identical code across
+    # rounds, so cross-round total ratios can be read against box-speed
+    # drift: this session measured the same suite at 19-25 s on the same
+    # commit purely from host variance, which the calibration tracks.
+    calib = min(
+        _timed(lambda: spark.range(2_000_000_000).selectExpr(
+            "sum(id * 2 + (id & 7))"
+        ).collect())
+        for _ in range(2)
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -147,6 +165,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cpu_calib_sec": calib,
             }
         )
     )
