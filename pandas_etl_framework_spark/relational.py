@@ -493,6 +493,38 @@ FROM lineitem GROUP BY l_linestatus
 """
 
 
+def q_unpivot(spark, sf_dir):
+    """Wide→long with Spark's native ``unpivot`` (melt): the inverse of
+    rel_pivot, a pure per-row reshape (one scan, no shuffle). Measures are
+    quantized to integer cents so the long-form values hash identically
+    across engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.col("o_custkey").alias("custkey"),
+        F.length("o_orderpriority").cast("long").alias("priority_len"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["price_cents", "custkey", "priority_len"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+SQL_UNPIVOT = """
+SELECT o_orderkey, measure, value
+FROM (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           o_custkey AS custkey,
+           CAST(length(o_orderpriority) AS BIGINT) AS priority_len
+    FROM orders
+)
+UNPIVOT (value FOR measure IN (price_cents, custkey, priority_len))
+"""
+
+
 # --------------------------------------------------------------------------
 # Windows / sort / limit
 # --------------------------------------------------------------------------
@@ -1033,6 +1065,7 @@ QUERIES = {
     "rel_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "rel_cube": (q_cube, SQL_CUBE),
     "rel_pivot": (q_pivot, SQL_PIVOT),
+    "rel_unpivot": (q_unpivot, SQL_UNPIVOT),
     "rel_window_rank": (q_window_rank, SQL_WINDOW_RANK),
     "rel_window_running": (q_window_running, SQL_WINDOW_RUNNING),
     "rel_window_lag": (q_window_lag, SQL_WINDOW_LAG),
