@@ -584,6 +584,139 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Voice-activity detection (audio curation)
+# --------------------------------------------------------------------------
+
+VAD_FRAME_SAMPLES = 200
+VAD_THRESHOLD = 3000  # RMS threshold in 16-bit sample units
+
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("n_active", T.LongType(), True),
+        T.StructField("active_ratio", T.DoubleType(), True),
+    ]
+)
+
+
+def vad_frames(
+    content: bytes,
+    frame_samples: int = VAD_FRAME_SAMPLES,
+    threshold: int = VAD_THRESHOLD,
+) -> dict:
+    """Frame-level voice activity over a PCM WAV: a frame is active when
+    its RMS exceeds ``threshold`` — tested as the EXACT integer inequality
+    Σx² > threshold²·n (no float sqrt, so the decision is deterministic).
+    Mono 16-bit only (the curation corpus contract); trailing samples that
+    don't fill a frame are dropped, per the usual frame-aligned VAD."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as wv:
+        if wv.getnchannels() != 1 or wv.getsampwidth() != 2:
+            raise NotImplementedError("VAD expects mono 16-bit PCM")
+        raw = wv.readframes(wv.getnframes())
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    n_frames = len(samples) // frame_samples
+    if n_frames == 0:
+        return {"n_frames": 0, "n_active": 0, "active_ratio": 0.0}
+    sq = samples[: n_frames * frame_samples].reshape(n_frames, frame_samples)
+    energy = (sq * sq).sum(axis=1)
+    n_active = int((energy > threshold * threshold * frame_samples).sum())
+    return {
+        "n_frames": n_frames,
+        "n_active": n_active,
+        "active_ratio": n_active / n_frames,
+    }
+
+
+def audio_vad(media: DataFrame) -> DataFrame:
+    """(media_id, n_frames, n_active, active_ratio) from a binary WAV
+    column — the speech-fraction gate an audio-curation pipeline filters
+    on. One Arrow-batched scan, no shuffle."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in VAD_SCHEMA}
+            for _, r in pdf.iterrows():
+                feats = vad_frames(r["content"])
+                out["media_id"].append(r["media_id"])
+                out["n_frames"].append(feats["n_frames"])
+                out["n_active"].append(feats["n_active"])
+                out["active_ratio"].append(feats["active_ratio"])
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        per_batch, VAD_SCHEMA
+    )
+
+
+def q_multimodal_audio_vad(spark, sf_dir):
+    """End-to-end VAD: synthesize a real WAV per document of alternating
+    tone/silence segments (segment j of doc d is 2 frames of constant
+    amplitude (d%5)·1500 when (d+j) is even, silence otherwise), run the
+    genuine RIFF parse → frame energies → threshold path, and compare to
+    the closed form: frames are active iff the doc's amplitude exceeds
+    the threshold AND the segment carries tone — so the oracle counts
+    active segments arithmetically."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+        from array import array
+
+        for pdf in batches:
+            out = {"media_id": [], "content": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n_seg = 2 + d % 3
+                amp = (d % 5) * 1500
+                samples: list[int] = []
+                for j in range(n_seg):
+                    v = amp if (d + j) % 2 == 0 else 0
+                    samples.extend([v] * (2 * VAD_FRAME_SAMPLES))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wv:
+                    wv.setnchannels(1)
+                    wv.setsampwidth(2)
+                    wv.setframerate(_WAV_RATE)
+                    wv.writeframes(array("h", samples).tobytes())
+                out["media_id"].append(d)
+                out["content"].append(buf.getvalue())
+            yield pd.DataFrame(out)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = docs.mapInPandas(per_batch, "media_id long, content binary")
+    return audio_vad(media)
+
+
+SQL_MULTIMODAL_AUDIO_VAD = f"""
+WITH p AS (
+    SELECT doc_id,
+           2 + doc_id % 3 AS n_seg,
+           (doc_id % 5) * 1500 AS amp
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_seg, amp,
+           CASE WHEN amp > {VAD_THRESHOLD}
+                THEN 2 * ((n_seg + CASE WHEN doc_id % 2 = 0
+                                        THEN 1 ELSE 0 END) // 2)
+                ELSE 0 END AS n_active
+    FROM p
+)
+SELECT doc_id AS media_id,
+       CAST(2 * n_seg AS BIGINT) AS n_frames,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(n_active AS DOUBLE) / CAST(2 * n_seg AS DOUBLE) AS active_ratio
+FROM c
+"""
+
+
 VIDEO_FRAME_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -851,6 +984,10 @@ QUERIES = {
     "multimodal_decode_audio": (
         q_multimodal_decode_audio,
         SQL_MULTIMODAL_DECODE_AUDIO,
+    ),
+    "multimodal_audio_vad": (
+        q_multimodal_audio_vad,
+        SQL_MULTIMODAL_AUDIO_VAD,
     ),
     "multimodal_decode_video": (
         q_multimodal_decode_video,

@@ -761,3 +761,34 @@ def test_write_training_shards_order_matches_shuffle_shard(spark, tmp_path):
         )
         for i, r in enumerate(rows, start=1):
             assert expected[(s, i)] == r["doc_id"]
+
+
+def test_vad_frames_integer_threshold():
+    """Frame energy decision is the exact integer inequality: amplitude at
+    the threshold is inactive, one unit above is active; trailing partial
+    frames drop."""
+    import io
+    import wave
+    from array import array
+
+    from pandas_etl_framework_spark.llmops.multimodal import (
+        VAD_FRAME_SAMPLES,
+        VAD_THRESHOLD,
+        vad_frames,
+    )
+
+    def wav(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(8000)
+            wv.writeframes(array("h", samples).tobytes())
+        return buf.getvalue()
+
+    n = VAD_FRAME_SAMPLES
+    at = vad_frames(wav([VAD_THRESHOLD] * n))
+    above = vad_frames(wav([VAD_THRESHOLD + 1] * n + [0] * n + [7]))
+    assert at == {"n_frames": 1, "n_active": 0, "active_ratio": 0.0}
+    assert above["n_frames"] == 2 and above["n_active"] == 1
+    assert above["active_ratio"] == 0.5
