@@ -470,10 +470,133 @@ FROM d3
 """
 
 
+# --------------------------------------------------------------------------
+# Label propagation (community detection)
+# --------------------------------------------------------------------------
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 2
+) -> DataFrame:
+    """Synchronous label propagation over undirected ``edges`` (u, v):
+    every node starts as its own label; each round, a node adopts the most
+    frequent label among its neighbors, ties broken by SMALLEST label —
+    which makes the synchronous update fully deterministic (the usual LPA
+    nondeterminism comes from async order and random tie-breaks, both
+    removed here). Isolated relative to the round (no neighbors) keeps its
+    label via the left join.
+
+    Per round: one groupBy on (node, label) + one per-node window — both
+    shuffle on the node key; the label relation (one row per node) is
+    broadcast into the edge join exactly like PageRank's rank relation,
+    with the same documented swap to a pre-partitioned edge join beyond
+    ~10^8 nodes. Labels are lazily checkpointed per round so lineage and
+    plan size stay flat in the round count.
+    """
+    sym = edges.selectExpr("u AS src", "v AS dst").unionByName(
+        edges.selectExpr("v AS src", "u AS dst")
+    ).localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(rounds):
+        freq = (
+            sym.join(F.broadcast(labels), sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+        winner = (
+            freq.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(F.broadcast(winner), "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def q_graph_label_propagation(spark, sf_dir):
+    """Two deterministic LPA rounds over the co-supply backbone: output is
+    each supplier's community label (min-tie-break synchronous update)."""
+    return label_propagation(cosupply_backbone(spark, sf_dir), rounds=2)
+
+
+def _sql_lpa(rounds: int = 2) -> str:
+    # same backbone CTE as graph_triangles, then the rounds unrolled;
+    # RANK/ROW_NUMBER with (c DESC, label) picks the min-label mode
+    head = """
+WITH ps AS (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+),
+pairs AS (
+    SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    GROUP BY a.s, b.s
+),
+stats AS (
+    SELECT CAST(SUM(shared) AS BIGINT) AS s_sum,
+           CAST(COUNT(*) AS BIGINT) AS p_cnt
+    FROM pairs
+),
+eb AS (
+    SELECT u, v FROM pairs, stats
+    WHERE shared * p_cnt > s_sum
+      AND 4 * (shared * p_cnt - s_sum) * (shared * p_cnt - s_sum)
+            > 9 * s_sum * p_cnt
+),
+e AS (
+    SELECT u AS src, v AS dst FROM eb
+    UNION ALL
+    SELECT v AS src, u AS dst FROM eb
+),
+l0 AS (
+    SELECT DISTINCT src AS node, src AS label FROM e
+)"""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f""",
+f{k} AS (
+    SELECT e.dst AS node, l.label, COUNT(*) AS c
+    FROM e JOIN l{k - 1} l ON e.src = l.node
+    GROUP BY e.dst, l.label
+),
+w{k} AS (
+    SELECT node, label,
+           ROW_NUMBER() OVER (
+               PARTITION BY node ORDER BY c DESC, label
+           ) AS rk
+    FROM f{k}
+),
+l{k} AS (
+    SELECT p.node, COALESCE(w.label, p.label) AS label
+    FROM l{k - 1} p LEFT JOIN (
+        SELECT node, label FROM w{k} WHERE rk = 1
+    ) w ON p.node = w.node
+)""")
+    tail = f"""
+SELECT node, label FROM l{rounds}
+"""
+    return head + "".join(steps) + tail
+
+
+SQL_GRAPH_LABEL_PROPAGATION = _sql_lpa(2)
+
+
 QUERIES = {
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_khop": (q_graph_khop, SQL_GRAPH_KHOP),
+    "graph_label_propagation": (
+        q_graph_label_propagation,
+        SQL_GRAPH_LABEL_PROPAGATION,
+    ),
 }
 
 

@@ -79,3 +79,36 @@ def test_khop_distances_match_networkx_style_bfs(spark):
                 q.append(v)
     # {1:0, 2:1, 3:1, 4:2, 5:3}; node 6 is 4 hops out, 7/8 disconnected
     assert got == ref
+
+
+def test_label_propagation_deterministic_communities(spark):
+    """Two triangles joined by one bridge edge: LPA with min tie-break
+    must give each triangle its minimum node id as community label, and
+    the synchronous result must be reproducible."""
+    from pandas_etl_framework_spark.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "u long, v long",
+    )
+    out1 = {r["node"]: r["label"] for r in label_propagation(edges, 2).collect()}
+    out2 = {r["node"]: r["label"] for r in label_propagation(edges, 2).collect()}
+    assert out1 == out2
+
+    # replicate the synchronous min-tie-break update in plain Python
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    adj: dict[int, list[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    labels = {n: n for n in adj}
+    for _ in range(2):
+        nxt = {}
+        for n, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        labels = nxt
+    assert out1 == labels
