@@ -492,6 +492,8 @@ def label_propagation(
     ~10^8 nodes. Labels are lazily checkpointed per round so lineage and
     plan size stay flat in the round count.
     """
+    from pyspark.sql import Window
+
     sym = edges.selectExpr("u AS src", "v AS dst").unionByName(
         edges.selectExpr("v AS src", "u AS dst")
     ).localCheckpoint(eager=True)
@@ -503,8 +505,6 @@ def label_propagation(
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count("*").alias("c"))
         )
-        from pyspark.sql import Window
-
         w = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
         winner = (
             freq.withColumn("rk", F.row_number().over(w))
