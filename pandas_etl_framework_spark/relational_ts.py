@@ -315,7 +315,71 @@ FROM per_user CROSS JOIN g
 """
 
 
+def q_events_ewma(spark, sf_dir):
+    """Per-user exponentially weighted moving average (α = 1/4) over the
+    event-time-ordered value series — a sequential recurrence
+    (v_k = ⌊(x_k + 3·v_{k-1}) / 4⌋) that NO window frame expresses, folded
+    JVM-side: collect each user's bounded series into one sorted array and
+    run a single ``aggregate`` lambda over it (one shuffle, no Python, no
+    driver loop; per-user series are session-sized by construction). The
+    oracle computes the same recurrence with a recursive CTE, so two
+    entirely different execution strategies must meet bit-for-bit —
+    values quantized to integers, division floored identically."""
+    ev = load_events(spark, sf_dir)
+    q = F.round(F.col("value") * 10000).cast("long")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), q.alias("q")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("xs"))
+    )
+    acc0 = F.struct(
+        F.lit(False).alias("init"), F.lit(0).cast("long").alias("v")
+    )
+    fold = F.aggregate(
+        F.col("xs"),
+        acc0,
+        lambda acc, x: F.struct(
+            F.lit(True).alias("init"),
+            F.when(~acc["init"], x["q"])
+            .otherwise(F.floor((x["q"] + 3 * acc["v"]) / 4).cast("long"))
+            .alias("v"),
+        ),
+        lambda acc: acc["v"],
+    )
+    return per_user.select("user_id", fold.alias("ewma_q"))
+
+
+SQL_EVENTS_EWMA = """
+WITH RECURSIVE seq AS (
+    SELECT user_id,
+           CAST(round(value * 10000) AS BIGINT) AS q,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS rn
+    FROM events
+),
+r(user_id, rn, v) AS (
+    SELECT user_id, CAST(1 AS BIGINT), q FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, r.rn + 1,
+           CAST(floor((s.q + 3 * r.v) / 4.0) AS BIGINT)
+    FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, v AS ewma_q
+FROM (
+    SELECT user_id, v,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rk
+    FROM r
+)
+WHERE rk = 1
+"""
+
+
 QUERIES = {
+    "events_ewma": (q_events_ewma, SQL_EVENTS_EWMA),
     "events_transition_matrix": (
         q_events_transition_matrix,
         SQL_EVENTS_TRANSITION_MATRIX,

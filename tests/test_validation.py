@@ -26,3 +26,36 @@ def test_add_meta_columns_rejects_incomplete_currents(spark, grades_run1):
 def test_get_delta_rejects_unstamped_frames(spark, grades_run1):
     with pytest.raises(ValueError, match="add_meta_columns"):
         get_delta(grades_run1, grades_run1)
+
+
+def test_ewma_fold_matches_python_recurrence(spark):
+    """The array-fold EWMA must equal a driver-side replication of the
+    integer recurrence over the same (ts, event_id)-ordered series."""
+    from pandas_etl_framework_spark.relational import load_events
+    from pandas_etl_framework_spark.relational_ts import q_events_ewma
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["user_id"]: r["ewma_q"] for r in q_events_ewma(spark, sf).collect()}
+
+    import math
+
+    rows = load_events(spark, sf).select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    series: dict[int, list] = {}
+    for r in rows:
+        series.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["value"])
+        )
+    expected = {}
+    for uid, xs in series.items():
+        v = None
+        for _, _, val in sorted(xs):
+            # Spark round() is HALF_UP (away from zero), python round is
+            # half-even — quantize the engine way
+            q = int(math.floor(abs(val) * 10000 + 0.5)) * (
+                1 if val >= 0 else -1
+            )
+            v = q if v is None else math.floor((q + 3 * v) / 4)
+        expected[uid] = v
+    assert got == expected
