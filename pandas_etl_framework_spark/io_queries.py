@@ -161,6 +161,113 @@ def _sql_cdc_simulate_runs() -> str:
     return SQL_CDC_HISTORIZE
 
 
+def q_io_orc_roundtrip(spark, sf_dir):
+    """Generic-format sink/source round-trip through ORC — the columnar
+    alternate with the same pushdown machinery as parquet."""
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    tmp = _scratch()
+    try:
+        path = f"{tmp}/region_orc"
+        eio.write_table(src, path, fmt="orc", mode="overwrite")
+        out = eio.read_table(spark, path, fmt="orc").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_io_json_roundtrip(spark, sf_dir):
+    """JSON-lines round-trip with an explicit schema on the way back in
+    (inference would widen integers and break dtype parity)."""
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    tmp = _scratch()
+    try:
+        path = f"{tmp}/region_json"
+        eio.write_table(src, path, fmt="json", mode="overwrite")
+        out = eio.read_table(
+            spark, path, fmt="json", schema=src.schema
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_IO_FMT_ROUNDTRIP = "SELECT * FROM region"
+
+
+def q_versioned_store_lifecycle(spark, sf_dir):
+    """Transactional-store lifecycle through the REAL VersionedStore:
+    write batch 1 (orders %10<8) as v0 → MERGE batch 2 (%10>=5, price+1
+    on %3==0 keys) upserting overlap and inserting new keys → DELETE
+    status 'F' rows → summarize, with v0 re-read via time travel AFTER
+    the later commits (historical versions must be immutable). Every
+    summary number has a closed form over the orders table, so the
+    copy-on-write rewrite, manifest chaining, and time-travel read are
+    all on the hash gate."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from .versioned_store import VersionedStore
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b1 = orders.filter(F.col("o_orderkey") % 10 < 8)
+    b2 = orders.filter(F.col("o_orderkey") % 10 >= 5).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    cents = F.sum(
+        F.round(F.col("o_totalprice") * 100).cast("long")
+    ).cast("long")
+
+    tmp = _scratch()
+    try:
+        store = VersionedStore(spark, f"{tmp}/vstore")
+        v0 = store.write(b1, mode="overwrite")
+        store.merge(b2, ["o_orderkey"])
+        store.delete_where(F.col("o_orderstatus") == "F")
+        final = store.read()
+        time_travel = store.read(version=v0)
+        tt_cents = time_travel.agg(cents.alias("c")).collect()[0]["c"]
+        fin_cents = final.agg(cents.alias("c")).collect()[0]["c"]
+        row = spark.range(1).select(
+            F.lit(time_travel.count()).cast("long").alias("v0_rows"),
+            F.lit(tt_cents).cast("long").alias("v0_price_cents"),
+            F.lit(final.count()).cast("long").alias("final_rows"),
+            F.lit(fin_cents).cast("long").alias("final_price_cents"),
+        )
+        out = row.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_VERSIONED_STORE_LIFECYCLE = """
+WITH b1 AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 10 < 8
+),
+merged AS (
+    SELECT o_orderkey, o_orderstatus,
+           o_totalprice
+           + CASE WHEN o_orderkey % 10 >= 5 AND o_orderkey % 3 = 0
+                  THEN 1.0 ELSE 0.0 END AS o_totalprice
+    FROM orders
+)
+SELECT CAST((SELECT COUNT(*) FROM b1) AS BIGINT) AS v0_rows,
+       CAST((SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT)) FROM b1)
+            AS BIGINT) AS v0_price_cents,
+       CAST((SELECT COUNT(*) FROM merged WHERE o_orderstatus <> 'F')
+            AS BIGINT) AS final_rows,
+       CAST((SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+             FROM merged WHERE o_orderstatus <> 'F') AS BIGINT)
+           AS final_price_cents
+"""
+
+
 def register_all() -> None:
     from . import harness
 
@@ -171,4 +278,13 @@ def register_all() -> None:
     harness.register("io_store_reset", q_io_store_reset, SQL_IO_STORE_RESET)
     harness.register(
         "cdc_simulate_runs", q_cdc_simulate_runs, _sql_cdc_simulate_runs()
+    )
+    harness.register("io_orc_roundtrip", q_io_orc_roundtrip, SQL_IO_FMT_ROUNDTRIP)
+    harness.register(
+        "io_json_roundtrip", q_io_json_roundtrip, SQL_IO_FMT_ROUNDTRIP
+    )
+    harness.register(
+        "versioned_store_lifecycle",
+        q_versioned_store_lifecycle,
+        SQL_VERSIONED_STORE_LIFECYCLE,
     )
