@@ -944,6 +944,134 @@ GROUP BY t.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Full BPE training loop (merge selection + vocabulary re-segmentation)
+# --------------------------------------------------------------------------
+
+def _merge_pair_col(syms: F.Column, left: str, right: str) -> F.Column:
+    """One greedy left-to-right merge pass over a symbol array as a pure
+    JVM fold: append each symbol unless it completes the (left, right)
+    pair with the accumulator's tail, in which case the tail is replaced
+    by the merged token. Because the merged token is a DIFFERENT string
+    than ``left``, the fold naturally implements non-overlapping
+    left-to-right semantics ('a','a' over [a,a,a] -> [aa, a])."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> "tuple[list[tuple[str, str, int]], DataFrame]":
+    """Train ``n_merges`` BPE merges over the corpus and return
+    (merges, segmented vocabulary).
+
+    The corpus is touched ONCE (word-frequency aggregation); every merge
+    round then runs on the vocabulary relation only — pair counting is a
+    vocab-sized explode weighted by word frequency, merge selection is a
+    1-row TakeOrdered collect (driver-sized by construction, like
+    k-means' centroid fetch), and re-segmentation is a zero-shuffle
+    array fold. Rounds localCheckpoint the vocabulary so lineage stays
+    flat in the merge count. Ties break on (count DESC, left, right) —
+    fully deterministic.
+
+    At 100 TB: vocabulary ~ millions of rows vs corpus ~ trillions of
+    tokens, so the per-round cost is corpus-size-independent — the same
+    word-dict-first structure every real BPE trainer (GPT-2, SentencePiece
+    BPE mode) uses, re-expressed on DataFrames.
+    """
+    words = (
+        docs.select(F.explode(tokens_col(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # split(w, '(?!^)') leaves a trailing '' element under Spark's regex
+    # split; drop empties so no phantom ('x', '') merges ever win a round
+    chars = F.filter(
+        F.split(F.col("w"), "(?!^)"), lambda x: F.length(x) > 0
+    )
+    vocab = words.select(
+        "w", "freq", chars.alias("syms")
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pair_struct = F.expr(
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+        )
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(F.explode(pair_struct).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = pairs.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
+        if not top:
+            break
+        left, right, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((left, right, c))
+        vocab = vocab.select(
+            "w", "freq", _merge_pair_col(F.col("syms"), left, right).alias("syms")
+        ).localCheckpoint(eager=False)
+    return merges, vocab
+
+
+def bpe_encode_batch(texts, merges) -> "list[list[str]]":
+    """Apply a trained merge list to new texts (reference encoder for
+    tests and Arrow-batch use): greedy left-to-right passes in merge-rank
+    order per word."""
+    out = []
+    for t in texts:
+        toks: list[str] = []
+        for w in t.split():
+            syms = list(w)
+            for left, right, _ in merges:
+                i, res = 0, []
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            toks.extend(syms)
+        out.append(toks)
+    return out
+
+
+def q_text_bpe_train(spark, sf_dir):
+    """Driver row (rows-only: the merge recursion isn't practically
+    SQL-expressible — each round's pair counts depend on the previous
+    round's re-segmentation; correctness is pinned by
+    test_bpe_train_matches_python_reference, a full pure-Python BPE
+    replication) for the 10-merge training loop."""
+    merges, _ = bpe_train(_docs(spark, sf_dir), n_merges=10)
+    rows = [
+        (rank + 1, left, right, c)
+        for rank, (left, right, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank int, left string, right string, pair_count long"
+    )
+
+
 QUERIES = {
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_gopher_rules": (q_text_gopher_rules, SQL_TEXT_GOPHER_RULES),
@@ -960,4 +1088,5 @@ QUERIES = {
     "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK_SEQUENCES),
     "text_classifier": (q_text_classifier, SQL_TEXT_CLASSIFIER),
     "text_bpe_pairs": (q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
+    "text_bpe_train": (q_text_bpe_train, None),
 }
