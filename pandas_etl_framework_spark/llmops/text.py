@@ -1056,6 +1056,37 @@ def bpe_encode_batch(texts, merges) -> "list[list[str]]":
     return out
 
 
+def bpe_encode(
+    docs: DataFrame, merges, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Tokenize a document relation with a trained merge list:
+    (id, tokens array<string>, n_tokens). The merge list is closure-
+    captured into an Arrow-batched mapInPandas (driver-sized, like a
+    broadcast dictionary) — encoding is a pure per-row map, one scan,
+    no shuffle, so it composes with pack_sequences/token counting at any
+    corpus size."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    mlist = list(merges)
+
+    def encode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            toks = bpe_encode_batch(pdf[text_col].tolist(), mlist)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": toks,
+                    "n_tokens": [len(t) for t in toks],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        encode, f"{id_col} long, tokens array<string>, n_tokens long"
+    )
+
+
 def q_text_bpe_train(spark, sf_dir):
     """Driver row (rows-only: the merge recursion isn't practically
     SQL-expressible — each round's pair counts depend on the previous

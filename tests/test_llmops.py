@@ -851,3 +851,20 @@ def test_bpe_encode_applies_merges_in_rank_order(spark):
     enc = bpe_encode_batch([r["w"] for r in sample], merges)
     for r, toks in zip(sample, enc):
         assert toks == list(r["syms"]), r["w"]
+
+
+def test_bpe_encode_spark_matches_batch_reference(spark):
+    from pandas_etl_framework_spark.llmops.text import (
+        bpe_encode,
+        bpe_encode_batch,
+        bpe_train,
+    )
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    merges, _ = bpe_train(docs, n_merges=5)
+    out = {r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+           for r in bpe_encode(docs, merges).collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for did, text in src.items():
+        ref = bpe_encode_batch([text], merges)[0]
+        assert out[did] == (ref, len(ref))
