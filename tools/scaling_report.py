@@ -34,6 +34,12 @@ QUERIES = [
     "text_bigram_logprob",
     "graph_triangles",
     "emb_covariance",
+    "graph_khop",
+    "scd2_pit_join",
+    "emb_random_projection",
+    "multimodal_phash_dedup",
+    "text_shuffle_shard",
+    "events_ewma",
 ]
 
 
