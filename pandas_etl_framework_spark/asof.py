@@ -80,27 +80,42 @@ def asof_join(
         .orderBy(_TS, _SIDE)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry (timestamp, value) TOGETHER per value column: the tolerance
+    # gate must test the timestamp of the row that actually supplied the
+    # carried value — a separate last-right-timestamp column would let a
+    # NEWER null-valued right row vouch for an older, stale value
     carried = l_tagged.unionByName(r_tagged).select(
         "*",
         *[
-            F.last(c, ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            F.last(
+                F.when(
+                    (F.col(_SIDE) == 0) & F.col(c).isNotNull(),
+                    F.struct(F.col(_TS).alias("t"), F.col(c).alias("v")),
+                ),
+                ignorenulls=True,
+            )
+            .over(w)
+            .alias(f"__asof_sv_{c}")
             for c in right_value_cols
         ],
-        F.last(
-            F.when(F.col(_SIDE) == 0, F.col(_TS)), ignorenulls=True
-        ).over(w).alias("__asof_rts"),
     )
-    if tolerance_seconds is not None:
-        within = F.col("__asof_rts") >= F.col(_TS) - F.expr(
+    if tolerance_seconds is None:
+        def value_of(c: str) -> F.Column:
+            return F.col(f"__asof_sv_{c}")["v"]
+    else:
+        horizon = F.col(_TS) - F.expr(
             f"INTERVAL {int(tolerance_seconds)} SECONDS"
         )
-        carried = carried.select(
-            *[c for c in carried.columns if not c.endswith(suffix)],
-            *[
-                F.when(within, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
-                for c in right_value_cols
-            ],
-        )
+
+        def value_of(c: str) -> F.Column:
+            sv = F.col(f"__asof_sv_{c}")
+            return F.when(sv["t"] >= horizon, sv["v"])
+
+    carried = carried.select(
+        # internal names never collide with user columns ending in suffix
+        *[c for c in carried.columns if not c.startswith("__asof_sv_")],
+        *[value_of(c).alias(f"{c}{suffix}") for c in right_value_cols],
+    )
     left_cols = [c for c in left.columns]
     return (
         carried.filter(F.col(_SIDE) == 1)

@@ -656,10 +656,17 @@ def token_sets_df(docs: DataFrame, n: int = 3) -> DataFrame:
             )
         )
     )
+    # Parallelize the tokenize stage ONLY when the source under-splits
+    # (the fixture is one parquet row group → one task for the whole
+    # corpus). At real corpus scale the scan already yields >= cores
+    # input splits and an unconditional repartition here would be a full
+    # shuffle of the raw text — the exact corpus-sized exchange this
+    # projection exists to avoid.
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism // 2:
+        docs = docs.repartition(parallelism)
     return (
-        docs.repartition(parallelism)
-        .select("doc_id", tok_ids.alias("toks"))
+        docs.select("doc_id", tok_ids.alias("toks"))
         .withColumn("set_size", F.size("toks"))
     )
 

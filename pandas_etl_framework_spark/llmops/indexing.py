@@ -63,24 +63,33 @@ tf AS (
 # --------------------------------------------------------------------------
 
 def tfidf_topk(
-    docs_tf: DataFrame, n_docs: int, k: int = TOPK_TERMS
+    docs_tf: DataFrame,
+    n_docs: "int | DataFrame",
+    k: int = TOPK_TERMS,
 ) -> DataFrame:
     """Top-``k`` terms per document by quantized TF-IDF.
 
     ``score_q = tf * FLOOR(1e6 * ln(N / df))`` — integer once the idf is
     quantized, so ranking and output are engine-exact.  Ties break on term
     text ascending (deterministic).
+
+    ``n_docs`` is either a known int, or a 1-row DataFrame with column
+    ``n_docs`` — the latter folds the corpus count into the plan as a
+    broadcast singleton (no eager driver-side ``.count()`` job), the same
+    one-lazy-plan idiom as rel_dq_constraints' row-count join. Both paths
+    share this single implementation.
     """
-    df_tbl = docs_tf.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    df_tbl = docs_tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    base = docs_tf.join(F.broadcast(df_tbl), "term")
+    if isinstance(n_docs, DataFrame):
+        base = base.crossJoin(F.broadcast(n_docs))
+        n_col = F.col("n_docs").cast("double")
+    else:
+        n_col = F.lit(float(n_docs))
     idf_q = F.floor(
-        F.log(F.lit(float(n_docs)) / F.col("df").cast("double")) * LN_SCALE
+        F.log(n_col / F.col("df").cast("double")) * LN_SCALE
     ).cast("bigint")
-    scored = (
-        docs_tf.join(F.broadcast(df_tbl), "term")
-        .withColumn("score_q", (F.col("tf") * idf_q).cast("bigint"))
-    )
+    scored = base.withColumn("score_q", (F.col("tf") * idf_q).cast("bigint"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score_q").desc(), F.col("term").asc()
     )
@@ -92,30 +101,9 @@ def tfidf_topk(
 
 
 def q_text_tfidf_topk(spark, sf_dir):
-    """tfidf_topk with the corpus size folded into the plan as a broadcast
-    singleton instead of an eager driver-side ``.count()`` job — the same
-    one-lazy-plan idiom as rel_dq_constraints' row-count join."""
     docs = _docs(spark, sf_dir)
     n_docs_df = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
-    docs_tf = _term_freq(spark, sf_dir)
-    df_tbl = docs_tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf_q = F.floor(
-        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
-        * LN_SCALE
-    ).cast("bigint")
-    scored = (
-        docs_tf.join(F.broadcast(df_tbl), "term")
-        .crossJoin(F.broadcast(n_docs_df))
-        .withColumn("score_q", (F.col("tf") * idf_q).cast("bigint"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score_q").desc(), F.col("term").asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOPK_TERMS)
-        .select("doc_id", "term", "tf", "df", "score_q", "rk")
-    )
+    return tfidf_topk(_term_freq(spark, sf_dir), n_docs_df)
 
 
 def _sql_tfidf_topk() -> str:

@@ -832,9 +832,13 @@ def _decode_netpbm_gray(content: bytes) -> "tuple[int, int, object]":
         raise NotImplementedError("16-bit netpbm rasters are not decoded")
     ch = 3 if magic == b"P6" else 1
     n = width * height * ch
+    if len(content) - off < n:
+        # check BEFORE frombuffer: numpy would raise its own generic
+        # "buffer is smaller than requested size" otherwise
+        raise ValueError(
+            f"truncated netpbm raster: want {n} bytes, have {len(content) - off}"
+        )
     raster = np.frombuffer(content, dtype=np.uint8, count=n, offset=off)
-    if raster.size != n:
-        raise ValueError("truncated netpbm raster")
     return width, height, raster.reshape(height, width, ch).astype(
         np.int64
     ).sum(axis=2)

@@ -294,10 +294,14 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     code[i] = round(x[i] · 127 / max|x|) ∈ [−127, 127] — the standard
     4× embedding-store compression (FAISS SQ8 / vector-DB int8).
 
-    Array-native output (vec_id, scale double, code array<long>); a pure
-    per-row map — zero shuffles, no corpus statistics — so it composes
-    with any downstream scan at any scale. An all-zero vector keeps
-    code = 0 (scale 0 guarded).
+    Array-native output (vec_id, maxabs double, scale double,
+    code array<long>); a pure per-row map — zero shuffles, no corpus
+    statistics — so it composes with any downstream scan at any scale.
+    An all-zero vector keeps code = 0 (scale 0 guarded). ``maxabs`` is
+    carried verbatim alongside the derived ``scale`` because
+    (maxabs/127)·127 can differ from maxabs by one ulp — any consumer
+    comparing against an independently computed max must use the exact
+    original, not a round-trip through the quotient.
     """
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     maxabs = F.array_max(F.transform(x, F.abs))
@@ -310,6 +314,7 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         "vec_id", maxabs.alias("maxabs"), code.alias("code")
     ).select(
         "vec_id",
+        "maxabs",
         (F.col("maxabs") / 127.0).alias("scale"),
         "code",
     )
@@ -321,9 +326,12 @@ def q_emb_quantize_int8(spark, sf_dir):
     and quantizes the float scale to an exact integer; the library keeps
     the array-native form."""
     out = quantize_int8(_emb(spark, sf_dir))
+    # quantize from the VERBATIM maxabs, not scale*127: the round-trip
+    # through the quotient can sit one ulp off the oracle's maxabs and
+    # flip a .5-boundary rounding
     return out.select(
         "vec_id",
-        F.round(F.col("scale") * 127.0 * 100000.0).cast("long").alias("maxabs_q"),
+        F.round(F.col("maxabs") * 100000.0).cast("long").alias("maxabs_q"),
         F.array_join(F.col("code"), ",").alias("code_csv"),
     )
 

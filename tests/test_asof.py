@@ -88,3 +88,48 @@ def test_asof_tolerance_nulls_stale_matches(spark):
         ).collect()
     }
     assert out2 == {"a": 7.0, "b": 7.0}
+
+
+def test_asof_tolerance_gates_the_value_providing_row(spark):
+    """A NEWER null-valued right row must not vouch for an older stale
+    value: the tolerance is tested against the timestamp of the row that
+    supplied the carried value."""
+    from pandas_etl_framework_spark.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], "k long, lts string"
+    ).selectExpr("k", "CAST(lts AS TIMESTAMP) AS lts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:55:00", 5.0), (1, "2024-01-01 11:55:00", None)],
+        "k long, rts string, v double",
+    ).selectExpr("k", "CAST(rts AS TIMESTAMP) AS rts", "v")
+
+    out = asof_join(
+        left, right, on=["k"], left_time="lts", right_time="rts",
+        tolerance_seconds=600,
+    ).collect()[0]
+    assert out["v_asof"] is None  # value came from 09:55 — 2h stale
+
+    # without tolerance the last NON-NULL value carries (documented
+    # per-column semantics)
+    out2 = asof_join(
+        left, right, on=["k"], left_time="lts", right_time="rts"
+    ).collect()[0]
+    assert out2["v_asof"] == 5.0
+
+
+def test_asof_left_column_ending_in_suffix_survives(spark):
+    from pandas_etl_framework_spark.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 9.0)],
+        "k long, lts string, price_asof double",
+    ).selectExpr("k", "CAST(lts AS TIMESTAMP) AS lts", "price_asof")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 1.0)], "k long, rts string, v double"
+    ).selectExpr("k", "CAST(rts AS TIMESTAMP) AS rts", "v")
+    out = asof_join(
+        left, right, on=["k"], left_time="lts", right_time="rts",
+        right_value_cols=["v"], tolerance_seconds=7200,
+    ).collect()[0]
+    assert out["price_asof"] == 9.0 and out["v_asof"] == 1.0
