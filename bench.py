@@ -1,6 +1,6 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line {"metric", "value", "unit", "queries", "sf"}.
+JSON line {"metric", "value", "unit", "queries", "sf", "cpu_calib_sec"}.
 
 Each query is materialized with the no-op sink (full execution, no driver
 collect cost). One warm-up of a trivial job absorbs JVM/codegen startup;
