@@ -177,4 +177,15 @@ def simulate_runs(
             key_columns,
             currents=create_currents(load_ts),
         )
-    return read_parquet_df(spark, store_path)
+    store = read_parquet_df(spark, store_path)
+    # The store is hive-partitioned on INSERT_RUN_ID, whose values are
+    # yyyyMMddHHmmss digit strings — Spark's partition-column type
+    # inference reads the directory key back as BIGINT. Restore the
+    # declared string type so the store round-trips schema-stable (a
+    # leading-zero-free run id renders identically either way, but the
+    # dtype contract must not depend on what the digits happen to be).
+    from .constants import INSERT_RUN_ID as _IRI
+
+    if store is not None and dict(store.dtypes).get(_IRI) != "string":
+        store = store.withColumn(_IRI, F.col(_IRI).cast("string"))
+    return store
