@@ -576,8 +576,121 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Duplicated-span extraction (ExactSubstr-style)
+# --------------------------------------------------------------------------
+
+DUP_SPAN_WINDOW = 8  # tokens per rolling window (stride 1)
+
+
+def duplicated_spans(docs: DataFrame, window: int = DUP_SPAN_WINDOW) -> DataFrame:
+    """Exact duplicated token SPANS per document (Lee et al. 2022
+    "Deduplicating Training Data" ExactSubstr signal, at token
+    granularity): every stride-1 ``window``-token rolling window is
+    hashed; windows whose hash occurs ≥2 times in the corpus (any
+    document, self-repeats included) are duplicated; overlapping or
+    adjacent duplicated windows then merge into maximal spans with a
+    gaps-and-islands pass (new island when the start position jumps by
+    more than ``window``). Output: (doc_id, span_start, span_end,
+    n_windows) with 1-based inclusive token positions.
+
+    Shape at scale: one corpus-tokens-sized shuffle for the global window
+    counts, the hash join back, then the island window co-partitioned on
+    doc_id — no all-pairs anything; the fixed-chunk variant
+    (chunk_dedup_ratio) trades recall for a window/stride of
+    ``chunk``/``chunk``, this one is the full-recall stride-1 form.
+    """
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.when(
+        F.size(toks) >= window,
+        F.sequence(F.lit(1), F.size(toks) - (window - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = docs.select(
+        "doc_id", F.explode(idx).alias("p"), toks.alias("t")
+    ).select(
+        "doc_id",
+        "p",
+        F.md5(F.concat_ws(" ", F.slice("t", F.col("p"), window))).alias("h"),
+    )
+    counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n_glob"))
+    dup = wins.join(counts.filter(F.col("n_glob") >= 2), "h").select(
+        "doc_id", "p"
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    islands = dup.withColumn(
+        "new_island",
+        F.when(
+            F.col("p") > F.lag("p").over(w) + window, F.lit(1)
+        ).otherwise(
+            F.when(F.lag("p").over(w).isNull(), F.lit(1)).otherwise(F.lit(0))
+        ),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("p").cast("long").alias("span_start"),
+        (F.max("p") + window - 1).cast("long").alias("span_end"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
+def q_text_dup_spans(spark, sf_dir):
+    return duplicated_spans(_docs(spark, sf_dir))
+
+
+def _sql_dup_spans() -> str:
+    wdw = DUP_SPAN_WINDOW
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+pos AS (
+    -- lateral generate_series can't reference t; scalar range() + unnest
+    -- (the same idiom as the video oracle) expands per row
+    SELECT doc_id, t, unnest(range(1, LEN(t) - {wdw - 2})) AS p
+    FROM toks WHERE LEN(t) >= {wdw}
+),
+wins AS (
+    SELECT doc_id, p,
+           md5(array_to_string(t[p:(p + {wdw - 1})], ' ')) AS h
+    FROM pos
+),
+counts AS (SELECT h, COUNT(*) AS n_glob FROM wins GROUP BY h),
+dup AS (
+    SELECT wins.doc_id, wins.p
+    FROM wins JOIN counts ON wins.h = counts.h
+    WHERE counts.n_glob >= 2
+),
+flagged AS (
+    SELECT doc_id, p,
+           CASE WHEN LAG(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                  OR p > LAG(p) OVER (PARTITION BY doc_id ORDER BY p) + {wdw}
+                THEN 1 ELSE 0 END AS new_island
+    FROM dup
+),
+islands AS (
+    SELECT doc_id, p,
+           SUM(new_island) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS island
+    FROM flagged
+)
+SELECT doc_id,
+       CAST(MIN(p) AS BIGINT) AS span_start,
+       CAST(MAX(p) + {wdw - 1} AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM islands
+GROUP BY doc_id, island
+"""
+
+
 QUERIES = {
     "text_tfidf_topk": (q_text_tfidf_topk, _sql_tfidf_topk()),
+    "text_dup_spans": (q_text_dup_spans, _sql_dup_spans()),
     "text_hashed_bow": (q_text_hashed_bow, _sql_hashed_bow()),
     "text_chunk_dedup": (q_text_chunk_dedup, _sql_chunk_dedup()),
     "text_inverted_index": (q_text_inverted_index, _sql_inverted_index()),

@@ -253,3 +253,27 @@ def test_bigram_surprisal_exact_tiny_corpus(spark):
         assert out[doc_id]["mean_surprisal_micro"] == s / n
     # the thrice-seen bigram (a,b) must be less surprising than one-offs
     assert surp_q("a", "b") < surp_q("b", "c")
+
+
+def test_duplicated_spans_merges_overlapping_windows(spark):
+    """Two docs sharing a 10-token run (window=8, stride 1): the three
+    duplicated window starts per doc (1..3 of the run) must merge into ONE
+    maximal span covering the whole run; unique docs yield no rows."""
+    from pandas_etl_framework_spark.llmops.indexing import duplicated_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} u1 u2 u3"),
+            (2, f"v1 v2 {shared}"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+            for r in duplicated_spans(docs, window=8).collect()}
+    # doc 1: run occupies tokens 1-10 -> dup windows start at 1,2,3
+    assert rows[1] == (1, 10, 3)
+    # doc 2: run occupies tokens 3-12
+    assert rows[2] == (3, 12, 3)
+    assert 3 not in rows
