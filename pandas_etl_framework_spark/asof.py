@@ -126,3 +126,94 @@ def asof_join(
             *[f"{c}{suffix}" for c in right_value_cols],
         )
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')``): each left row takes the right row with the smallest
+    |Δt| in either direction; exact-distance ties go to the backward
+    (earlier) row, like pandas. Same union + window composition as the
+    backward join — one shuffle on the key, two window passes over the
+    SAME partitioning (ascending for the backward candidate, descending
+    for the forward one), no non-equi join anywhere."""
+    right_value_cols = right_value_cols or [
+        c for c in right.columns if c not in on and c != right_time
+    ]
+    overlap = set(right_value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right value columns {sorted(overlap)} collide with left columns; "
+            "rename or pass right_value_cols explicitly"
+        )
+    l_tagged = left.select(
+        *on,
+        F.col(left_time).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c) for c in left.columns if c not in on],
+        *[
+            F.lit(None).cast(dict(right.dtypes)[c]).alias(c)
+            for c in right_value_cols
+        ],
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_time).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in left.columns
+            if c not in on
+        ],
+        *[F.col(c) for c in right_value_cols],
+    )
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    w_back = (
+        Window.partitionBy(*on).orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+        .rowsBetween(*frame)
+    )
+    w_fwd = (
+        Window.partitionBy(*on).orderBy(F.col(_TS).desc(), F.col(_SIDE).asc())
+        .rowsBetween(*frame)
+    )
+
+    def sv(c: str, w) -> F.Column:
+        return F.last(
+            F.when(
+                (F.col(_SIDE) == 0) & F.col(c).isNotNull(),
+                F.struct(F.col(_TS).alias("t"), F.col(c).alias("v")),
+            ),
+            ignorenulls=True,
+        ).over(w)
+
+    carried = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[sv(c, w_back).alias(f"__b_{c}") for c in right_value_cols],
+        *[sv(c, w_fwd).alias(f"__f_{c}") for c in right_value_cols],
+    )
+
+    def nearest(c: str) -> F.Column:
+        b, fw = F.col(f"__b_{c}"), F.col(f"__f_{c}")
+        d_b = F.col(_TS).cast("double") - b["t"].cast("double")
+        d_f = fw["t"].cast("double") - F.col(_TS).cast("double")
+        return (
+            F.when(b.isNull(), fw["v"])
+            .when(fw.isNull(), b["v"])
+            .when(d_f < d_b, fw["v"])  # ties (d_f == d_b) keep backward
+            .otherwise(b["v"])
+        )
+
+    left_cols = [c for c in left.columns]
+    return carried.filter(F.col(_SIDE) == 1).select(
+        *on,
+        F.col(_TS).alias(left_time),
+        *[c for c in left_cols if c not in on and c != left_time],
+        *[nearest(c).alias(f"{c}{suffix}") for c in right_value_cols],
+    )

@@ -225,6 +225,57 @@ def q_events_asof_tolerance(spark, sf_dir):
     )
 
 
+def q_events_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of: each purchase takes the view closest in
+    time on EITHER side (ties to the earlier view), pandas
+    merge_asof(direction='nearest') semantics."""
+    from .asof import asof_join_nearest
+    from .relational import load_events
+
+    events = load_events(spark, sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts_src"), F.col("ts").alias("view_ts")
+    )
+    return asof_join_nearest(
+        purchases,
+        views,
+        on=["user_id"],
+        left_time="ts",
+        right_time="view_ts_src",
+        right_value_cols=["view_ts"],
+    ).select(
+        "user_id", "event_id", "ts", F.col("view_ts_asof").alias("nearest_view_ts")
+    )
+
+
+# backward + forward ASOF candidates, then the argmin with backward ties —
+# DuckDB's ASOF supports either inequality direction, so both candidates
+# are native
+SQL_EVENTS_ASOF_NEAREST = """
+WITH p AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+b AS (
+    SELECT p.user_id, p.event_id, p.ts, v.ts AS bt
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+),
+f AS (
+    SELECT p.user_id, p.event_id, p.ts, v.ts AS ft
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts
+)
+SELECT b.user_id, b.event_id, b.ts,
+       CASE WHEN b.bt IS NULL THEN f.ft
+            WHEN f.ft IS NULL THEN b.bt
+            WHEN (f.ft - b.ts) < (b.ts - b.bt) THEN f.ft
+            ELSE b.bt END AS nearest_view_ts
+FROM b JOIN f ON b.event_id = f.event_id
+"""
+
+
 # DuckDB's ASOF JOIN has no tolerance clause; the latest preceding row IS
 # the closest, so nulling matches older than the window is equivalent.
 SQL_EVENTS_ASOF_TOLERANCE = """
@@ -736,6 +787,7 @@ QUERIES = {
     "rel_profile_orders": (q_profile_orders, SQL_PROFILE_ORDERS),
     "events_asof_join": (q_events_asof, SQL_EVENTS_ASOF),
     "events_asof_tolerance": (q_events_asof_tolerance, SQL_EVENTS_ASOF_TOLERANCE),
+    "events_asof_nearest": (q_events_asof_nearest, SQL_EVENTS_ASOF_NEAREST),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "text_chunks_udtf": (q_text_chunks_udtf, SQL_TEXT_CHUNKS_UDTF),
 }

@@ -133,3 +133,45 @@ def test_asof_left_column_ending_in_suffix_survives(spark):
         right_value_cols=["v"], tolerance_seconds=7200,
     ).collect()[0]
     assert out["price_asof"] == 9.0 and out["v_asof"] == 1.0
+
+
+def test_asof_nearest_picks_closest_with_backward_ties(spark):
+    from pandas_etl_framework_spark.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "mid"),     # 09:58 vs 10:05 -> back
+            (1, "2024-01-01 10:04:00", "fwd"),     # 10:05 is closer
+            (1, "2024-01-01 09:00:00", "before"),  # only forward exists? no: 09:58 after, backward none
+            (2, "2024-01-01 12:00:00", "lonely"),  # no right rows at all
+        ],
+        "k long, lts string, tag string",
+    ).selectExpr("k", "CAST(lts AS TIMESTAMP) AS lts", "tag")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:58:00", 1.0), (1, "2024-01-01 10:05:00", 2.0)],
+        "k long, rts string, v double",
+    ).selectExpr("k", "CAST(rts AS TIMESTAMP) AS rts", "v")
+
+    out = {
+        r["tag"]: r["v_asof"]
+        for r in asof_join_nearest(
+            left, right, on=["k"], left_time="lts", right_time="rts"
+        ).collect()
+    }
+    assert out["mid"] == 1.0      # 2 min back vs 5 min fwd
+    assert out["fwd"] == 2.0      # 1 min fwd vs 6 min back
+    assert out["before"] == 1.0   # only forward side has candidates
+    assert out["lonely"] is None
+
+    # exact tie -> backward row, like pandas
+    tie_left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, lts string"
+    ).selectExpr("k", "CAST(lts AS TIMESTAMP) AS lts")
+    tie_right = spark.createDataFrame(
+        [(1, "2024-01-01 09:59:00", 1.0), (1, "2024-01-01 10:01:00", 2.0)],
+        "k long, rts string, v double",
+    ).selectExpr("k", "CAST(rts AS TIMESTAMP) AS rts", "v")
+    tie = asof_join_nearest(
+        tie_left, tie_right, on=["k"], left_time="lts", right_time="rts"
+    ).collect()[0]
+    assert tie["v_asof"] == 1.0
