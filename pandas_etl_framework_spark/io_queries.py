@@ -268,6 +268,63 @@ SELECT CAST((SELECT COUNT(*) FROM b1) AS BIGINT) AS v0_rows,
 """
 
 
+def q_streaming_cdc_historize(spark, sf_dir):
+    """Streaming CDC through the REAL micro-batch engine: batch-1 order
+    files stream into the store via foreachBatch(historize_append)
+    (availableNow), then batch-2 files land and a second availableNow run
+    on the SAME checkpoint processes only the new files — the store's
+    content must equal the batch oracle's two-run pair set regardless of
+    how the engine chops the files into micro-batches. Run stamps are
+    wall-clock per micro-batch (that's the production contract), so the
+    comparison projects the DETERMINISTIC columns: source columns + both
+    content hashes — exactly the store invariant (one row per distinct
+    (KEY_HASH, RECORD_HASH))."""
+    from .harness import ORDERS_COLS, orders_batch1, orders_batch2
+    from .streaming.historize import streaming_historize_append
+
+    tmp = _scratch()
+    try:
+        src, store, ckpt = f"{tmp}/src", f"{tmp}/store", f"{tmp}/ckpt"
+        b1 = orders_batch1(spark, sf_dir)
+        b2 = orders_batch2(spark, sf_dir)
+        b1.write.parquet(src)
+        schema = b1.schema
+        for _ in range(2):
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = streaming_historize_append(
+                spark, stream, store, ckpt, ["o_orderkey"], trigger_once=True
+            )
+            q.awaitTermination()
+            if _ == 0:
+                b2.write.mode("append").parquet(src)
+        out = (
+            eio.read_parquet_df(spark, store)
+            .select(*ORDERS_COLS, "KEY_HASH", "RECORD_HASH")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _sql_streaming_cdc_historize() -> str:
+    from .harness import CDC_PRELUDE, ORDERS_COLS
+
+    cols = ", ".join(ORDERS_COLS)
+    return (
+        CDC_PRELUDE
+        + f"""
+SELECT {cols}, KEY_HASH, RECORD_HASH FROM stamped1
+UNION ALL
+SELECT {cols}, KEY_HASH, RECORD_HASH FROM stamped2 n
+WHERE NOT EXISTS (
+    SELECT 1 FROM stamped1 c
+    WHERE c.KEY_HASH = n.KEY_HASH AND c.RECORD_HASH = n.RECORD_HASH
+)
+"""
+    )
+
+
 def register_all() -> None:
     from . import harness
 
@@ -287,4 +344,9 @@ def register_all() -> None:
         "versioned_store_lifecycle",
         q_versioned_store_lifecycle,
         SQL_VERSIONED_STORE_LIFECYCLE,
+    )
+    harness.register(
+        "streaming_cdc_historize",
+        q_streaming_cdc_historize,
+        _sql_streaming_cdc_historize(),
     )
