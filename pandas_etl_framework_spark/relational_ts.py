@@ -378,8 +378,169 @@ WHERE rk = 1
 """
 
 
+LTTB_NOUT = 8                     # points kept per series (first + 6 + last)
+_LTTB_B = LTTB_NOUT - 2           # interior buckets
+
+
+def lttb_downsample(events: DataFrame, n_out: int = LTTB_NOUT) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) of
+    each user's value series to ``n_out`` points: first and last points
+    always kept; each interior bucket contributes the point forming the
+    largest triangle with the PREVIOUSLY SELECTED point and the next
+    bucket's average — the standard shape-preserving decimation for
+    time-series visualization/thinning.
+
+    Sequential cross-bucket dependency (each pick depends on the last) is
+    exactly the per-group custom-stateful shape: an Arrow grouped-map
+    runs the whole recurrence per user in one pass, integer-exact
+    (epoch-relative times, 1e4-quantized values, cross-multiplied
+    averages — no float division anywhere, ties to earlier time then
+    lower index). Users with fewer than ``n_out`` points are dropped
+    (nothing to thin). One shuffle on user_id; per-user series are
+    session-sized by construction.
+
+    The oracle is a COMPLETELY DIFFERENT execution: the recurrence
+    unrolled as chained arg_max CTEs in DuckDB — two independent
+    implementations must agree on every selected point.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = n_out - 2
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        if n < n_out:
+            return pd.DataFrame(
+                columns=["user_id", "step", "idx", "t_rel", "v_q"]
+            ).astype("int64")
+        t_abs = (pdf["ts"].astype("int64") // 1_000_000_000).to_numpy()
+        t = t_abs - t_abs.min()
+        v = np.round(pdf["value"].to_numpy() * 10000).astype(np.int64)
+        k_of = ((np.arange(1, n - 1) - 1) * B) // (n - 2)  # interior buckets
+        sel = [0]
+        for k in range(B):
+            ii = np.where(k_of == k)[0] + 1  # interior index -> global idx
+            if k < B - 1:
+                jj = np.where(k_of == k + 1)[0] + 1
+                S_t, S_v, C = t[jj].sum(), v[jj].sum(), len(jj)
+            else:
+                S_t, S_v, C = t[n - 1], v[n - 1], 1
+            pt, pv = t[sel[-1]], v[sel[-1]]
+            area = np.abs(
+                (pt * C - S_t) * (v[ii] - pv) - (pt - t[ii]) * (S_v - C * pv)
+            )
+            order = np.lexsort((-ii, -t[ii], area))  # max area, min t, min idx
+            sel.append(int(ii[order[-1]]))
+        sel.append(n - 1)
+        uid = int(pdf["user_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "step": np.arange(n_out, dtype=np.int64),
+                "idx": np.asarray(sel, dtype=np.int64),
+                "t_rel": t[sel],
+                "v_q": v[sel],
+            }
+        )
+
+    return events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandas(
+        per_user,
+        "user_id long, step long, idx long, t_rel long, v_q long",
+    )
+
+
+def q_events_lttb(spark, sf_dir):
+    return lttb_downsample(load_events(spark, sf_dir))
+
+
+def _sql_lttb() -> str:
+    B = _LTTB_B
+    steps = []
+    for k in range(B):
+        prev = f"s{k}"
+        steps.append(f""",
+c{k + 1} AS (
+    SELECT i.user_id,
+           -- composite order encoded as one fixed-width string (DuckDB's
+           -- arg_max takes no list-typed ordering key): area desc, then
+           -- earlier time, then lower index
+           arg_max(
+               [i.t_rel, i.v_q, i.idx],
+               lpad(CAST(abs((p.pt * nx.C - nx.S_t) * (i.v_q - p.pv)
+                    - (p.pt - i.t_rel) * (nx.S_v - nx.C * p.pv))
+                    AS VARCHAR), 20, '0')
+               || lpad(CAST(10000000000 - i.t_rel AS VARCHAR), 11, '0')
+               || lpad(CAST(1000000 - i.idx AS VARCHAR), 7, '0')
+           ) AS sel
+    FROM interior i
+    JOIN {prev} p ON p.user_id = i.user_id
+    JOIN nxt nx ON nx.user_id = i.user_id AND nx.k = {k}
+    WHERE i.k = {k}
+    GROUP BY i.user_id
+),
+s{k + 1} AS (
+    SELECT user_id, sel[1] AS pt, sel[2] AS pv, sel[3] AS pidx FROM c{k + 1}
+)""")
+    picks = "\nUNION ALL\n".join(
+        f"SELECT user_id, CAST({k + 1} AS BIGINT) AS step, pidx AS idx,"
+        f" pt AS t_rel, pv AS v_q FROM s{k + 1}"
+        for k in range(B)
+    )
+    return f"""
+WITH seq AS (
+    SELECT user_id, event_id,
+           CAST(round(value * 10000) AS BIGINT) AS v_q,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) - 1 AS idx,
+           COUNT(*) OVER (PARTITION BY user_id) AS n,
+           -- epoch_us // 1e6 floors exactly like the int64-ns // path in
+           -- the grouped map; CAST(epoch(ts) AS BIGINT) would ROUND a
+           -- fractional second and diverge
+           (epoch_us(ts) // 1000000)
+             - MIN(epoch_us(ts) // 1000000)
+                   OVER (PARTITION BY user_id) AS t_rel
+    FROM events
+),
+big AS (SELECT * FROM seq WHERE n >= {LTTB_NOUT}),
+interior AS (
+    SELECT *, ((idx - 1) * {B}) // (n - 2) AS k
+    FROM big WHERE idx >= 1 AND idx <= n - 2
+),
+stats AS (
+    SELECT user_id, k,
+           CAST(SUM(t_rel) AS BIGINT) AS S_t,
+           CAST(SUM(v_q) AS BIGINT) AS S_v,
+           CAST(COUNT(*) AS BIGINT) AS C
+    FROM interior GROUP BY user_id, k
+),
+lastp AS (SELECT user_id, t_rel, v_q, idx FROM big WHERE idx = n - 1),
+firstp AS (SELECT user_id, t_rel, v_q, idx FROM big WHERE idx = 0),
+nxt AS (
+    SELECT user_id, k - 1 AS k, S_t, S_v, C FROM stats WHERE k >= 1
+    UNION ALL
+    SELECT user_id, {B - 1} AS k, t_rel AS S_t, v_q AS S_v,
+           CAST(1 AS BIGINT) AS C
+    FROM lastp
+),
+s0 AS (SELECT user_id, t_rel AS pt, v_q AS pv, idx AS pidx FROM firstp)
+{"".join(steps)}
+SELECT user_id, CAST(0 AS BIGINT) AS step, idx, t_rel, v_q FROM firstp
+UNION ALL
+{picks}
+UNION ALL
+SELECT user_id, CAST({LTTB_NOUT - 1} AS BIGINT) AS step, idx, t_rel, v_q
+FROM lastp
+"""
+
+
 QUERIES = {
     "events_ewma": (q_events_ewma, SQL_EVENTS_EWMA),
+    "events_lttb": (q_events_lttb, _sql_lttb()),
     "events_transition_matrix": (
         q_events_transition_matrix,
         SQL_EVENTS_TRANSITION_MATRIX,

@@ -59,3 +59,36 @@ def test_ewma_fold_matches_python_recurrence(spark):
             v = q if v is None else math.floor((q + 3 * v) / 4)
         expected[uid] = v
     assert got == expected
+
+
+def test_lttb_keeps_endpoints_and_spikes(spark):
+    """LTTB on a flat series with one huge spike: endpoints always kept,
+    exactly one point per interior bucket, and the spike's bucket must
+    select the spike (it forms the largest triangle by construction)."""
+    import datetime
+
+    from pandas_etl_framework_spark.relational_ts import (
+        LTTB_NOUT,
+        lttb_downsample,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(26):
+        v = 1000.0 if i == 13 else 1.0
+        rows.append((1, base + datetime.timedelta(minutes=i), i, v))
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = sorted(
+        (r["step"], r["idx"], r["v_q"])
+        for r in lttb_downsample(events).collect()
+    )
+    assert len(out) == LTTB_NOUT
+    assert out[0] == (0, 0, 10000)               # first point
+    assert out[-1][1] == 25                      # last point kept
+    assert any(vq == 10000000 for _, _, vq in out)  # the spike survives
+    steps = [s for s, _, _ in out]
+    assert steps == list(range(LTTB_NOUT))
+    idxs = [i for _, i, _ in out]
+    assert idxs == sorted(idxs)  # selections advance monotonically
