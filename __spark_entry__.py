@@ -93,9 +93,11 @@ DRIVER_PRIORITY = [
     # new this round: JL sketch, int8 quantization, PCA path, image phash
     "emb_random_projection", "emb_quantize_int8", "emb_pca_project",
     "multimodal_phash_dedup",
-    # LLM text ops with no prior driver row
-    "text_gopher_rules", "text_fingerprint",
-    "text_tokens_bpe", "text_pii_redact",
+    # LLM text ops with no prior driver row (fingerprint/tokens_bpe ceded
+    # their slots to the two most reference-relevant new rows: the
+    # point-in-time SCD2 join and streaming-equals-batch CDC)
+    "text_gopher_rules", "text_pii_redact",
+    "scd2_pit_join", "streaming_cdc_historize",
     # new this round: sequence packing + domain-mixture sampling
     "text_pack_sequences", "text_source_mixture",
 ]
