@@ -268,6 +268,68 @@ SELECT CAST((SELECT COUNT(*) FROM b1) AS BIGINT) AS v0_rows,
 """
 
 
+def q_io_csv_corrupt_routing(spark, sf_dir):
+    """Fault-tolerant CSV ingestion: a landing file where every third
+    region row has a non-numeric key is read in PERMISSIVE mode with a
+    ``_corrupt_record`` column — good rows parse, bad rows land intact in
+    the quarantine column (the ingest-side counterpart of dq.py's
+    constraint quarantine). Output: per-row routing verdict the oracle
+    reproduces arithmetically."""
+    from pyspark.sql import types as T
+
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    tmp = _scratch()
+    try:
+        path = f"{tmp}/landing.csv"
+        rows = src.select("r_regionkey", "r_name").collect()
+        with open(path, "w") as fh:
+            for r in sorted(rows, key=lambda x: x["r_regionkey"]):
+                key = (
+                    f"bad-{r['r_regionkey']}"
+                    if r["r_regionkey"] % 3 == 0
+                    else str(r["r_regionkey"])
+                )
+                fh.write(f"{key},{r['r_name']}\n")
+        schema = T.StructType(
+            [
+                T.StructField("r_regionkey", T.LongType()),
+                T.StructField("r_name", T.StringType()),
+                T.StructField("_corrupt_record", T.StringType()),
+            ]
+        )
+        parsed = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(path)
+        )
+        out = parsed.select(
+            F.coalesce(
+                F.col("r_regionkey"),
+                # recover the key from the quarantined raw line so the
+                # row stays addressable downstream
+                F.regexp_extract("_corrupt_record", r"bad-(\d+)", 1).cast(
+                    "long"
+                ),
+            ).alias("r_regionkey"),
+            F.coalesce(
+                F.col("r_name"),
+                F.regexp_extract("_corrupt_record", r",(.*)$", 1),
+            ).alias("r_name"),
+            F.col("_corrupt_record").isNotNull().alias("quarantined"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_IO_CSV_CORRUPT_ROUTING = """
+SELECT r_regionkey, r_name,
+       (r_regionkey % 3 = 0) AS quarantined
+FROM region
+"""
+
+
 def q_streaming_cdc_historize(spark, sf_dir):
     """Streaming CDC through the REAL micro-batch engine: batch-1 order
     files stream into the store via foreachBatch(historize_append)
@@ -349,4 +411,9 @@ def register_all() -> None:
         "streaming_cdc_historize",
         q_streaming_cdc_historize,
         _sql_streaming_cdc_historize(),
+    )
+    harness.register(
+        "io_csv_corrupt_routing",
+        q_io_csv_corrupt_routing,
+        SQL_IO_CSV_CORRUPT_ROUTING,
     )
