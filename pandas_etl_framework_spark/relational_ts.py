@@ -378,6 +378,125 @@ WHERE rk = 1
 """
 
 
+CUSUM_SLACK_Q = 5_000       # drift allowance (0.5 in value units × 1e4)
+CUSUM_THRESH_Q = 20_000     # alarm threshold (2.0 in value units × 1e4)
+
+
+def q_events_cusum(spark, sf_dir):
+    """Per-user one-sided CUSUM changepoint detection over the event-time
+    series: c_k = max(0, c_{k-1} + (x_k − μ − slack)), alarm when c_k
+    exceeds the threshold — the classic sequential drift detector (Page
+    1954), another recurrence no window frame expresses. The per-user
+    mean μ = S/n is kept EXACT by scaling the whole recurrence through by
+    n: C_k = max(0, C_{k-1} + n·x_k − S − n·slack), alarm at C_k > n·h.
+    One aggregation pass builds (sorted series, S, n) per user; one JVM
+    array fold runs the detector. Output: (user_id, n_alarms,
+    first_alarm_idx 1-based or 0, max_stat_scaled).
+
+    Oracle: the same scaled recurrence as a recursive CTE — fold vs
+    recursion, two engines, exact integers."""
+    ev = load_events(spark, sf_dir)
+    q = F.round(F.col("value") * 10000).cast("long")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), q.alias("q")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_list("s")).alias("xs"),
+            F.sum(F.col("s")["q"]).alias("S"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("c"),
+        F.lit(0).cast("long").alias("n_alarms"),
+        F.lit(0).cast("long").alias("first_idx"),
+        F.lit(0).cast("long").alias("i"),
+        F.lit(0).cast("long").alias("max_c"),
+    )
+
+    def step(acc, x):
+        c = F.greatest(
+            F.lit(0).cast("long"),
+            acc["c"] + F.col("n") * x["q"] - F.col("S")
+            - F.col("n") * CUSUM_SLACK_Q,
+        )
+        alarm = c > F.col("n") * CUSUM_THRESH_Q
+        i = acc["i"] + 1
+        return F.struct(
+            c.alias("c"),
+            (acc["n_alarms"] + alarm.cast("long")).alias("n_alarms"),
+            F.when(
+                alarm & (acc["first_idx"] == 0), i
+            ).otherwise(acc["first_idx"]).alias("first_idx"),
+            i.alias("i"),
+            F.greatest(acc["max_c"], c).alias("max_c"),
+        )
+
+    fold = F.aggregate(F.col("xs"), acc0, step)
+    return per_user.select(
+        "user_id",
+        fold["n_alarms"].alias("n_alarms"),
+        fold["first_idx"].alias("first_alarm_idx"),
+        fold["max_c"].alias("max_stat_scaled"),
+    )
+
+
+SQL_EVENTS_CUSUM = f"""
+WITH RECURSIVE seq AS (
+    SELECT user_id,
+           CAST(round(value * 10000) AS BIGINT) AS q,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS rn,
+           CAST(SUM(CAST(round(value * 10000) AS BIGINT))
+                OVER (PARTITION BY user_id) AS BIGINT) AS S,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+    FROM events
+),
+r(user_id, rn, c, n_alarms, first_idx, max_c) AS (
+    SELECT user_id, CAST(1 AS BIGINT),
+           GREATEST(CAST(0 AS BIGINT),
+                    n * q - S - n * {CUSUM_SLACK_Q}),
+           CAST(CASE WHEN GREATEST(CAST(0 AS BIGINT),
+                         n * q - S - n * {CUSUM_SLACK_Q})
+                         > n * {CUSUM_THRESH_Q} THEN 1 ELSE 0 END AS BIGINT),
+           CAST(CASE WHEN GREATEST(CAST(0 AS BIGINT),
+                         n * q - S - n * {CUSUM_SLACK_Q})
+                         > n * {CUSUM_THRESH_Q} THEN 1 ELSE 0 END AS BIGINT),
+           GREATEST(CAST(0 AS BIGINT),
+                    n * q - S - n * {CUSUM_SLACK_Q})
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, r.rn + 1,
+           GREATEST(CAST(0 AS BIGINT),
+                    r.c + s.n * s.q - s.S - s.n * {CUSUM_SLACK_Q}),
+           r.n_alarms + CASE WHEN GREATEST(CAST(0 AS BIGINT),
+                r.c + s.n * s.q - s.S - s.n * {CUSUM_SLACK_Q})
+                > s.n * {CUSUM_THRESH_Q} THEN 1 ELSE 0 END,
+           CASE WHEN r.first_idx > 0 THEN r.first_idx
+                WHEN GREATEST(CAST(0 AS BIGINT),
+                     r.c + s.n * s.q - s.S - s.n * {CUSUM_SLACK_Q})
+                     > s.n * {CUSUM_THRESH_Q} THEN r.rn + 1
+                ELSE CAST(0 AS BIGINT) END,
+           GREATEST(r.max_c,
+                    GREATEST(CAST(0 AS BIGINT),
+                             r.c + s.n * s.q - s.S - s.n * {CUSUM_SLACK_Q}))
+    FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, n_alarms, first_idx AS first_alarm_idx,
+       max_c AS max_stat_scaled
+FROM (
+    SELECT user_id, n_alarms, first_idx, max_c,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rk
+    FROM r
+)
+WHERE rk = 1
+"""
+
+
 LTTB_NOUT = 8                     # points kept per series (first + 6 + last)
 _LTTB_B = LTTB_NOUT - 2           # interior buckets
 
@@ -541,6 +660,7 @@ FROM lastp
 QUERIES = {
     "events_ewma": (q_events_ewma, SQL_EVENTS_EWMA),
     "events_lttb": (q_events_lttb, _sql_lttb()),
+    "events_cusum": (q_events_cusum, SQL_EVENTS_CUSUM),
     "events_transition_matrix": (
         q_events_transition_matrix,
         SQL_EVENTS_TRANSITION_MATRIX,

@@ -92,3 +92,39 @@ def test_lttb_keeps_endpoints_and_spikes(spark):
     assert steps == list(range(LTTB_NOUT))
     idxs = [i for _, i, _ in out]
     assert idxs == sorted(idxs)  # selections advance monotonically
+
+
+def test_cusum_alarms_on_step_change(spark):
+    """A series that steps from 1.0 to 10.0 halfway must alarm shortly
+    after the step; a flat series must never alarm."""
+    import datetime
+
+    from pandas_etl_framework_spark.relational_ts import q_events_cusum
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        rows.append((1, base + datetime.timedelta(minutes=i), i,
+                     1.0 if i < 10 else 10.0, "x", "{}"))
+        rows.append((2, base + datetime.timedelta(minutes=i), 100 + i,
+                     5.0, "x", "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, value double,"
+        " event_type string, props string",
+    )
+    events.createOrReplaceTempView("__cusum_probe")
+
+    # drive the library shape directly on the crafted frame
+    import pandas_etl_framework_spark.relational_ts as ts_mod
+
+    orig = ts_mod.load_events
+    try:
+        ts_mod.load_events = lambda spark_, sf_: events
+        out = {r["user_id"]: r for r in q_events_cusum(spark, "ignored").collect()}
+    finally:
+        ts_mod.load_events = orig
+    stepped, flat = out[1], out[2]
+    assert stepped["n_alarms"] > 0
+    assert stepped["first_alarm_idx"] >= 11  # only after the step
+    assert flat["n_alarms"] == 0 and flat["max_stat_scaled"] == 0
