@@ -113,8 +113,6 @@ def test_cusum_alarms_on_step_change(spark):
         "user_id long, ts timestamp, event_id long, value double,"
         " event_type string, props string",
     )
-    events.createOrReplaceTempView("__cusum_probe")
-
     # drive the library shape directly on the crafted frame
     import pandas_etl_framework_spark.relational_ts as ts_mod
 
