@@ -216,6 +216,48 @@ ORDER BY a.cid
 SQL_EMB_KMEANS = _sql_kmeans()
 
 
+def q_emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation: per-cluster within-cluster sum of
+    squared (quantized) distances to the final centroid — the inertia the
+    elbow method plots. Members join their centroid (broadcast, k rows)
+    and the exact integer distance folds JVM-side; the oracle recomputes
+    the identical quantity from its own unrolled Lloyd chain, so the two
+    engines must agree on assignments AND centroids AND the metric."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign, cent = kmeans_quantized(emb)
+    q = emb.select("vec_id", F.expr(_VQ_EXPR).alias("vq"))
+    dist = F.aggregate(
+        F.zip_with("vq", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        assign.join(q, "vec_id")
+        .join(F.broadcast(cent), "cid")
+        .withColumn("d2", dist)
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("d2").cast("long").alias("inertia_q"),
+        )
+    )
+
+
+def _sql_kmeans_inertia(k: int = KM_K, iterations: int = KM_ITERATIONS) -> str:
+    tail = f"""
+SELECT a.cid,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+            j -> (e.vq[j] - c.c[j]) * (e.vq[j] - c.c[j]))) AS BIGINT))
+            AS BIGINT) AS inertia_q
+FROM a{iterations} a
+JOIN e ON e.vec_id = a.vec_id
+JOIN cent{iterations} c ON c.cid = a.cid
+GROUP BY a.cid
+"""
+    return _kmeans_cte_body(k, iterations) + tail
+
+
 # --------------------------------------------------------------------------
 # Semantic dedup: cluster-bounded near-dup pair search
 # --------------------------------------------------------------------------
@@ -544,6 +586,7 @@ SQL_EMB_PQ_TOPK = _sql_pq_topk()
 
 QUERIES = {
     "emb_kmeans": (q_emb_kmeans, SQL_EMB_KMEANS),
+    "emb_kmeans_inertia": (q_emb_kmeans_inertia, _sql_kmeans_inertia()),
     "emb_semantic_dedup": (q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP),
     "emb_ivf_topk": (q_emb_ivf_topk, SQL_EMB_IVF_TOPK),
     "emb_pq_topk": (q_emb_pq_topk, SQL_EMB_PQ_TOPK),
