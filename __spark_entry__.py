@@ -39,69 +39,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Subset contract: the driver records correctness rows for the FIRST 50
-# queries() entries only (CORRECTNESS_r01..r03 all truncate there), while the
-# registry holds 200. Round-4 rotation: the §2 core + r01-r03 greens are
-# proven (84 queries ever-checked, 80 ever-green), so this window carries
-# (a) the 4 r03 reds, re-listed to put their fixes on record — the HUGEINT
-# oracle sweep (events_range_join, rel_dq_constraints, emb_kmeans) and the
-# array serialization (multimodal_metadata) — and (b) 46 queries that have
-# never had a driver row: the UDAF/UDTF/grouped-map surface, the repaired
-# latent-HUGEINT/array queries, remaining TPC-H, the time-series family,
-# sketches, IVF/PQ ANN, the connected-components driver row, the §2
-# IO-lifecycle round-trips, this round's new operators (JL sketch, int8
-# quantization, PCA path, image phash), and the LLM text ops. The ~50
-# still-dark queries (simple relational/scalar shapes, pair-level dedup
-# siblings of green family members, the streaming rows, and the third-wave additions
-# (unpivot, VAD, LPA, EWMA, ORC/JSON round-trips, versioned-store
-# lifecycle, BPE train, duplicated spans, nearest as-of, CSV quarantine
-# routing, CUSUM, LTTB, k-means inertia) — all green under
-# tools/check_correctness.py's driver-faithful compare at sf0.01) rotate
-# in next round. Remaining queries follow in registry order.
+# queries() entries only, while the registry holds 200. Cumulative after
+# r04: 130 of 200 ever driver-checked, 129 ever-green (the one red was
+# emb_pca_project's structural `no_oracle` — it is OUT of this window; its
+# correctness gate is the numpy parity test in tests/test_projection.py).
+# Round-5 rotation (VERDICT r04 item 1): all 50 slots go to never-checked
+# queries, front-loading the highest-risk shapes — the 4 dark streaming
+# rows (sessionize = the applyInPandasWithState operator), emb_covariance
+# (underwrites the PCA path), the graph fixpoint loops, the versioned
+# store, ORC/JSON/corrupt-CSV round-trips, the time-series detectors, the
+# as-of variants, the SQL-entry surface, audio decode/VAD, and the BPE
+# trainer (newly oracle-gated this round via a precomputed pure-Python
+# VALUES oracle). All 50 are green under tools/check_correctness.py's
+# driver-faithful compare at sf0.01 (CORRECTNESS_LOCAL.md).
+#
+# ROUND-6 ROTATION PLAN (VERDICT r04 item 4) — the exactly 20 registry
+# queries still dark after this window; all are simple shapes or pair-level
+# siblings of driver-green family members, all local-green:
+#   rel_scalar_date_funcs rel_string_funcs rel_case_when rel_cross_join
+#   rel_having rel_window_ntile rel_window_first_last rel_limit_offset
+#   text_tokens text_token_entropy text_length_histogram text_fingerprint
+#   text_winnow_fingerprint dedup_jaccard_pairs dedup_minhash_bands
+#   dedup_simhash_pairs emb_topk_batch emb_norms emb_knn_per_label
+#   emb_lsh_buckets
+# plus any round-5 registry additions. r06 target: 200/200 ever-checked.
 DRIVER_PRIORITY = [
-    # r03 reds, fixed this round: BIGINT-cast oracles + array serialization
-    "events_range_join", "rel_dq_constraints", "emb_kmeans",
-    "multimodal_metadata",
-    # Arrow-boundary surface: pandas UDF / UDAF / grouped-map / UDTF
-    "text_tokens_pandas_udf", "events_udaf_pandas",
-    "events_grouped_map_zscore", "text_chunks_udtf",
-    # repaired latent-HUGEINT / array-output queries (VERDICT r03 items 1-2)
-    "events_json_extract", "rel_null_semantics", "rel_pivot_native",
-    "rel_profile_orders", "tpch_q12", "events_multires_rollup",
-    "text_hashed_bow", "text_chunk_dedup", "text_inverted_index",
-    "text_unigram_logprob", "rel_higher_order", "rel_array_agg",
-    # TPC-H shapes with no prior driver row
-    "tpch_q8", "tpch_q11", "tpch_q15", "tpch_q16", "tpch_q19", "tpch_q22",
-    # time-series analytics family
-    "events_transition_matrix", "events_rfm", "events_cohort_retention",
-    "events_gapfill_locf",
-    # sketches with no prior driver row
-    "sketch_theta_kmv", "sketch_countmin", "sketch_histogram_quantiles",
-    # ANN scale paths: probe-limited IVF, PQ ADC + rerank
-    "emb_ivf_topk", "emb_pq_topk",
-    # the connected-components fixpoint loop (new row); the pair-level
-    # siblings (dedup_jaccard_pairs / dedup_minhash_bands /
-    # dedup_simhash_pairs / emb_lsh_buckets) ceded their slots to this
-    # round's four new operators below — each sibling's family is already
-    # driver-green via another member, so the new ops carry more signal
-    "dedup_clusters",
-    # §2 IO/lifecycle ops that had no driver-row shape through r03 — now
-    # driven through a real scratch-dir write→read round-trip (S1 CSV
-    # source, S4 partitioned sink, S5 store reset + S6 empty-relation
-    # bootstrap, C6 simulate_runs through the disk store); these took the
-    # slots of emb_knn_per_label / emb_neardup_pairs / text_token_entropy /
-    # text_winnow_fingerprint, whose families are already driver-green
-    "io_csv_roundtrip", "io_partitioned_sink", "io_store_reset",
-    "cdc_simulate_runs",
-    # new this round: JL sketch, int8 quantization, PCA path, image phash
-    "emb_random_projection", "emb_quantize_int8", "emb_pca_project",
-    "multimodal_phash_dedup",
-    # LLM text ops with no prior driver row (fingerprint/tokens_bpe ceded
-    # their slots to the two most reference-relevant new rows: the
-    # point-in-time SCD2 join and streaming-equals-batch CDC)
-    "text_gopher_rules", "text_pii_redact",
-    "scd2_pit_join", "streaming_cdc_historize",
-    # new this round: sequence packing + domain-mixture sampling
-    "text_pack_sequences", "text_source_mixture",
+    # dark streaming rows — sessionize's event-time timeout state machine
+    # (streaming/windows.py) is the most intricate unchecked code in the repo
+    "streaming_sessionize", "streaming_interval_join", "streaming_enrich",
+    "streaming_dedup_counts",
+    # the mergeable d²-moment covariance pass that underwrites PCA
+    "emb_covariance",
+    # graph fixpoint loops (iterate-to-convergence, checkpoint-truncated)
+    "graph_triangles", "graph_khop", "graph_label_propagation",
+    # store lifecycle + remaining IO formats + corrupt-record quarantine
+    "versioned_store_lifecycle", "io_orc_roundtrip", "io_json_roundtrip",
+    "io_csv_corrupt_routing",
+    # time-series detectors/downsamplers + funnel
+    "events_ewma", "events_lttb", "events_cusum", "events_funnel",
+    # as-of join variants (tolerance window, nearest-direction)
+    "events_asof_tolerance", "events_asof_nearest",
+    # reference-shaped SQL entry points (shared temp-view surface)
+    "sql_shared_recursive", "sql_shared_agg", "sql_shared_join",
+    # audio decode + voice-activity detection (Arrow binary decoders)
+    "multimodal_decode_audio", "multimodal_audio_vad",
+    # BPE: trainer (first oracle-gated round — precomputed VALUES oracle),
+    # pair stats, and the encode path
+    "text_bpe_train", "text_bpe_pairs", "text_tokens_bpe",
+    # CDC sibling with no driver row: per-column change attribution
+    "cdc_changed_columns",
+    # incremental dedup against an accumulated store
+    "dedup_incremental",
+    # k-means quality gate (within-cluster inertia)
+    "emb_kmeans_inertia",
+    # window-heavy text analytics
+    "text_dup_spans", "text_bigram_logprob",
+    # sampling/splitting/sharding family
+    "rel_stratified_sample", "data_split", "text_shuffle_shard",
+    "text_weighted_reservoir", "text_quality_sample",
+    # model-ish text ops
+    "text_classifier", "text_boilerplate",
+    # harder relational shapes: skew salting, fuzzy join, quantized corr,
+    # unpivot
+    "rel_salted_agg", "rel_fuzzy_join", "rel_corr_quantized", "rel_unpivot",
+    # window-frame / distribution / percentile / multiset / null-order /
+    # outer-join semantics (engine-divergence risk)
+    "rel_window_range_frame", "rel_window_distribution", "rel_percentiles",
+    "rel_except_all", "rel_intersect_all", "rel_sort_nulls",
+    "rel_full_outer_join",
+    # embedding near-dup pair extraction
+    "emb_neardup_pairs",
 ]
 
 

@@ -42,7 +42,16 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "emb_topk",
     "emb_kmeans",
+    # loop-shaped (iterate-to-fixpoint) representative, added r05 per
+    # VERDICT r04 item 6 — tracks the iterative family round-over-round.
+    # NOT part of the r01-r04 comparable core; see core20_sec below.
+    "graph_label_propagation",
 ]
+
+# the 20 queries (incl. streaming) benched since r01 — their sum is
+# emitted as "core20_sec" so round-over-round totals stay comparable
+# after suite additions ("value" covers the whole current suite)
+CORE20 = set(BENCH_QUERIES[:19]) | {"streaming_windowed_counts"}
 
 
 def bench_streaming(spark, sf_dir: str) -> float:
@@ -157,6 +166,7 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    core20 = round(sum(v for k, v in timings.items() if k in CORE20), 3)
     print(
         json.dumps(
             {
@@ -166,6 +176,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpu_calib_sec": calib,
+                "core20_sec": core20,
             }
         )
     )

@@ -70,6 +70,7 @@ from .io import (  # noqa: F401
     read_csv,
     read_current_hashes,
     read_parquet_df,
+    read_store,
     write_store,
 )
 from .session import get_spark  # noqa: F401

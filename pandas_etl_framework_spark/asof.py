@@ -55,6 +55,15 @@ def asof_join(
             f"right value columns {sorted(overlap)} collide with left columns; "
             "rename or pass right_value_cols explicitly"
         )
+    # the OUTPUT names must be fresh too: a left column literally named
+    # '<col><suffix>' would silently duplicate in the result schema and
+    # break later by-name selection (ADVICE r04)
+    out_clash = {f"{c}{suffix}" for c in right_value_cols} & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"generated as-of output columns {sorted(out_clash)} collide "
+            "with existing left columns; choose a different suffix"
+        )
 
     l_tagged = left.select(
         *on,
@@ -152,6 +161,15 @@ def asof_join_nearest(
         raise ValueError(
             f"right value columns {sorted(overlap)} collide with left columns; "
             "rename or pass right_value_cols explicitly"
+        )
+    # the OUTPUT names must be fresh too: a left column literally named
+    # '<col><suffix>' would silently duplicate in the result schema and
+    # break later by-name selection (ADVICE r04)
+    out_clash = {f"{c}{suffix}" for c in right_value_cols} & set(left.columns)
+    if out_clash:
+        raise ValueError(
+            f"generated as-of output columns {sorted(out_clash)} collide "
+            "with existing left columns; choose a different suffix"
         )
     l_tagged = left.select(
         *on,

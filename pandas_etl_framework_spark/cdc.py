@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .constants import KEY_HASH, RECORD_HASH
-from .io import read_parquet_df, write_store
+from .io import read_parquet_df, read_store, write_store
 from .meta_columns import add_meta_columns, create_currents
 
 
@@ -152,7 +152,7 @@ def historize_append(
     stamped = add_meta_columns(
         new_df, currents, key_columns, record_hash_exclude_columns
     )
-    current = read_parquet_df(spark, store_path)
+    current = read_store(spark, store_path)
     delta = stamped if current is None else get_delta(current, stamped)
     write_store(delta, store_path, partition_by=partition_by, mode="append")
 
@@ -177,15 +177,7 @@ def simulate_runs(
             key_columns,
             currents=create_currents(load_ts),
         )
-    store = read_parquet_df(spark, store_path)
-    # The store is hive-partitioned on INSERT_RUN_ID, whose values are
-    # yyyyMMddHHmmss digit strings — Spark's partition-column type
-    # inference reads the directory key back as BIGINT. Restore the
-    # declared string type so the store round-trips schema-stable (a
-    # leading-zero-free run id renders identically either way, but the
-    # dtype contract must not depend on what the digits happen to be).
-    from .constants import INSERT_RUN_ID as _IRI
-
-    if store is not None and dict(store.dtypes).get(_IRI) != "string":
-        store = store.withColumn(_IRI, F.col(_IRI).cast("string"))
-    return store
+    # io.read_store restores INSERT_RUN_ID's declared string dtype after
+    # hive-partition type inference reads the digit directory keys back
+    # as BIGINT — shared with every other store consumer (ADVICE r04).
+    return read_store(spark, store_path)

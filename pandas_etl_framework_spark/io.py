@@ -16,6 +16,7 @@ explicit ``partition_by`` override for reference-identical layouts.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.utils import AnalysisException
 
@@ -47,6 +48,30 @@ def read_parquet_df(spark: SparkSession, path: str) -> DataFrame | None:
         return spark.read.parquet(path)
     except AnalysisException:
         return None
+
+
+def read_store(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a historization store with its declared dtypes restored.
+
+    Stores are hive-partitioned on run-id columns whose values are
+    yyyyMMddHHmmss digit strings, and Spark's partition-column type
+    inference reads those directory keys back as BIGINT. EVERY store
+    consumer must see the declared string type (a digit run id renders
+    identically either way, but the dtype contract must not depend on
+    what the digits happen to be), so the restore lives here instead of
+    being patched at individual call sites (ADVICE r04).
+    """
+    from .constants import INSERT_RUN_ID as _IRI
+    from .constants import UPDATE_RUN_ID as _URI
+
+    df = read_parquet_df(spark, path)
+    if df is None:
+        return None
+    dtypes = dict(df.dtypes)
+    for c in (_IRI, _URI):
+        if c in dtypes and dtypes[c] != "string":
+            df = df.withColumn(c, F.col(c).cast("string"))
+    return df
 
 
 def read_current_hashes(spark: SparkSession, path: str) -> DataFrame | None:

@@ -40,10 +40,15 @@ COV_DIM = 64
 # with the row count budgeted against 2^63.
 COV_SCALE = 100_000
 
-_QCOV_EXPR = (
-    "transform(embedding, x -> cast(round(cast(x as double) * 100000.0, 0)"
-    " as bigint))"
-)
+def _qcov_expr(vec_col: str = "embedding") -> str:
+    """SQL quantize expression for an arbitrary vector column."""
+    return (
+        f"transform({vec_col}, x -> cast(round(cast(x as double) * "
+        "100000.0, 0) as bigint))"
+    )
+
+
+_QCOV_EXPR = _qcov_expr()
 
 
 def covariance_moments(
@@ -230,7 +235,7 @@ def random_projection(
 
     Public pattern: Achlioptas (2003) sparse JL; no reference counterpart.
     """
-    out = emb.select("vec_id", F.expr(_QCOV_EXPR).alias("q"))
+    out = emb.select("vec_id", F.expr(_qcov_expr(vec_col)).alias("q"))
     # one selectExpr of SQL strings, not 16×64 F.lit Column objects: the
     # py4j round-trips of the object form dominated wall time (~4 s of
     # driver-side expression construction vs 0.4 s of execution at sf0.1);
@@ -240,8 +245,14 @@ def random_projection(
         signs = ",".join(
             f"{_rp_sign(kk, i)}L" for i in range(1, dim + 1)
         )
+        # zip_with null-pads when dim exceeds the actual array length;
+        # the coalesce branch turns that silent NULL into a loud error
+        # (ADVICE r04) at zero happy-path cost (q elements are non-null)
         exprs.append(
-            f"aggregate(zip_with(q, array({signs}), (x, s) -> x * s), "
+            f"aggregate(zip_with(q, array({signs}), (x, s) -> "
+            "coalesce(x * s, cast(raise_error("
+            "'random_projection: dim exceeds embedding array length'"
+            ") as bigint))), "
             f"0L, (acc, x) -> acc + x) AS rp{kk}"
         )
     return out.selectExpr(*exprs)

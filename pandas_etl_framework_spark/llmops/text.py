@@ -1088,11 +1088,13 @@ def bpe_encode(
 
 
 def q_text_bpe_train(spark, sf_dir):
-    """Driver row (rows-only: the merge recursion isn't practically
-    SQL-expressible — each round's pair counts depend on the previous
-    round's re-segmentation; correctness is pinned by
-    test_bpe_train_matches_python_reference, a full pure-Python BPE
-    replication) for the 10-merge training loop."""
+    """Driver row for the 10-merge training loop: (rank, left, right,
+    pair_count) per learned merge. Oracle-gated since round 5 via
+    ``_sql_text_bpe_train`` — the merge recursion has no SQL twin, so the
+    oracle is the *output* of an independent pure-Python trainer embedded
+    as literal VALUES (VERDICT r04 item 5); the same trainer also gates
+    the full vocabulary segmentation in
+    tests/test_llmops.py::test_bpe_train_matches_python_reference."""
     merges, _ = bpe_train(_docs(spark, sf_dir), n_merges=10)
     rows = [
         (rank + 1, left, right, c)
@@ -1100,6 +1102,78 @@ def q_text_bpe_train(spark, sf_dir):
     ]
     return spark.createDataFrame(
         rows, "merge_rank int, left string, right string, pair_count long"
+    )
+
+
+def bpe_train_python(texts, n_merges: int):
+    """Independent pure-Python BPE trainer (word-dict greedy merges, ties
+    on (count DESC, left, right)) — the oracle for ``bpe_train``. Kept
+    free of any Spark/DataFrame code on purpose: it is the second
+    implementation the distributed trainer is checked against."""
+    from collections import Counter
+
+    freqs = Counter()
+    for t in texts:
+        for w in (t or "").split():
+            freqs[w] += 1
+    segs = {w: list(w) for w in freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, n in freqs.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += n
+        if not counts:
+            break
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, c))
+        for w, s in segs.items():
+            i, res = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            segs[w] = res
+    return merges, segs
+
+
+def _sql_text_bpe_train(n_merges: int = 10) -> str:
+    """Precompute the BPE-train oracle as literal VALUES by running the
+    pure-Python trainer over the correctness-gate corpus (the driver's
+    correctness pass runs at sf0.01; SPARK_GRAFT_CHECK_SF_DIR overrides
+    for local runs). Generated at import so oracle_sql() stays a plain
+    string like every other entry."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01"
+    )
+    texts = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    merges, _ = bpe_train_python(texts, n_merges)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ", ".join(
+        f"({rank + 1}, {q(left)}, {q(right)}, CAST({c} AS BIGINT))"
+        for rank, (left, right, c) in enumerate(merges)
+    )
+    return (
+        'SELECT merge_rank, "left", "right", pair_count '
+        f'FROM (VALUES {rows}) '
+        'AS t(merge_rank, "left", "right", pair_count)'
     )
 
 
@@ -1119,5 +1193,5 @@ QUERIES = {
     "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK_SEQUENCES),
     "text_classifier": (q_text_classifier, SQL_TEXT_CLASSIFIER),
     "text_bpe_pairs": (q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
-    "text_bpe_train": (q_text_bpe_train, None),
+    "text_bpe_train": (q_text_bpe_train, _sql_text_bpe_train()),
 }

@@ -516,7 +516,10 @@ def lttb_downsample(events: DataFrame, n_out: int = LTTB_NOUT) -> DataFrame:
     averages — no float division anywhere, ties to earlier time then
     lower index). Users with fewer than ``n_out`` points are dropped
     (nothing to thin). One shuffle on user_id; per-user series are
-    session-sized by construction.
+    session-sized by construction — and bounded: the oracle's fixed-width
+    ordering key assumes idx < 1e6 and t_rel < 1e10 seconds (~317 years)
+    per series; ``_sql_lttb`` raises (DuckDB ``error()``) instead of
+    silently corrupting the ordering if a series ever exceeds them.
 
     The oracle is a COMPLETELY DIFFERENT execution: the recurrence
     unrolled as chained arg_max CTEs in DuckDB — two independent
@@ -592,8 +595,14 @@ c{k + 1} AS (
                lpad(CAST(abs((p.pt * nx.C - nx.S_t) * (i.v_q - p.pv)
                     - (p.pt - i.t_rel) * (nx.S_v - nx.C * p.pv))
                     AS VARCHAR), 20, '0')
-               || lpad(CAST(10000000000 - i.t_rel AS VARCHAR), 11, '0')
-               || lpad(CAST(1000000 - i.idx AS VARCHAR), 7, '0')
+               || lpad(CAST(CASE WHEN i.t_rel < 10000000000
+                            THEN 10000000000 - i.t_rel
+                            ELSE CAST(error('lttb oracle: t_rel exceeds fixed-width bound') AS BIGINT)
+                            END AS VARCHAR), 11, '0')
+               || lpad(CAST(CASE WHEN i.idx < 1000000
+                            THEN 1000000 - i.idx
+                            ELSE CAST(error('lttb oracle: idx exceeds fixed-width bound') AS BIGINT)
+                            END AS VARCHAR), 7, '0')
            ) AS sel
     FROM interior i
     JOIN {prev} p ON p.user_id = i.user_id

@@ -100,7 +100,15 @@ def summarize(plan: str) -> dict:
         "FlatMapGroupsInPandas",
         "MapInPandas",
     ):
-        n = sum(op in line for line in plan.splitlines())
+        if op == "FileScan":
+            # formatted-mode plans render scans as "(N) Scan parquet"
+            n = sum(
+                "FileScan" in line
+                or re.match(r"^\(\d+\) Scan parquet", line) is not None
+                for line in plan.splitlines()
+            )
+        else:
+            n = sum(op in line for line in plan.splitlines())
         if n:
             ops[op] = n
     pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
@@ -110,7 +118,50 @@ def summarize(plan: str) -> dict:
         if m:
             cols = m.group(1)
             scans.append(len([c for c in cols.split(",") if c.strip()]))
+            continue
+        # formatted-mode plans (SQL-UI physicalPlanDescription) carry the
+        # scan projection as "ReadSchema: struct<a:bigint,b:string,...>"
+        m = re.search(r"ReadSchema: struct<(.*)>\s*$", line)
+        if m:
+            depth, n = 0, 0
+            body = m.group(1)
+            if body.strip():
+                n = 1
+                for ch in body:
+                    if ch == "<":
+                        depth += 1
+                    elif ch == ">":
+                        depth -= 1
+                    elif ch == "," and depth == 0:
+                        n += 1
+            scans.append(n)
     return {"ops": ops, "pushed_filter_scans": pushed, "scan_widths": scans}
+
+
+def _exec_count(spark) -> int:
+    return spark._jsparkSession.sharedState().statusStore().executionsList().size()
+
+
+def _exec_plans_since(spark, before: int) -> list[str]:
+    """Physical-plan descriptions of every SQL execution registered since
+    ``before`` — this is how checkpoint-build stages (localCheckpoint
+    inside fixpoint loops / k-means / jaccard-prefix) become auditable:
+    their scans and pushdowns run in their OWN executions, invisible in
+    the final (lineage-truncated) plan but recorded in the UI status
+    store (VERDICT r04 item 7)."""
+    lst = spark._jsparkSession.sharedState().statusStore().executionsList()
+    return [lst.apply(i).physicalPlanDescription() for i in range(before, lst.size())]
+
+
+def merge_summaries(plans: list[str]) -> dict:
+    out = {"ops": {}, "pushed_filter_scans": 0, "scan_widths": []}
+    for p in plans:
+        s = summarize(p)
+        for k, v in s["ops"].items():
+            out["ops"][k] = out["ops"].get(k, 0) + v
+        out["pushed_filter_scans"] += s["pushed_filter_scans"]
+        out["scan_widths"] += s["scan_widths"]
+    return out
 
 
 def main() -> None:
@@ -137,6 +188,7 @@ def main() -> None:
         # time construction + execution together: queries that eagerly
         # localCheckpoint loop-invariant relations (pagerank, kmeans,
         # jaccard-prefix) do their heavy lifting at construction time
+        before = _exec_count(spark)
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
@@ -152,12 +204,20 @@ def main() -> None:
             f"- scans with pushed filters: {s['pushed_filter_scans']}",
             f"- columns read per scan: [{widths}]",
         ]
-        if not s["scan_widths"]:
-            lines.append(
-                "- note: inputs materialized via localCheckpoint before this "
-                "plan — lineage is truncated, so scans/pushdown happen in the "
-                "checkpoint-build stage, not here"
-            )
+        plans = _exec_plans_since(spark, before)
+        if len(plans) > 1 or not s["scan_widths"]:
+            # multi-execution query (checkpoint builds, loop rounds,
+            # intermediate collects): aggregate plan evidence across ALL
+            # executions so lineage truncation doesn't hide scans/pruning
+            m = merge_summaries(plans)
+            mops = ", ".join(f"{k}×{v}" for k, v in sorted(m["ops"].items()))
+            mwid = ", ".join(str(w) for w in m["scan_widths"])
+            lines += [
+                f"- all stages ({len(plans)} executions incl. checkpoint "
+                f"builds): operators: {mops}",
+                f"- all-stage scans with pushed filters: "
+                f"{m['pushed_filter_scans']}; columns read per scan: [{mwid}]",
+            ]
         lines.append("")
 
     # ---- 10x replication smoke ------------------------------------------
