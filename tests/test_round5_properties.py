@@ -1,0 +1,156 @@
+"""Round-5 behavior tests: the ADVICE-driven guards (as-of output-name
+collisions, random_projection dim overrun / vec_col honoring, shared
+store-read dtype restore) and the BPE VALUES-oracle generator."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# as-of join: generated output names must be fresh
+# --------------------------------------------------------------------------
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "x")], "k long, t long, v_asof string"
+    ).select("k", F.timestamp_seconds("t").alias("t"), "v_asof")
+    right = spark.createDataFrame(
+        [(1, 5, 7.0)], "k long, t long, v double"
+    ).select("k", F.timestamp_seconds("t").alias("t"), "v")
+    return left, right
+
+
+def test_asof_join_rejects_generated_name_collision(spark):
+    """A left column literally named '<col><suffix>' (v_asof) would
+    silently duplicate in the output schema; both variants must refuse."""
+    from pandas_etl_framework_spark.asof import asof_join, asof_join_nearest
+
+    left, right = _asof_frames(spark)
+    with pytest.raises(ValueError, match="generated as-of output"):
+        asof_join(left, right, ["k"], "t", "t", right_value_cols=["v"])
+    with pytest.raises(ValueError, match="generated as-of output"):
+        asof_join_nearest(
+            left, right, ["k"], "t", "t", right_value_cols=["v"]
+        )
+    # a different suffix dodges the collision and works
+    out = asof_join(
+        left, right, ["k"], "t", "t", right_value_cols=["v"], suffix="_bwd"
+    )
+    assert out.columns.count("v_bwd") == 1
+    assert out.collect()[0]["v_bwd"] == 7.0
+
+
+# --------------------------------------------------------------------------
+# random_projection: vec_col honored, dim overrun is loud
+# --------------------------------------------------------------------------
+
+def test_random_projection_honors_vec_col(spark):
+    from pandas_etl_framework_spark.llmops.projection import random_projection
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    renamed = emb.select("vec_id", F.col("embedding").alias("vec"))
+    a = random_projection(emb, k=2).orderBy("vec_id").limit(5).collect()
+    b = (
+        random_projection(renamed, k=2, vec_col="vec")
+        .orderBy("vec_id")
+        .limit(5)
+        .collect()
+    )
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_random_projection_dim_overrun_raises(spark):
+    """dim > actual array length used to null-pad via zip_with and emit
+    silent NULL sums; it must now raise."""
+    from pandas_etl_framework_spark.llmops.projection import random_projection
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(10)
+    with pytest.raises(Exception, match="dim exceeds"):
+        random_projection(emb, k=1, dim=65).collect()
+
+
+# --------------------------------------------------------------------------
+# read_store: run-id dtype restore for every consumer
+# --------------------------------------------------------------------------
+
+def test_read_store_restores_run_id_dtype(spark):
+    """A store partitioned on INSERT_RUN_ID comes back BIGINT from hive
+    type inference via the raw reader; read_store restores the declared
+    string dtype (and the values round-trip identically)."""
+    from pandas_etl_framework_spark.constants import INSERT_RUN_ID
+    from pandas_etl_framework_spark.io import read_parquet_df, read_store
+
+    df = spark.createDataFrame(
+        [(1, "a", "20240110080000"), (2, "b", "20240111080000")],
+        f"id long, v string, {INSERT_RUN_ID} string",
+    )
+    path = tempfile.mkdtemp() + "/store"
+    df.write.partitionBy(INSERT_RUN_ID).parquet(path)
+
+    raw = read_parquet_df(spark, path)
+    assert dict(raw.dtypes)[INSERT_RUN_ID] == "bigint"  # the hazard
+    restored = read_store(spark, path)
+    assert dict(restored.dtypes)[INSERT_RUN_ID] == "string"
+    got = {
+        (r["id"], r[INSERT_RUN_ID]) for r in restored.collect()
+    }
+    assert got == {(1, "20240110080000"), (2, "20240111080000")}
+    assert read_store(spark, "/nonexistent/nowhere") is None
+
+
+# --------------------------------------------------------------------------
+# BPE VALUES oracle generator
+# --------------------------------------------------------------------------
+
+def test_bpe_values_oracle_matches_python_trainer():
+    """The generated VALUES SQL must evaluate (in DuckDB) to exactly the
+    pure-Python trainer's merge rows, including SQL-quote escaping."""
+    import duckdb
+
+    from pandas_etl_framework_spark.llmops.text import (
+        _sql_text_bpe_train,
+        bpe_train_python,
+    )
+
+    sql = _sql_text_bpe_train(n_merges=10)
+    rows = duckdb.sql(sql).fetchall()
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01"
+    )
+    texts = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    merges, _ = bpe_train_python(texts, 10)
+    assert rows == [
+        (i + 1, left, right, c) for i, (left, right, c) in enumerate(merges)
+    ]
+
+
+def test_bpe_python_trainer_merge_semantics():
+    """Greedy left-to-right non-overlap + (count DESC, left, right) ties
+    on a hand-checkable corpus: 'aaab aaab ab' → first merge ('a','a')
+    count 4 (two per 'aaab' word-occurrence... non-overlapping → 1 each
+    of 'aa' per pass? verify exactly), then the learned segmentations."""
+    from pandas_etl_framework_spark.llmops.text import bpe_train_python
+
+    merges, segs = bpe_train_python(["aaab aaab ab"], 3)
+    # word freqs: aaab ×2, ab ×1. Round 1 pair counts:
+    #   (a,a): 2 per 'aaab' × 2 = 4;  (a,b): 1×2 + 1 = 3  → merge (a,a,4)
+    assert merges[0] == ("a", "a", 4)
+    # 'aaab' → [aa, a, b] (non-overlapping left-to-right), 'ab' → [a, b]
+    assert segs["aaab"] != ["a", "a", "a", "b"]
+    # Round 2 counts: (aa,a): 2, (a,b): 3 → merge (a,b,3)
+    assert merges[1] == ("a", "b", 3)
+    assert segs["ab"] == ["ab"]
