@@ -62,7 +62,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   text_winnow_fingerprint dedup_jaccard_pairs dedup_minhash_bands
 #   dedup_simhash_pairs emb_topk_batch emb_norms emb_knn_per_label
 #   emb_lsh_buckets
-# plus any round-5 registry additions. r06 target: 200/200 ever-checked.
+# plus the round-5 registry additions (dedup_containment — asymmetric
+# subset-duplicate containment join). r06 target: full registry
+# ever-checked.
 DRIVER_PRIORITY = [
     # dark streaming rows — sessionize's event-time timeout state machine
     # (streaming/windows.py) is the most intricate unchecked code in the repo

@@ -935,8 +935,127 @@ LEFT JOIN corpus_fps c USING (fp)
 """
 
 
+# --------------------------------------------------------------------------
+# Asymmetric containment join (subset/truncation duplicates)
+# --------------------------------------------------------------------------
+
+# containment threshold c = C_NUM/C_DEN: emit (inner, outer) when
+# |A∩B| / |A| >= c — the asymmetric measure that catches a document
+# contained in a longer one (truncation, quote-expansion, boilerplate
+# wrapping), which symmetric Jaccard structurally misses (small A inside
+# huge B has low Jaccard at any threshold).
+CONT_C_NUM, CONT_C_DEN = 9, 10
+CONT_MIN_SIZE = 8  # ignore near-empty shingle sets (trivially contained)
+
+
+def containment_pairs(
+    token_sets: DataFrame,
+    c_num: int = CONT_C_NUM,
+    c_den: int = CONT_C_DEN,
+    min_size: int = CONT_MIN_SIZE,
+) -> DataFrame:
+    """Ordered pairs (doc_inner, doc_outer, intersection, containment)
+    with shingle containment |inner ∩ outer| / |inner| >= c — the
+    standard asymmetric near-dup test for subset duplicates in web-corpus
+    curation (alongside Jaccard; cf. Broder's containment coefficient).
+
+    ONE-SIDED PREFIX FILTER: |A∩B| >= ceil(c·|A|) forces A to share a
+    token among its first |A| − ceil(c·|A|) + 1 tokens under any global
+    total order (pigeonhole) — so only the INNER side is cut to a prefix,
+    joined against the full exploded token index of all docs. Rarest-first
+    (document-frequency) ordering makes those prefix tokens the ones with
+    the SHORTEST posting lists, which is what bounds the candidate join at
+    corpus scale; for corpora with degenerate ultra-common shingles, cap
+    posting lists by dfreq before the join (same knob as PPJoin's).
+    Verification is exact: array_intersect on the checkpointed sorted
+    token-id arrays, integer threshold compare, no float in the filter.
+
+    Shares ``token_sets_df``'s representation (and its within-doc 64-bit
+    hash-collision caveat) with ``jaccard_prefix_pairs``.
+    """
+    ts = token_sets.filter(
+        F.col("set_size") >= min_size
+    ).localCheckpoint(eager=True)
+    sh = ts.select("doc_id", "set_size", F.explode("toks").alias("tok"))
+    dfreq = sh.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    # k = ceil(c·n) in exact integers; prefix length = n − k + 1
+    k = F.floor((c_num * F.col("set_size") + c_den - 1) / c_den).cast("long")
+    plen = F.col("set_size") - k + 1
+    w = Window.partitionBy("doc_id").orderBy("dfreq", "tok")
+    prefix = (
+        sh.join(F.broadcast(dfreq), "tok")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= plen)
+        .select(F.col("doc_id").alias("doc_inner"), "tok")
+    )
+    cand = (
+        prefix.join(
+            sh.select(F.col("doc_id").alias("doc_outer"), "tok"), "tok"
+        )
+        .filter(F.col("doc_inner") != F.col("doc_outer"))
+        .select("doc_inner", "doc_outer")
+        .distinct()
+    )
+    ta = ts.select(
+        F.col("doc_id").alias("doc_inner"),
+        F.col("toks").alias("toks_i"),
+        F.col("set_size").alias("size_i"),
+    )
+    tb = ts.select(
+        F.col("doc_id").alias("doc_outer"), F.col("toks").alias("toks_o")
+    )
+    inter = (
+        cand.join(ta, "doc_inner")
+        .join(tb, "doc_outer")
+        .withColumn(
+            "intersection",
+            F.size(F.array_intersect("toks_i", "toks_o")).cast("long"),
+        )
+    )
+    return inter.filter(
+        c_den * F.col("intersection") >= c_num * F.col("size_i")
+    ).select(
+        "doc_inner",
+        "doc_outer",
+        "intersection",
+        (F.col("intersection").cast("double") / F.col("size_i")).alias(
+            "containment"
+        ),
+    )
+
+
+def q_dedup_containment(spark, sf_dir):
+    return containment_pairs(token_sets_df(_docs(spark, sf_dir)))
+
+
+# Oracle: brute-force containment at the same threshold — the one-sided
+# prefix filter must be lossless, so smart and naive agree row-for-row.
+SQL_DEDUP_CONTAINMENT = f"""
+WITH {SQL_SHINGLES},
+sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS set_size
+    FROM shingles GROUP BY doc_id
+),
+big AS (SELECT * FROM sizes WHERE set_size >= {CONT_MIN_SIZE}),
+inter AS (
+    SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+           CAST(COUNT(*) AS BIGINT) AS intersection
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    WHERE a.doc_id IN (SELECT doc_id FROM big)
+      AND b.doc_id IN (SELECT doc_id FROM big)
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_inner, i.doc_outer, i.intersection,
+       CAST(i.intersection AS DOUBLE) / s.set_size AS containment
+FROM inter i JOIN big s ON s.doc_id = i.doc_inner
+WHERE {CONT_C_DEN} * i.intersection >= {CONT_C_NUM} * s.set_size
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_DEDUP_JACCARD_PREFIX),
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),

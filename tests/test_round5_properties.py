@@ -154,3 +154,37 @@ def test_bpe_python_trainer_merge_semantics():
     # Round 2 counts: (aa,a): 2, (a,b): 3 → merge (a,b,3)
     assert merges[1] == ("a", "b", 3)
     assert segs["ab"] == ["ab"]
+
+
+# --------------------------------------------------------------------------
+# containment join: asymmetric subset-duplicate detection
+# --------------------------------------------------------------------------
+
+def test_containment_catches_subset_duplicates_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one: containment
+    (inner in outer) = 1.0 while Jaccard is far below its threshold —
+    the exact case the asymmetric operator exists for. Direction matters:
+    the long doc is NOT contained in the short one."""
+    from pandas_etl_framework_spark.llmops.dedup import (
+        containment_pairs,
+        jaccard_prefix_pairs,
+        token_sets_df,
+    )
+
+    short = " ".join(f"w{i}" for i in range(12))
+    long = short + " " + " ".join(f"z{i}" for i in range(60))
+    other = " ".join(f"q{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, other)], "doc_id long, text string"
+    )
+    ts = token_sets_df(docs)
+    got = {
+        (r["doc_inner"], r["doc_outer"]): r["containment"]
+        for r in containment_pairs(ts).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (2, 1) not in got
+    assert all(3 not in pair for pair in got)
+    # symmetric Jaccard at t=0.6 misses the same pair entirely
+    jac = jaccard_prefix_pairs(token_sets_df(docs)).collect()
+    assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)
