@@ -973,9 +973,16 @@ def containment_pairs(
     Shares ``token_sets_df``'s representation (and its within-doc 64-bit
     hash-collision caveat) with ``jaccard_prefix_pairs``.
     """
-    ts = token_sets.filter(
+    # checkpoint BEFORE the min-size filter: filtering on the computed
+    # set_size first makes Catalyst push the predicate below the
+    # projection, re-evaluating the whole nested higher-order tokenize
+    # expression per row for the filter on top of the output columns —
+    # measured 7-10 s vs 0.6 s for the materialize-then-filter order at
+    # sf0.1. Post-checkpoint, set_size is a stored column and the filter
+    # is a trivial scan predicate.
+    ts = token_sets.localCheckpoint(eager=True).filter(
         F.col("set_size") >= min_size
-    ).localCheckpoint(eager=True)
+    )
     sh = ts.select("doc_id", "set_size", F.explode("toks").alias("tok"))
     dfreq = sh.groupBy("tok").agg(F.count("*").alias("dfreq"))
     # k = ceil(c·n) in exact integers; prefix length = n − k + 1

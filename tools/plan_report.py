@@ -77,6 +77,7 @@ AUDIT = [
     "emb_kmeans_inertia",
     "text_dup_spans",
     "streaming_cdc_historize",
+    "dedup_containment",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
