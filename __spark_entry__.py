@@ -39,8 +39,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Subset contract: the driver records correctness rows for the FIRST 50
-# queries() entries only, while the registry holds 200. Cumulative after
-# r04: 130 of 200 ever driver-checked, 129 ever-green (the one red was
+# queries() entries only, while the registry holds 201 (200 oracle-gated
+# + rows-only emb_pca_project; dedup_containment joined in r05).
+# Cumulative after r04: 130 of the r04-era 200 ever driver-checked,
+# 129 ever-green (the one red was
 # emb_pca_project's structural `no_oracle` — it is OUT of this window; its
 # correctness gate is the numpy parity test in tests/test_projection.py).
 # Round-5 rotation (VERDICT r04 item 1): all 50 slots go to never-checked
@@ -139,8 +141,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # a registry oracle may be a zero-arg callable (generated SQL whose
+    # construction needs I/O, e.g. the BPE VALUES oracle) — resolve here,
+    # at the single point every consumer (driver, checker, lint) goes
+    # through, so importing the harness never reads the fixture dir
     return {
-        name: sql
+        name: (sql() if callable(sql) else sql)
         for name, (_fn, sql) in _ordered_registry().items()
         if sql is not None
     }

@@ -50,8 +50,17 @@ BENCH_QUERIES = [
 
 # the 20 queries (incl. streaming) benched since r01 — their sum is
 # emitted as "core20_sec" so round-over-round totals stay comparable
-# after suite additions ("value" covers the whole current suite)
-CORE20 = set(BENCH_QUERIES[:19]) | {"streaming_windowed_counts"}
+# after suite additions ("value" covers the whole current suite).
+# FROZEN explicit list, not a slice of BENCH_QUERIES: reordering or
+# inserting suite lines must never silently change what core20 measures.
+CORE20 = frozenset({
+    "cdc_historize_two_runs", "scd2_merge", "rel_agg_groupby",
+    "rel_window_rank", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10",
+    "tpch_q18", "events_sessionize", "dedup_exact", "dedup_minhash_pairs",
+    "text_quality", "text_tfidf_topk", "text_boilerplate",
+    "dedup_jaccard_prefix", "curation_pipeline", "emb_topk", "emb_kmeans",
+    "streaming_windowed_counts",
+})
 
 
 def bench_streaming(spark, sf_dir: str) -> float:

@@ -540,7 +540,10 @@ FROM region
 # Registry
 # --------------------------------------------------------------------------
 
-# name -> (spark_callable, oracle_sql | None)
+# name -> (spark_callable, oracle_sql | None). The oracle slot may also
+# hold a zero-arg CALLABLE returning the SQL string, for oracles whose
+# generation needs I/O (text_bpe_train's precomputed VALUES) — resolved
+# lazily by __spark_entry__.oracle_sql() so harness import stays pure.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_add_meta": (q_cdc_add_meta, SQL_CDC_ADD_META),
     "cdc_delta": (q_cdc_delta, SQL_CDC_DELTA),

@@ -235,7 +235,18 @@ def random_projection(
 
     Public pattern: Achlioptas (2003) sparse JL; no reference counterpart.
     """
-    out = emb.select("vec_id", F.expr(_qcov_expr(vec_col)).alias("q"))
+    # validate the array length per row (ADVICE r04): a dim mismatch in
+    # EITHER direction is an error — shorter arrays would null-pad the
+    # zip_with (silent NULL sums), longer ones would silently truncate
+    out = emb.select(
+        "vec_id",
+        F.expr(
+            f"CASE WHEN size({vec_col}) = {int(dim)} THEN "
+            f"{_qcov_expr(vec_col)} ELSE cast(raise_error("
+            "'random_projection: embedding array length <> dim'"
+            ") as array<bigint>) END"
+        ).alias("q"),
+    )
     # one selectExpr of SQL strings, not 16×64 F.lit Column objects: the
     # py4j round-trips of the object form dominated wall time (~4 s of
     # driver-side expression construction vs 0.4 s of execution at sf0.1);
@@ -245,13 +256,12 @@ def random_projection(
         signs = ",".join(
             f"{_rp_sign(kk, i)}L" for i in range(1, dim + 1)
         )
-        # zip_with null-pads when dim exceeds the actual array length;
-        # the coalesce branch turns that silent NULL into a loud error
-        # (ADVICE r04) at zero happy-path cost (q elements are non-null)
+        # with lengths validated above, x*s can only be NULL if an
+        # embedding ELEMENT is null — name that problem precisely
         exprs.append(
             f"aggregate(zip_with(q, array({signs}), (x, s) -> "
             "coalesce(x * s, cast(raise_error("
-            "'random_projection: dim exceeds embedding array length'"
+            "'random_projection: null element in embedding array'"
             ") as bigint))), "
             f"0L, (acc, x) -> acc + x) AS rp{kk}"
         )

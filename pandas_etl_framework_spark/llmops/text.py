@@ -1193,5 +1193,10 @@ QUERIES = {
     "text_pack_sequences": (q_text_pack_sequences, SQL_TEXT_PACK_SEQUENCES),
     "text_classifier": (q_text_classifier, SQL_TEXT_CLASSIFIER),
     "text_bpe_pairs": (q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
-    "text_bpe_train": (q_text_bpe_train, _sql_text_bpe_train()),
+    # the VALUES oracle is passed as a CALLABLE, resolved at
+    # oracle_sql() time: generating it needs a corpus read + a pure-
+    # Python training run, and an eager call here would make every
+    # harness import do file I/O and hard-fail wherever the fixture
+    # dir is absent (bench, plan tools, all tests)
+    "text_bpe_train": (q_text_bpe_train, _sql_text_bpe_train),
 }

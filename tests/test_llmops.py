@@ -795,44 +795,22 @@ def test_vad_frames_integer_threshold():
 
 
 def test_bpe_train_matches_python_reference(spark):
-    """The distributed merge loop must reproduce a pure-Python BPE trainer
-    exactly: same merge sequence (count + tie-break) and same final
-    vocabulary segmentation."""
-    from collections import Counter
-
-    from pandas_etl_framework_spark.llmops.text import bpe_train
+    """The distributed merge loop must reproduce the pure-Python BPE
+    trainer exactly: same merge sequence (count + tie-break) and same
+    final vocabulary segmentation. The reference is ``bpe_train_python``
+    — the SAME function whose output backs the driver's VALUES oracle
+    (one copy of the algorithm; this test pins the distributed side to
+    it, the oracle pins the driver row to it)."""
+    from pandas_etl_framework_spark.llmops.text import (
+        bpe_train,
+        bpe_train_python,
+    )
 
     docs = spark.read.parquet(SF_DIR + "/documents.parquet")
     merges, vocab = bpe_train(docs, n_merges=8)
 
-    freqs = Counter()
-    for r in docs.select("text").collect():
-        for w in r["text"].split():
-            freqs[w] += 1
-    segs = {w: list(w) for w in freqs}
-    ref_merges = []
-    for _ in range(8):
-        counts = Counter()
-        for w, n in freqs.items():
-            s = segs[w]
-            for i in range(len(s) - 1):
-                counts[(s[i], s[i + 1])] += n
-        if not counts:
-            break
-        (left, right), c = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        ref_merges.append((left, right, c))
-        for w in segs:
-            s, i, res = segs[w], 0, []
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
-                    res.append(left + right)
-                    i += 2
-                else:
-                    res.append(s[i])
-                    i += 1
-            segs[w] = res
+    texts = [r["text"] for r in docs.select("text").collect()]
+    ref_merges, segs = bpe_train_python(texts, 8)
     assert merges == ref_merges
     got_segs = {r["w"]: list(r["syms"]) for r in vocab.collect()}
     assert got_segs == segs

@@ -65,14 +65,17 @@ def test_random_projection_honors_vec_col(spark):
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
 
 
-def test_random_projection_dim_overrun_raises(spark):
+def test_random_projection_dim_mismatch_raises(spark):
     """dim > actual array length used to null-pad via zip_with and emit
-    silent NULL sums; it must now raise."""
+    silent NULL sums (and dim < length silently truncated); any mismatch
+    must now raise with a message naming the actual problem."""
     from pandas_etl_framework_spark.llmops.projection import random_projection
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(10)
-    with pytest.raises(Exception, match="dim exceeds"):
+    with pytest.raises(Exception, match="length <> dim"):
         random_projection(emb, k=1, dim=65).collect()
+    with pytest.raises(Exception, match="length <> dim"):
+        random_projection(emb, k=1, dim=63).collect()
 
 
 # --------------------------------------------------------------------------

@@ -83,33 +83,48 @@ AUDIT = [
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
 
 
+_OPS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "Exchange",
+    "FileScan",
+    "Generate",
+    "Window",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+)
+
+
 def summarize(plan: str) -> dict:
     ops = {}
-    for op in (
-        "BroadcastHashJoin",
-        "SortMergeJoin",
-        "ShuffledHashJoin",
-        "BroadcastNestedLoopJoin",
-        "Exchange",
-        "FileScan",
-        "Generate",
-        "Window",
-        "HashAggregate",
-        "ObjectHashAggregate",
-        "SortAggregate",
-        "ArrowEvalPython",
-        "FlatMapGroupsInPandas",
-        "MapInPandas",
-    ):
-        if op == "FileScan":
-            # formatted-mode plans render scans as "(N) Scan parquet"
-            n = sum(
-                "FileScan" in line
-                or re.match(r"^\(\d+\) Scan parquet", line) is not None
-                for line in plan.splitlines()
-            )
+    lines_ = plan.splitlines()
+    # Formatted-mode plans (SQL-UI physicalPlanDescription) print every
+    # physical node THREE+ times: in the (AQE final) tree, the Initial
+    # Plan tree, and the numbered details section. Count ONLY the
+    # numbered details lines — each node appears there exactly once
+    # (AQE-replaced initial-plan nodes keep their own numbers: a small,
+    # acknowledged overcount vs the executed plan, far from the 3x of
+    # naive substring counting).
+    detail_names = [
+        m.group(1)
+        for line in lines_
+        if (m := re.match(r"^\(\d+\) (\S.*)$", line)) is not None
+    ]
+    for op in _OPS:
+        if detail_names:
+            if op == "FileScan":
+                n = sum(nm.startswith("Scan parquet") for nm in detail_names)
+            else:
+                n = sum(op in nm for nm in detail_names)
         else:
-            n = sum(op in line for line in plan.splitlines())
+            # .toString() executed plans: one line per node
+            n = sum(op in line for line in lines_)
         if n:
             ops[op] = n
     pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
@@ -139,19 +154,39 @@ def summarize(plan: str) -> dict:
     return {"ops": ops, "pushed_filter_scans": pushed, "scan_widths": scans}
 
 
-def _exec_count(spark) -> int:
-    return spark._jsparkSession.sharedState().statusStore().executionsList().size()
+def _max_exec_id(spark) -> int:
+    lst = spark._jsparkSession.sharedState().statusStore().executionsList()
+    n = lst.size()
+    return max(
+        (lst.apply(i).executionId() for i in range(n)), default=-1
+    )
 
 
-def _exec_plans_since(spark, before: int) -> list[str]:
-    """Physical-plan descriptions of every SQL execution registered since
-    ``before`` — this is how checkpoint-build stages (localCheckpoint
+def _exec_plans_since(spark, last_id: int) -> list[str]:
+    """Physical-plan descriptions of every SQL execution with id >
+    ``last_id`` — this is how checkpoint-build stages (localCheckpoint
     inside fixpoint loops / k-means / jaccard-prefix) become auditable:
     their scans and pushdowns run in their OWN executions, invisible in
     the final (lineage-truncated) plan but recorded in the UI status
-    store (VERDICT r04 item 7)."""
-    lst = spark._jsparkSession.sharedState().statusStore().executionsList()
-    return [lst.apply(i).physicalPlanDescription() for i in range(before, lst.size())]
+    store (VERDICT r04 item 7).
+
+    Id-based (not list-index-based) so retainedExecutions eviction can't
+    misalign the window, with a short settle wait because the status
+    listener is ASYNC — the action returns before the bus necessarily
+    processes the execution (and AQE's final-plan update can lag more)."""
+    store = spark._jsparkSession.sharedState().statusStore()
+    deadline = time.time() + 3.0
+    plans: list[str] = []
+    while True:
+        lst = store.executionsList()
+        plans = [
+            lst.apply(i).physicalPlanDescription()
+            for i in range(lst.size())
+            if lst.apply(i).executionId() > last_id
+        ]
+        if plans or time.time() >= deadline:
+            return plans
+        time.sleep(0.1)
 
 
 def merge_summaries(plans: list[str]) -> dict:
@@ -189,7 +224,7 @@ def main() -> None:
         # time construction + execution together: queries that eagerly
         # localCheckpoint loop-invariant relations (pagerank, kmeans,
         # jaccard-prefix) do their heavy lifting at construction time
-        before = _exec_count(spark)
+        before = _max_exec_id(spark)
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
@@ -206,7 +241,16 @@ def main() -> None:
             f"- columns read per scan: [{widths}]",
         ]
         plans = _exec_plans_since(spark, before)
-        if len(plans) > 1 or not s["scan_widths"]:
+        if not plans and not s["scan_widths"]:
+            # status store gave nothing (listener lag past the settle
+            # window) — fall back to the honest old note instead of an
+            # empty all-stage line
+            lines.append(
+                "- note: inputs materialized via localCheckpoint before "
+                "this plan — lineage is truncated, so scans/pushdown "
+                "happen in the checkpoint-build stage, not here"
+            )
+        elif len(plans) > 1 or not s["scan_widths"]:
             # multi-execution query (checkpoint builds, loop rounds,
             # intermediate collects): aggregate plan evidence across ALL
             # executions so lineage truncation doesn't hide scans/pruning
