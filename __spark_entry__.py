@@ -39,8 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Subset contract: the driver records correctness rows for the FIRST 50
-# queries() entries only, while the registry holds 201 (200 oracle-gated
-# + rows-only emb_pca_project; dedup_containment joined in r05).
+# queries() entries only, while the registry holds 202 (201 oracle-gated
+# + rows-only emb_pca_project; dedup_containment and
+# dedup_keeper_priority joined in r05).
 # Cumulative after r04: 130 of the r04-era 200 ever driver-checked,
 # 129 ever-green (the one red was
 # emb_pca_project's structural `no_oracle` — it is OUT of this window; its
@@ -65,8 +66,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   dedup_simhash_pairs emb_topk_batch emb_norms emb_knn_per_label
 #   emb_lsh_buckets
 # plus the round-5 registry additions (dedup_containment — asymmetric
-# subset-duplicate containment join). r06 target: full registry
-# ever-checked.
+# subset-duplicate containment join; dedup_keeper_priority — policy
+# keepers per near-dup cluster). r06 target: full registry ever-checked.
 DRIVER_PRIORITY = [
     # dark streaming rows — sessionize's event-time timeout state machine
     # (streaming/windows.py) is the most intricate unchecked code in the repo

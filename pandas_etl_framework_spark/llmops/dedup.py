@@ -586,11 +586,9 @@ def q_dedup_clusters(spark, sf_dir):
 
 # Oracle: same LSH candidate pairs, then components via recursive
 # transitive closure (UNION-distinct recursion terminates; near-dup
-# clusters are tiny so the closure stays bounded). keeper = min reachable
-# node id; singleton docs keep themselves via the LEFT JOIN + COALESCE.
-SQL_DEDUP_CLUSTERS = (
-    f"WITH RECURSIVE {SQL_SHINGLES},{SQL_MINHASH_BANDS_BODY}"
-    """,
+# clusters are tiny so the closure stays bounded) — shared between the
+# min-id keeper (dedup_clusters) and the priority keeper below.
+_SQL_COMPONENTS_BODY = """
 pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
@@ -609,10 +607,93 @@ reach(u, v) AS (
 comp AS (
     SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
 )
+"""
+
+# keeper = min reachable node id; singleton docs keep themselves via the
+# LEFT JOIN + COALESCE.
+SQL_DEDUP_CLUSTERS = (
+    f"WITH RECURSIVE {SQL_SHINGLES},{SQL_MINHASH_BANDS_BODY},"
+    f"{_SQL_COMPONENTS_BODY}"
+    """
 SELECT d.doc_id,
        COALESCE(c.component, d.doc_id) AS keeper_doc_id,
        COALESCE(c.component, d.doc_id) = d.doc_id AS is_keeper
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+)
+
+
+def dedup_keeper_by_priority(
+    docs: DataFrame,
+    candidate_pairs: DataFrame,
+    priority: F.Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster the candidate pairs and keep, per near-dup cluster, the
+    document with the BEST provenance instead of the smallest id —
+    curation policy keepers (prefer the cleaner source when near-dups
+    straddle sources; ties on id). Docs in no pair keep themselves.
+    Output: (doc_id, keeper_doc_id, is_keeper).
+
+    Same distributed shape as ``dedup_clusters`` (component fixpoint,
+    then one window over clusters — cluster-sized partitions, never
+    corpus-wide), plus one broadcast-sized keeper join.
+    """
+    comp = connected_components(candidate_pairs)
+    labeled = (
+        docs.select(F.col(id_col).alias("node"), priority.alias("prio"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", F.col("node")).alias("component"),
+            "prio",
+        )
+    )
+    w = Window.partitionBy("component").orderBy("prio", id_col)
+    keepers = (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("component", F.col(id_col).alias("keeper_doc_id"))
+    )
+    return labeled.join(keepers, "component").select(
+        id_col,
+        "keeper_doc_id",
+        (F.col(id_col) == F.col("keeper_doc_id")).alias("is_keeper"),
+    )
+
+
+def q_dedup_keeper_priority(spark, sf_dir):
+    """Driver row for policy-keepered near-dup clusters: priority = the
+    numeric suffix of the fixture's source tag (src0 best), keeper =
+    argmin (priority, doc_id) per MinHash-LSH component."""
+    docs = _docs(spark, sf_dir)
+    pairs = q_dedup_minhash_pairs(spark, sf_dir)
+    prio = F.substring("source", 4, 10).cast("int")
+    return dedup_keeper_by_priority(docs, pairs, prio)
+
+
+SQL_DEDUP_KEEPER_PRIORITY = (
+    f"WITH RECURSIVE {SQL_SHINGLES},{SQL_MINHASH_BANDS_BODY},"
+    f"{_SQL_COMPONENTS_BODY}"
+    """,
+allc AS (
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           CAST(SUBSTR(d.source, 4) AS INT) AS prio
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+keep AS (
+    SELECT component, doc_id AS keeper_doc_id
+    FROM (
+        SELECT component, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY component ORDER BY prio, doc_id
+               ) AS rk
+        FROM allc
+    ) WHERE rk = 1
+)
+SELECT a.doc_id, k.keeper_doc_id, a.doc_id = k.keeper_doc_id AS is_keeper
+FROM allc a JOIN keep k ON a.component = k.component
 """
 )
 
@@ -1069,6 +1150,7 @@ QUERIES = {
     "dedup_minhash_bands": (q_dedup_minhash_bands, SQL_DEDUP_MINHASH_BANDS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_keeper_priority": (q_dedup_keeper_priority, SQL_DEDUP_KEEPER_PRIORITY),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
 }

@@ -191,3 +191,35 @@ def test_containment_catches_subset_duplicates_jaccard_misses(spark):
     # symmetric Jaccard at t=0.6 misses the same pair entirely
     jac = jaccard_prefix_pairs(token_sets_df(docs)).collect()
     assert not any({r["doc_a"], r["doc_b"]} == {1, 2} for r in jac)
+
+
+def test_keeper_priority_overrides_min_id(spark):
+    """Policy keeper: in a cluster {1,2,3} where doc 3 has the best
+    source priority, the keeper is 3 — NOT the min id 1 that
+    dedup_clusters would pick; singletons keep themselves."""
+    from pandas_etl_framework_spark.llmops.dedup import (
+        dedup_clusters,
+        dedup_keeper_by_priority,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 7), (3, 2), (9, 9)], "doc_id long, prio int"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: (r["keeper_doc_id"], r["is_keeper"])
+        for r in dedup_keeper_by_priority(
+            docs, pairs, F.col("prio")
+        ).collect()
+    }
+    assert got == {1: (3, False), 2: (3, False), 3: (3, True), 9: (9, True)}
+    # the min-id policy on the same graph picks 1 — different keeper
+    min_id = {
+        r["doc_id"]: r["keeper_doc_id"]
+        for r in dedup_clusters(
+            docs.select("doc_id"), pairs
+        ).collect()
+    }
+    assert min_id[3] == 1
