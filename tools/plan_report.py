@@ -78,9 +78,14 @@ AUDIT = [
     "text_dup_spans",
     "streaming_cdc_historize",
     "dedup_containment",
+    "dedup_keeper_priority",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
+# llm-ops smoke over 10x documents: linear text ops (scan-shaped) plus
+# exact dedup, whose replicated corpus is the worst case it exists for —
+# every doc becomes a 10-way exact-duplicate group
+SMOKE_DOCS = ["text_quality", "text_tfidf_topk", "curation_pipeline", "dedup_exact"]
 
 
 _OPS = (
@@ -274,11 +279,12 @@ def main() -> None:
         for t in ("lineitem", "orders", "customer", "supplier", "nation", "region",
                   "part", "documents", "embeddings"):
             src = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
-            if t in ("lineitem", "orders"):
+            if t in ("lineitem", "orders", "documents"):
                 rep = src.crossJoin(
                     spark.range(10).select(F.col("id").alias("__rep"))
                 )
-                key = "l_orderkey" if t == "lineitem" else "o_orderkey"
+                key = {"lineitem": "l_orderkey", "orders": "o_orderkey",
+                       "documents": "doc_id"}[t]
                 rep = rep.withColumn(
                     key, F.col(key) + F.col("__rep") * 10_000_000
                 ).drop("__rep")
@@ -295,6 +301,19 @@ def main() -> None:
         "",
     ]
     for name in SMOKE:
+        fn, _sql = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, big).write.mode("overwrite").format("noop").save()
+        lines.append(f"- {name}: {time.time() - t0:.2f}s")
+    doc_rows = spark.read.parquet(f"{big}/documents.parquet").count()
+    lines += [
+        "",
+        f"documents replicated 10x with disjoint doc_ids → {doc_rows:,} "
+        "docs (every doc a 10-way exact-duplicate group — exact dedup's "
+        "worst case):",
+        "",
+    ]
+    for name in SMOKE_DOCS:
         fn, _sql = REGISTRY[name]
         t0 = time.time()
         fn(spark, big).write.mode("overwrite").format("noop").save()
