@@ -223,3 +223,51 @@ def test_keeper_priority_overrides_min_id(spark):
         ).collect()
     }
     assert min_id[3] == 1
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_containment_prefix_filter_lossless_random(spark, seed):
+    """Prefix-filter losslessness beyond the fixture: on random corpora
+    from a small alphabet (dense near-dup structure), the Spark operator
+    must emit exactly the pairs a pure-Python brute force finds."""
+    import random
+
+    from pandas_etl_framework_spark.llmops.dedup import (
+        CONT_C_DEN,
+        CONT_C_NUM,
+        CONT_MIN_SIZE,
+        containment_pairs,
+        token_sets_df,
+    )
+
+    rng = random.Random(seed)
+    alphabet = [f"t{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(5, 40))))
+        for i in range(40)
+    ]
+    got = {
+        (r["doc_inner"], r["doc_outer"], r["intersection"])
+        for r in containment_pairs(
+            token_sets_df(
+                spark.createDataFrame(docs, "doc_id long, text string")
+            )
+        ).collect()
+    }
+
+    def shingle_set(text):
+        t = text.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    sets = {i: shingle_set(tx) for i, tx in docs}
+    want = set()
+    for a, sa in sets.items():
+        if len(sa) < CONT_MIN_SIZE:
+            continue
+        for b, sb in sets.items():
+            if a == b or len(sb) < CONT_MIN_SIZE:
+                continue
+            inter = len(sa & sb)
+            if CONT_C_DEN * inter >= CONT_C_NUM * len(sa):
+                want.add((a, b, inter))
+    assert got == want
