@@ -175,3 +175,68 @@ def test_asof_nearest_picks_closest_with_backward_ties(spark):
         tie_left, tie_right, on=["k"], left_time="lts", right_time="rts"
     ).collect()[0]
     assert tie["v_asof"] == 1.0
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+@pytest.mark.parametrize("mode", ["backward", "tolerance", "nearest"])
+def test_asof_matches_pandas_merge_asof_random(spark, seed, mode):
+    """Differential test against pandas merge_asof — the semantic the
+    operators document — on random keyed series with duplicate
+    timestamps on the right deduplicated (our window takes the LATEST
+    preceding right row; merge_asof does too, but ties inside the right
+    frame depend on input order, so make right times unique per key)."""
+    import random
+
+    import pandas as pd
+
+    from pandas_etl_framework_spark.asof import asof_join, asof_join_nearest
+
+    rng = random.Random(seed)
+    keys = [1, 2, 3]
+    left_rows = [
+        (k, rng.randint(0, 1000)) for k in keys for _ in range(40)
+    ]
+    right_times = {k: rng.sample(range(0, 1000), 30) for k in keys}
+    right_rows = [
+        (k, t, float(k * 10000 + t)) for k in keys for t in right_times[k]
+    ]
+
+    lpdf = pd.DataFrame(left_rows, columns=["k", "t"]).assign(
+        t=lambda d: pd.to_datetime(d["t"], unit="s")
+    )
+    rpdf = pd.DataFrame(right_rows, columns=["k", "t", "v"]).assign(
+        t=lambda d: pd.to_datetime(d["t"], unit="s")
+    )
+    kw = {}
+    if mode == "tolerance":
+        kw["tolerance"] = pd.Timedelta(seconds=50)
+    expected = pd.merge_asof(
+        lpdf.sort_values("t", kind="stable"),
+        rpdf.sort_values("t", kind="stable"),
+        on="t",
+        by="k",
+        direction="nearest" if mode == "nearest" else "backward",
+        **kw,
+    )
+    want = sorted(
+        (r.k, r.t.isoformat(), None if pd.isna(r.v) else r.v)
+        for r in expected.itertuples()
+    )
+
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+    if mode == "nearest":
+        out = asof_join_nearest(ldf, rdf, ["k"], "t", "t")
+    else:
+        out = asof_join(
+            ldf, rdf, ["k"], "t", "t",
+            tolerance_seconds=50 if mode == "tolerance" else None,
+        )
+    got = sorted(
+        (r["k"], r["t"].isoformat(), r["v_asof"])
+        for r in out.collect()
+    )
+    assert got == want
