@@ -39,9 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Subset contract: the driver records correctness rows for the FIRST 50
-# queries() entries only, while the registry holds 202 (201 oracle-gated
-# + rows-only emb_pca_project; dedup_containment and
-# dedup_keeper_priority joined in r05).
+# queries() entries only, while the registry holds 203 (202 oracle-gated
+# + rows-only emb_pca_project; dedup_containment, dedup_keeper_priority
+# and events_mad_outliers joined in r05).
 # Cumulative after r04: 130 of the r04-era 200 ever driver-checked,
 # 129 ever-green (the one red was
 # emb_pca_project's structural `no_oracle` — it is OUT of this window; its
@@ -67,7 +67,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   emb_lsh_buckets
 # plus the round-5 registry additions (dedup_containment — asymmetric
 # subset-duplicate containment join; dedup_keeper_priority — policy
-# keepers per near-dup cluster). r06 target: full registry ever-checked.
+# keepers per near-dup cluster; events_mad_outliers — exact-integer
+# MAD robust outlier summary). r06 target: full registry ever-checked.
 DRIVER_PRIORITY = [
     # dark streaming rows — sessionize's event-time timeout state machine
     # (streaming/windows.py) is the most intricate unchecked code in the repo

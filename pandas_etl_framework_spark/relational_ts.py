@@ -666,8 +666,96 @@ FROM lastp
 """
 
 
+# --------------------------------------------------------------------------
+# Robust outlier detection: median absolute deviation
+# --------------------------------------------------------------------------
+
+def mad_outliers(
+    events: DataFrame, value_col: str = "value", key: str = "user_id"
+) -> DataFrame:
+    """Per-key robust outlier summary: flag |x − median| > 3·1.4826·MAD
+    (the standard robust z-score — unlike mean/stddev both statistics
+    have a 50% breakdown point, so the outliers themselves can't mask
+    the detector). Output: (key, n, median_value, mad_value, n_outliers).
+
+    EXACT-INTEGER construction so both engines agree bit-for-bit:
+    values are quantized ×10⁴ then scaled ×4, which makes every median
+    integral (an even-count median averages two middles; multiples of 4
+    average to an even integer, and the deviations — even minus even —
+    average to an integer), and the flag rule is the pure-integer
+    10⁴·|dev| > 3·14826·MAD (1.4826 carried as the rational 14826/10⁴).
+    Exact ``percentile`` per key is two key-partitioned shuffles; for
+    keys whose series outgrow a partition swap in ``percentile_approx``
+    (same call shape, documented accuracy knob).
+    """
+    v4 = (F.round(F.col(value_col) * 10_000).cast("long") * 4).alias("v4")
+    base = events.select(key, v4)
+    med = base.groupBy(key).agg(
+        F.expr("cast(percentile(v4, 0.5) as long)").alias("med4")
+    )
+    dev = base.join(med, key).select(
+        key, "med4", F.abs(F.col("v4") - F.col("med4")).alias("dev4")
+    )
+    mad = dev.groupBy(key, "med4").agg(
+        F.expr("cast(percentile(dev4, 0.5) as long)").alias("mad4"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        dev.join(mad.select(key, "mad4", "n"), key)
+        .groupBy(key, "n", "mad4")
+        .agg(
+            F.sum(
+                F.when(
+                    10_000 * F.col("dev4") > 3 * 14_826 * F.col("mad4"), 1
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .join(med, key)
+        .select(
+            key,
+            "n",
+            (F.col("med4") / 40_000.0).alias("median_value"),
+            (F.col("mad4") / 40_000.0).alias("mad_value"),
+            "n_outliers",
+        )
+    )
+
+
+def q_events_mad_outliers(spark, sf_dir):
+    return mad_outliers(load_events(spark, sf_dir))
+
+
+SQL_EVENTS_MAD_OUTLIERS = """
+WITH q AS (
+    SELECT user_id, CAST(round(value * 10000) AS BIGINT) * 4 AS v4
+    FROM events
+),
+med AS (
+    SELECT user_id, CAST(median(v4) AS BIGINT) AS med4
+    FROM q GROUP BY user_id
+),
+dev AS (
+    SELECT q.user_id, med4, abs(v4 - med4) AS dev4
+    FROM q JOIN med USING (user_id)
+),
+mad AS (
+    SELECT user_id, med4, CAST(median(dev4) AS BIGINT) AS mad4,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev GROUP BY user_id, med4
+)
+SELECT d.user_id, m.n,
+       CAST(m.med4 AS DOUBLE) / 40000.0 AS median_value,
+       CAST(m.mad4 AS DOUBLE) / 40000.0 AS mad_value,
+       CAST(SUM(CASE WHEN 10000 * d.dev4 > 3 * 14826 * m.mad4
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (user_id)
+GROUP BY d.user_id, m.n, m.med4, m.mad4
+"""
+
+
 QUERIES = {
     "events_ewma": (q_events_ewma, SQL_EVENTS_EWMA),
+    "events_mad_outliers": (q_events_mad_outliers, SQL_EVENTS_MAD_OUTLIERS),
     "events_lttb": (q_events_lttb, _sql_lttb()),
     "events_cusum": (q_events_cusum, SQL_EVENTS_CUSUM),
     "events_transition_matrix": (

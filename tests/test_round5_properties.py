@@ -271,3 +271,27 @@ def test_containment_prefix_filter_lossless_random(spark, seed):
             if CONT_C_DEN * inter >= CONT_C_NUM * len(sa):
                 want.add((a, b, inter))
     assert got == want
+
+
+def test_mad_outliers_hand_computed(spark):
+    """Hand-checkable MAD summary, including the MAD=0 edge (constant
+    series + one spike: every nonzero deviation is an outlier)."""
+    from pandas_etl_framework_spark.relational_ts import mad_outliers
+
+    rows = (
+        [(1, 1.0)] * 4 + [(1, 100.0)]
+        + [(2, 0.0), (2, 2.0), (2, 4.0), (2, 6.0), (2, 1000.0)]
+    )
+    ev = spark.createDataFrame(rows, "user_id long, value double")
+    got = {
+        r["user_id"]: (
+            r["n"], r["median_value"], r["mad_value"], r["n_outliers"]
+        )
+        for r in mad_outliers(ev).collect()
+    }
+    # user 1: median 1.0, deviations [0,0,0,0,99] -> MAD 0; rule
+    # 1e4*dev > 0 flags exactly the spike
+    assert got[1] == (5, 1.0, 0.0, 1)
+    # user 2: median 4.0, deviations [4,2,0,2,996] -> MAD 2.0;
+    # threshold 3*1.4826*2 = 8.8956 -> only 996 exceeds
+    assert got[2] == (5, 4.0, 2.0, 1)
