@@ -566,6 +566,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
 
 
 def register(name: str, fn, sql: str | None) -> None:
+    if name in REGISTRY:
+        # a silent overwrite would hide one of two same-named queries from
+        # the driver (and its oracle) with no symptom anywhere
+        raise ValueError(f"duplicate registry query name: {name}")
     REGISTRY[name] = (fn, sql)
 
 
