@@ -532,6 +532,7 @@ def connected_components(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
 
+    changed = 0
     for _ in range(max_iterations):
         neighbor_labels = (
             undirected.join(labels, undirected.v == labels.node)
@@ -553,6 +554,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # silently returning split components would emit multiple keepers
+        # for one true cluster (and diverge from the exact-closure oracle)
+        raise ValueError(
+            "connected_components did not converge within "
+            f"{max_iterations} iterations (label-propagation distance "
+            "exceeds the cap); raise max_iterations"
+        )
     return labels
 
 
@@ -668,7 +677,15 @@ def q_dedup_keeper_priority(spark, sf_dir):
     argmin (priority, doc_id) per MinHash-LSH component."""
     docs = _docs(spark, sf_dir)
     pairs = q_dedup_minhash_pairs(spark, sf_dir)
-    prio = F.substring("source", 4, 10).cast("int")
+    # TOTAL priority function, aligned with the oracle for any source
+    # value: try_cast (never errors) + coalesce to INT_MAX so unknown /
+    # unparsable sources sort LAST — a bare cast would yield NULL, which
+    # Spark's ascending window puts FIRST (crowning the unknown source
+    # keeper) while DuckDB's strict CAST would abort instead
+    prio = F.coalesce(
+        F.expr("try_cast(substring(source, 4) as int)"),
+        F.lit(2147483647),
+    )
     return dedup_keeper_by_priority(docs, pairs, prio)
 
 
@@ -679,7 +696,8 @@ SQL_DEDUP_KEEPER_PRIORITY = (
 allc AS (
     SELECT d.doc_id,
            COALESCE(c.component, d.doc_id) AS component,
-           CAST(SUBSTR(d.source, 4) AS INT) AS prio
+           COALESCE(TRY_CAST(SUBSTR(d.source, 4) AS INT), 2147483647)
+               AS prio
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 ),
 keep AS (

@@ -700,9 +700,11 @@ def mad_outliers(
         F.expr("cast(percentile(dev4, 0.5) as long)").alias("mad4"),
         F.count(F.lit(1)).alias("n"),
     )
+    # med4 already rides in dev — grouping on it (like the SQL twin)
+    # avoids re-running the exact-percentile aggregation for a second join
     return (
         dev.join(mad.select(key, "mad4", "n"), key)
-        .groupBy(key, "n", "mad4")
+        .groupBy(key, "n", "med4", "mad4")
         .agg(
             F.sum(
                 F.when(
@@ -710,7 +712,6 @@ def mad_outliers(
                 ).otherwise(0)
             ).alias("n_outliers")
         )
-        .join(med, key)
         .select(
             key,
             "n",

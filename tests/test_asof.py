@@ -177,9 +177,6 @@ def test_asof_nearest_picks_closest_with_backward_ties(spark):
     assert tie["v_asof"] == 1.0
 
 
-import pytest
-
-
 @pytest.mark.parametrize("seed", [3, 17])
 @pytest.mark.parametrize("mode", ["backward", "tolerance", "nearest"])
 def test_asof_matches_pandas_merge_asof_random(spark, seed, mode):

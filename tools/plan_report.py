@@ -271,7 +271,10 @@ def main() -> None:
         lines.append("")
 
     # ---- 10x replication smoke ------------------------------------------
-    big = "/tmp/plans_scale10"
+    # versioned cache key: the generation logic (which tables replicate,
+    # how) is part of the identity — bump the suffix when it changes so a
+    # stale directory can't silently back a mislabeled smoke
+    big = "/tmp/plans_scale10_v2"
     if not os.path.exists(big):
         os.makedirs(big, exist_ok=True)
         from pyspark.sql import functions as F
