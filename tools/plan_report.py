@@ -79,6 +79,7 @@ AUDIT = [
     "streaming_cdc_historize",
     "dedup_containment",
     "dedup_keeper_priority",
+    "events_mad_outliers",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
