@@ -39,82 +39,59 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Subset contract: the driver records correctness rows for the FIRST 50
-# queries() entries only, while the registry holds 203 (202 oracle-gated
-# + rows-only emb_pca_project; dedup_containment, dedup_keeper_priority
-# and events_mad_outliers joined in r05).
-# Cumulative after r04: 130 of the r04-era 200 ever driver-checked,
-# 129 ever-green (the one red was
-# emb_pca_project's structural `no_oracle` — it is OUT of this window; its
-# correctness gate is the numpy parity test in tests/test_projection.py).
-# Round-5 rotation (VERDICT r04 item 1): all 50 slots go to never-checked
-# queries, front-loading the highest-risk shapes — the 4 dark streaming
-# rows (sessionize = the applyInPandasWithState operator), emb_covariance
-# (underwrites the PCA path), the graph fixpoint loops, the versioned
-# store, ORC/JSON/corrupt-CSV round-trips, the time-series detectors, the
-# as-of variants, the SQL-entry surface, audio decode/VAD, and the BPE
-# trainer (newly oracle-gated this round via a precomputed pure-Python
-# VALUES oracle). All 50 are green under tools/check_correctness.py's
-# driver-faithful compare at sf0.01 (CORRECTNESS_LOCAL.md).
+# queries() entries only, while the registry holds 204 (203 oracle-gated
+# + rows-only emb_pca_project, which stays OUT of the window permanently
+# per the r04 ruling — its gate is the numpy parity test in
+# tests/test_projection.py; io_read_current_hashes joined in r06).
+# Cumulative after r05: 180 of the r05-era 203 ever driver-checked,
+# 180 ever-green.
 #
-# ROUND-6 ROTATION PLAN (VERDICT r04 item 4) — the exactly 20 registry
-# queries still dark after this window; all are simple shapes or pair-level
-# siblings of driver-green family members, all local-green:
-#   rel_scalar_date_funcs rel_string_funcs rel_case_when rel_cross_join
-#   rel_having rel_window_ntile rel_window_first_last rel_limit_offset
-#   text_tokens text_token_entropy text_length_histogram text_fingerprint
-#   text_winnow_fingerprint dedup_jaccard_pairs dedup_minhash_bands
-#   dedup_simhash_pairs emb_topk_batch emb_norms emb_knn_per_label
-#   emb_lsh_buckets
-# plus the round-5 registry additions (dedup_containment — asymmetric
-# subset-duplicate containment join; dedup_keeper_priority — policy
-# keepers per near-dup cluster; events_mad_outliers — exact-integer
-# MAD robust outlier summary). r06 target: full registry ever-checked.
+# ROUND-6 ROTATION (VERDICT r05 item 1): slots 1-24 are every remaining
+# dark query — the 23 enumerated in the r05 verdict (20 simple shapes /
+# pair-level siblings + the three r05 additions dedup_containment,
+# dedup_keeper_priority, events_mad_outliers) plus this round's one new
+# registry entry (io_read_current_hashes, S3's own oracle row per r05
+# item 8). A green window makes the registry 204/204 ever-checked — zero
+# dark queries. Slots 25-50 re-check the code this round touched (the
+# graph fixpoints and PPJoin after the broadcast-gate change, the BPE
+# trainer after the oracle-dir guard, connected-components consumers) and
+# the r05 verdict's named riskiest shapes (streaming_sessionize,
+# streaming_interval_join, versioned_store_lifecycle).
 DRIVER_PRIORITY = [
-    # dark streaming rows — sessionize's event-time timeout state machine
-    # (streaming/windows.py) is the most intricate unchecked code in the repo
+    # -- dark until now: relational shapes --------------------------------
+    "rel_scalar_date_funcs", "rel_string_funcs", "rel_case_when",
+    "rel_cross_join", "rel_having", "rel_window_ntile",
+    "rel_window_first_last", "rel_limit_offset",
+    # -- dark until now: text analysis ------------------------------------
+    "text_tokens", "text_token_entropy", "text_length_histogram",
+    "text_fingerprint", "text_winnow_fingerprint",
+    # -- dark until now: dedup pair-level rows + r05 additions ------------
+    "dedup_jaccard_pairs", "dedup_minhash_bands", "dedup_simhash_pairs",
+    "dedup_containment", "dedup_keeper_priority",
+    # -- dark until now: embeddings ---------------------------------------
+    "emb_topk_batch", "emb_norms", "emb_knn_per_label", "emb_lsh_buckets",
+    # -- dark until now: time series --------------------------------------
+    "events_mad_outliers",
+    # -- new this round: S3 column-pruned hash read (r05 item 8) ----------
+    "io_read_current_hashes",
+    # -- re-checks: graph fixpoints after the size-gated-broadcast change
+    #    (r05 item 2) — the loop joins replan when the gate withholds the
+    #    hint, so the outputs must be re-proven under driver compare ------
+    "graph_pagerank", "graph_triangles", "graph_khop",
+    "graph_label_propagation",
+    # -- re-checks: PPJoin after the dfreq broadcast gate (r05 item 3) +
+    #    connected-components consumers after the max_iterations guard ----
+    "dedup_jaccard_prefix", "dedup_clusters", "dedup_minhash_pairs",
+    "dedup_exact", "dedup_simhash", "dedup_incremental",
+    # -- re-check: BPE trainer after the oracle-corpus-dir guard ----------
+    "text_bpe_train",
+    # -- re-checks: r05 verdict's named riskiest shapes -------------------
     "streaming_sessionize", "streaming_interval_join", "streaming_enrich",
-    "streaming_dedup_counts",
-    # the mergeable d²-moment covariance pass that underwrites PCA
-    "emb_covariance",
-    # graph fixpoint loops (iterate-to-convergence, checkpoint-truncated)
-    "graph_triangles", "graph_khop", "graph_label_propagation",
-    # store lifecycle + remaining IO formats + corrupt-record quarantine
-    "versioned_store_lifecycle", "io_orc_roundtrip", "io_json_roundtrip",
-    "io_csv_corrupt_routing",
-    # time-series detectors/downsamplers + funnel
-    "events_ewma", "events_lttb", "events_cusum", "events_funnel",
-    # as-of join variants (tolerance window, nearest-direction)
-    "events_asof_tolerance", "events_asof_nearest",
-    # reference-shaped SQL entry points (shared temp-view surface)
-    "sql_shared_recursive", "sql_shared_agg", "sql_shared_join",
-    # audio decode + voice-activity detection (Arrow binary decoders)
-    "multimodal_decode_audio", "multimodal_audio_vad",
-    # BPE: trainer (first oracle-gated round — precomputed VALUES oracle),
-    # pair stats, and the encode path
-    "text_bpe_train", "text_bpe_pairs", "text_tokens_bpe",
-    # CDC sibling with no driver row: per-column change attribution
-    "cdc_changed_columns",
-    # incremental dedup against an accumulated store
-    "dedup_incremental",
-    # k-means quality gate (within-cluster inertia)
-    "emb_kmeans_inertia",
-    # window-heavy text analytics
-    "text_dup_spans", "text_bigram_logprob",
-    # sampling/splitting/sharding family
-    "rel_stratified_sample", "data_split", "text_shuffle_shard",
-    "text_weighted_reservoir", "text_quality_sample",
-    # model-ish text ops
-    "text_classifier", "text_boilerplate",
-    # harder relational shapes: skew salting, fuzzy join, quantized corr,
-    # unpivot
-    "rel_salted_agg", "rel_fuzzy_join", "rel_corr_quantized", "rel_unpivot",
-    # window-frame / distribution / percentile / multiset / null-order /
-    # outer-join semantics (engine-divergence risk)
-    "rel_window_range_frame", "rel_window_distribution", "rel_percentiles",
-    "rel_except_all", "rel_intersect_all", "rel_sort_nulls",
-    "rel_full_outer_join",
-    # embedding near-dup pair extraction
-    "emb_neardup_pairs",
+    "streaming_dedup_counts", "versioned_store_lifecycle",
+    # -- re-checks: flagship + headline operators -------------------------
+    "cdc_historize_two_runs", "scd2_merge", "emb_topk", "emb_kmeans",
+    "emb_kmeans_inertia", "emb_covariance", "events_asof_tolerance",
+    "sql_shared_recursive", "io_csv_corrupt_routing", "text_pack_sequences",
 ]
 
 

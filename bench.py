@@ -46,6 +46,12 @@ BENCH_QUERIES = [
     # VERDICT r04 item 6 — tracks the iterative family round-over-round.
     # NOT part of the r01-r04 comparable core; see core20_sec below.
     "graph_label_propagation",
+    # the two heaviest r05 operators, added r06 per VERDICT r05 item 5 —
+    # policy keepers over near-dup clusters (component fixpoint + cluster
+    # window) and the one-sided containment prefix join. Also outside
+    # core20.
+    "dedup_keeper_priority",
+    "dedup_containment",
 ]
 
 # the 20 queries (incl. streaming) benched since r01 — their sum is
@@ -79,13 +85,25 @@ def bench_streaming(spark, sf_dir: str) -> float:
     when a production job makes this same sizing choice; at real stream
     volume (millions of windows) the right number scales back up.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_shuffle_partitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _bench_streaming_body(spark, sf_dir)
+    finally:
+        # restore the batch-suite shuffle sizing even when the stream
+        # errors — otherwise every subsequent batch bench line silently
+        # runs at 8 partitions and skews round-over-round timings
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", batch_shuffle_partitions
+        )
+
+
+def _bench_streaming_body(spark, sf_dir: str) -> float:
     import tempfile
 
     from pandas_etl_framework_spark.relational import normalize_event_time
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_shuffle_partitions = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source needs a DIRECTORY; events.parquet is one file,
     # so stream the sf dir with a glob pinned to it
@@ -115,8 +133,6 @@ def bench_streaming(spark, sf_dir: str) -> float:
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)
-    # restore the batch-suite shuffle sizing for the next pass
-    spark.conf.set("spark.sql.shuffle.partitions", batch_shuffle_partitions)
     return elapsed
 
 

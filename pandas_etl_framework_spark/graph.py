@@ -28,12 +28,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .scale import broadcast_threshold_bytes, maybe_broadcast
+
 PR_SCALE = 1_000_000_000_000  # 10^12
 
+# estimated on-wire bytes per (long node, long value) row for the
+# broadcast-size gate; deliberately generous (row overhead included)
+_NODE_ROW_BYTES = 32
 
-def pagerank_quantized(edges: DataFrame, iterations: int = 3) -> DataFrame:
+
+def _node_hinter(spark, broadcast: bool | None, count_nodes):
+    """Per-loop broadcast decision for node-sized relations (ranks,
+    frontier/visited, labels/winner): honor an explicit ``broadcast``
+    override; in auto mode count the nodes ONCE (the relation is already
+    checkpointed, so the count is a cheap job) and hint only when
+    ``n_nodes * _NODE_ROW_BYTES`` fits under the session's
+    autoBroadcastJoinThreshold. Returns a df->df hinter applied at every
+    loop join — the fallback is a plain key-partitioned join, so the
+    fixpoints no longer force node-sized broadcasts at any scale
+    (VERDICT r05 item 2)."""
+    if broadcast is not None:
+        return lambda df: maybe_broadcast(df, force=broadcast)
+    if broadcast_threshold_bytes(spark) <= 0:
+        return lambda df: df
+    n_nodes = count_nodes()
+    return lambda df: maybe_broadcast(
+        df, est_rows=n_nodes, bytes_per_row=_NODE_ROW_BYTES
+    )
+
+
+def pagerank_quantized(
+    edges: DataFrame, iterations: int = 3, broadcast: bool | None = None
+) -> DataFrame:
     """(node, rank_q) after ``iterations`` damped rounds over ``edges``
-    (src, dst, w). All arithmetic integer; deterministic by construction."""
+    (src, dst, w). All arithmetic integer; deterministic by construction.
+
+    ``broadcast``: None (default) auto-gates the per-iteration broadcast
+    of the node-sized rank/sum relations on the session broadcast
+    threshold vs the counted node set; True/False force the hint on/off
+    (False = pre-partitioned shuffle joins, the beyond-10^8-nodes plan)."""
     # Materialize the loop invariants once. The edge relation is often
     # itself a join/aggregate pipeline (purchase_edges is orders x lineitem),
     # and it feeds the node set, the out-weight join, and every iteration —
@@ -51,23 +84,25 @@ def pagerank_quantized(edges: DataFrame, iterations: int = 3) -> DataFrame:
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     e = edges.join(out_w, "src").localCheckpoint(eager=True)
     n_df = nodes.agg(F.count("*").alias("n"))
+    # ranks/sums are one row per node — orders of magnitude smaller than
+    # the edge relation. Broadcasting keeps `e` in place all rounds (no
+    # per-iteration shuffle of the big side); the hinter broadcasts only
+    # while the counted node set fits the session threshold, else every
+    # loop join runs as a plain shuffle join on the node key (the
+    # beyond-10^8-nodes plan, now an executable path). The 1-row n_df
+    # stays unconditionally broadcast.
+    bc = _node_hinter(edges.sparkSession, broadcast, nodes.count)
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", F.expr(f"div({PR_SCALE}, n)").alias("rank_q")
     )
     for _ in range(iterations):
-        # ranks is one row per node — orders of magnitude smaller than the
-        # edge relation. Broadcasting it keeps `e` in place all rounds (no
-        # per-iteration shuffle of the big side); same for the sums side of
-        # the rank update. For node sets too large to broadcast (~beyond
-        # 10^8), swap to e pre-partitioned by src + ranks repartitioned by
-        # node: then only the small rank relation moves per round.
-        contrib = e.join(F.broadcast(ranks), e.src == ranks.node).select(
+        contrib = e.join(bc(ranks), e.src == ranks.node).select(
             F.col("dst").alias("node"),
             F.expr("div(rank_q * w, out_w)").alias("c"),
         )
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (
-            nodes.join(F.broadcast(sums), "node", "left")
+            nodes.join(bc(sums), "node", "left")
             .crossJoin(F.broadcast(n_df))
             .select(
                 "node",
@@ -367,7 +402,10 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
 # --------------------------------------------------------------------------
 
 def khop_distances(
-    edges: DataFrame, seeds: DataFrame, hops: int = 3
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 3,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """(node, dist) for every node within ``hops`` of ``seeds`` (column
     ``node``) over ``edges`` (src, dst) — breadth-first frontier
@@ -381,20 +419,30 @@ def khop_distances(
     are lazily checkpointed per round so lineage stays flat. Frontier and
     visited relations are broadcast (node-id rows); beyond ~10^8 visited
     nodes, swap to edges pre-partitioned on src with the visited set
-    shuffle-joined — same plan swap PageRank documents.
+    shuffle-joined — that swap is now the auto/off path of the
+    ``broadcast`` gate (None = auto on node count vs session threshold,
+    False = always shuffle joins).
     """
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    # frontier/visited are bounded by the node set; gate their broadcasts
+    # on that bound (distinct node count over the checkpointed edges —
+    # one cheap job, skipped when `broadcast` is forced or disabled)
+    bc = _node_hinter(
+        edges.sparkSession,
+        broadcast,
+        lambda: edges.select(F.col("src").alias("node")).distinct().count(),
+    )
     visited = seeds.select("node", F.lit(0).cast("long").alias("dist"))
     frontier = visited.select("node").localCheckpoint(eager=True)
     for k in range(1, hops + 1):
         reached = (
-            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            edges.join(bc(frontier), edges.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
         )
         frontier = (
             reached.join(
-                F.broadcast(visited.select("node")), "node", "left_anti"
+                bc(visited.select("node")), "node", "left_anti"
             )
             .localCheckpoint(eager=False)
         )
@@ -475,7 +523,7 @@ FROM d3
 # --------------------------------------------------------------------------
 
 def label_propagation(
-    edges: DataFrame, rounds: int = 2
+    edges: DataFrame, rounds: int = 2, broadcast: bool | None = None
 ) -> DataFrame:
     """Synchronous label propagation over undirected ``edges`` (u, v):
     every node starts as its own label; each round, a node adopts the most
@@ -487,10 +535,11 @@ def label_propagation(
 
     Per round: one groupBy on (node, label) + one per-node window — both
     shuffle on the node key; the label relation (one row per node) is
-    broadcast into the edge join exactly like PageRank's rank relation,
-    with the same documented swap to a pre-partitioned edge join beyond
-    ~10^8 nodes. Labels are lazily checkpointed per round so lineage and
-    plan size stay flat in the round count.
+    broadcast into the edge join exactly like PageRank's rank relation —
+    gated the same way (``broadcast=None`` auto-hints on node count vs
+    session threshold, False forces the pre-partitioned shuffle-join plan
+    beyond ~10^8 nodes). Labels are lazily checkpointed per round so
+    lineage and plan size stay flat in the round count.
     """
     from pyspark.sql import Window
 
@@ -498,10 +547,14 @@ def label_propagation(
         edges.selectExpr("v AS src", "u AS dst")
     ).localCheckpoint(eager=True)
     nodes = sym.select(F.col("src").alias("node")).distinct()
+    # nodes feeds the initial labels AND the gate count; checkpoint so the
+    # auto gate's count() doesn't re-run the distinct
+    nodes = nodes.localCheckpoint(eager=True)
+    bc = _node_hinter(edges.sparkSession, broadcast, nodes.count)
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(rounds):
         freq = (
-            sym.join(F.broadcast(labels), sym.src == labels.node)
+            sym.join(bc(labels), sym.src == labels.node)
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count("*").alias("c"))
         )
@@ -512,7 +565,7 @@ def label_propagation(
             .select("node", F.col("label").alias("new_label"))
         )
         labels = (
-            labels.join(F.broadcast(winner), "node", "left")
+            labels.join(bc(winner), "node", "left")
             .select(
                 "node",
                 F.coalesce("new_label", "label").alias("label"),

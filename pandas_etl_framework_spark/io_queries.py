@@ -387,10 +387,42 @@ WHERE NOT EXISTS (
     )
 
 
+def q_io_read_current_hashes(spark, sf_dir):
+    """S3's own oracle row (VERDICT r05 item 8): stamp batch-1 orders,
+    write them through the partitioned store sink, then read back ONLY
+    the two hash columns via ``read_current_hashes`` — the column-pruned
+    delta-check read (ref MetaColumnHelpers.py:164-169). The pruning
+    itself is plan-asserted in tests/test_scale.py; this row gates the
+    VALUES the pruned scan returns."""
+    from .harness import stamped1
+
+    tmp = _scratch()
+    try:
+        store = f"{tmp}/current"
+        eio.write_store(stamped1(spark, sf_dir), store)
+        out = eio.read_current_hashes(spark, store).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _sql_io_read_current_hashes() -> str:
+    from .harness import CDC_PRELUDE
+
+    return CDC_PRELUDE + "SELECT KEY_HASH, RECORD_HASH FROM stamped1"
+
+
 def register_all() -> None:
     from . import harness
 
     harness.register("io_csv_roundtrip", q_io_csv_roundtrip, SQL_IO_CSV_ROUNDTRIP)
+    harness.register(
+        "io_read_current_hashes",
+        q_io_read_current_hashes,
+        _sql_io_read_current_hashes(),
+    )
     harness.register(
         "io_partitioned_sink", q_io_partitioned_sink, SQL_IO_PARTITIONED_SINK
     )

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..scale import broadcast_threshold_bytes, maybe_broadcast
+
 NUM_MINHASHES = 16
 LSH_BANDS = 4
 ROWS_PER_BAND = NUM_MINHASHES // LSH_BANDS
@@ -522,6 +524,12 @@ def connected_components(
 
     Returns (node, component) where component = min node id in the cluster.
     """
+    if max_iterations < 1:
+        # changed starts at 0, so a non-positive cap would skip the loop
+        # AND the convergence guard, silently returning every node as its
+        # own component — exactly the split-component hazard the guard
+        # exists to prevent
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -647,6 +655,14 @@ def dedup_keeper_by_priority(
     Same distributed shape as ``dedup_clusters`` (component fixpoint,
     then one window over clusters — cluster-sized partitions, never
     corpus-wide), plus one broadcast-sized keeper join.
+
+    NULL-priority hazard: the keeper window sorts ``prio`` ascending with
+    Spark's default NULLS FIRST, so a NULL priority would crown an
+    unknown-priority doc as keeper. ``priority`` must therefore be a
+    TOTAL expression — coalesce unknowns to a worst-sorting sentinel
+    (e.g. ``coalesce(try_cast(...), lit(2**31 - 1))``, as
+    ``q_dedup_keeper_priority`` does) or pass an ``asc_nulls_last``
+    column if NULL-last is the intended policy.
     """
     comp = connected_components(candidate_pairs)
     labeled = (
@@ -787,6 +803,7 @@ def jaccard_prefix_pairs(
     token_sets: DataFrame,
     t_num: int = JACCARD_T_NUM,
     t_den: int = JACCARD_T_DEN,
+    broadcast_dfreq: bool | None = None,
 ) -> DataFrame:
     """All pairs with Jaccard(shingles) >= t, found via prefix filtering
     (PPJoin's candidate-generation idea, SIGMOD'08 / WWW'08 public
@@ -840,19 +857,31 @@ def jaccard_prefix_pairs(
     w = Window.partitionBy("doc_id").orderBy("dfreq", "tok")
     # dfreq is one row per distinct shingle — broadcast is right while the
     # vocabulary fits an executor (shingled fixture text: 27k tokens at
-    # sf0.1). At corpus scale where distinct shingles ~ corpus size, drop
-    # the hint: the join and the doc_id window below then run as two
-    # ordinary shuffles and nothing else changes. set_size rides in from
-    # the token-set arrays — no per-doc COUNT window needed.
+    # sf0.1), WRONG at corpus scale where distinct shingles ~ corpus size.
+    # ``broadcast_dfreq`` gates the hint (VERDICT r05 item 3): True/False
+    # force it; None auto-decides against the session broadcast threshold
+    # using total token count (one cheap agg over the CHECKPOINTED sets)
+    # as a conservative upper bound on the vocabulary — when withheld, the
+    # join and the doc_id window below run as two ordinary shuffles and
+    # nothing else changes.
     # Both sides of the candidate self-join consume `prefix`, so the dfreq
     # join + ranking window run twice (plan shows Window×2) — but both
-    # start from the CHECKPOINTED token sets, so the duplicate is window
+    # start from the checkpointed token sets, so the duplicate is window
     # CPU only, no re-scan. Measured at sf0.1, checkpointing `prefix`
     # costs more (materialization write) than the duplicate window saves;
     # on a cluster where the prefix slice is large relative to executor
     # CPU, add .localCheckpoint(eager=False) here and re-measure.
+    if broadcast_dfreq is None and broadcast_threshold_bytes(
+        token_sets.sparkSession
+    ) > 0:
+        vocab_bound = ts.agg(F.sum("set_size")).first()[0] or 0
+        dfreq_hinted = maybe_broadcast(
+            dfreq, est_rows=vocab_bound, bytes_per_row=24
+        )
+    else:
+        dfreq_hinted = maybe_broadcast(dfreq, force=bool(broadcast_dfreq))
     prefix = (
-        sh.join(F.broadcast(dfreq), "tok")
+        sh.join(dfreq_hinted, "tok")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= plen)
         .select("doc_id", "tok", "set_size", "rk")

@@ -78,18 +78,52 @@ def _netpbm_header(buf: bytes) -> tuple[list[int], int]:
     return fields, i + 1
 
 
+def _pil_decode_image(content: bytes) -> dict | None:
+    """Optional-dependency compressed-codec adapter (VERDICT r05 item 4):
+    decode JPEG/PNG/WebP/... via Pillow WHEN IT IS IMPORTABLE, returning
+    the same {width, height, mean_pixel} contract as the netpbm path
+    (mean over every raster sample byte). Returns None when Pillow is
+    absent or cannot parse the bytes — the caller then raises its clean
+    NotImplementedError, so the hermetic-sandbox behavior is unchanged
+    and the driver fixtures stay netpbm."""
+    try:
+        from PIL import Image, UnidentifiedImageError
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(content)) as img:
+            img.load()
+            data = img.tobytes()
+    except (UnidentifiedImageError, OSError):
+        return None
+    n = len(data)
+    return {
+        "width": img.width,
+        "height": img.height,
+        "mean_pixel": (sum(data) / n) if n else None,
+    }
+
+
 def decode_image(content: bytes) -> dict:
-    """Stdlib-only image decode: binary PPM (P6, RGB) and PGM (P5, gray).
+    """Image decode: binary PPM (P6, RGB) and PGM (P5, gray) via the
+    stdlib parser; compressed formats (JPEG/PNG/...) via the Pillow
+    adapter when that library is importable.
 
     Returns {width, height, mean_pixel} with mean_pixel averaged over every
-    sample byte of the raster. Other formats (PNG/JPEG/...) need a codec
-    library this environment lacks — same seam, inject a decoder."""
+    sample byte of the raster. Compressed formats without Pillow raise at
+    the same injectable-decoder seam as before."""
     if content is None:
         return {"width": None, "height": None, "mean_pixel": None}
     magic = bytes(content[:2])
     if magic not in (b"P6", b"P5"):
+        decoded = _pil_decode_image(content)
+        if decoded is not None:
+            return decoded
         raise NotImplementedError(
-            "only netpbm P6/P5 decodable without codec libraries; "
+            "only netpbm P6/P5 decodable without codec libraries "
+            "(install Pillow for JPEG/PNG); "
             f"got magic {magic!r}"
         )
     (width, height, maxval), off = _netpbm_header(content)
@@ -302,6 +336,26 @@ def extract_image_features(
     )
 
 
+def _pil_resize(content: bytes, w: int, h: int) -> bytes | None:
+    """Pillow-backed resizer for the ``resize_images`` seam: returns the
+    resized raster as binary PPM (P6) bytes, or None when Pillow is
+    absent / the bytes are not a Pillow-readable image."""
+    try:
+        from PIL import Image, UnidentifiedImageError
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(content)) as img:
+            resized = img.convert("RGB").resize((w, h))
+    except (UnidentifiedImageError, OSError):
+        return None
+    buf = io.BytesIO()
+    resized.save(buf, format="PPM")
+    return buf.getvalue()
+
+
 def resize_images(
     media: DataFrame,
     target_width: int,
@@ -309,10 +363,21 @@ def resize_images(
     resizer: Callable[[bytes, int, int], bytes] | None = None,
 ) -> DataFrame:
     """Resize pipeline: same plumbing shape as feature extraction but
-    binary→binary, preserving the media schema with updated dimensions."""
+    binary→binary, preserving the media schema with updated dimensions.
+
+    The default resizer uses Pillow when importable (any format Pillow
+    reads; output re-encoded as binary PPM so the stdlib ``decode_image``
+    path can always read resize output), else raises at the injectable
+    seam as before."""
 
     def default_resizer(content: bytes, w: int, h: int) -> bytes:
-        raise NotImplementedError("no image codec available in this environment")
+        out = _pil_resize(content, w, h)
+        if out is not None:
+            return out
+        raise NotImplementedError(
+            "no image codec available in this environment "
+            "(install Pillow, or inject a resizer)"
+        )
 
     resize = resizer or default_resizer
 

@@ -1087,6 +1087,16 @@ def bpe_encode(
     )
 
 
+def _oracle_sf_dir() -> str:
+    """The sf dir the VALUES oracle corpus is read from: the local
+    checker's SPARK_GRAFT_CHECK_SF_DIR when set, else the driver's fixed
+    correctness scale (sf0.01). Shared by the oracle generator AND the
+    query callable's guard below so the two can never silently diverge."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
+
+
 def q_text_bpe_train(spark, sf_dir):
     """Driver row for the 10-merge training loop: (rank, left, right,
     pair_count) per learned merge. Oracle-gated since round 5 via
@@ -1094,7 +1104,23 @@ def q_text_bpe_train(spark, sf_dir):
     oracle is the *output* of an independent pure-Python trainer embedded
     as literal VALUES (VERDICT r04 item 5); the same trainer also gates
     the full vocabulary segmentation in
-    tests/test_llmops.py::test_bpe_train_matches_python_reference."""
+    tests/test_llmops.py::test_bpe_train_matches_python_reference.
+
+    The VALUES oracle is corpus-specific, so a correctness comparison is
+    only meaningful when this callable runs on the same sf dir the oracle
+    was generated from — guard loudly instead of producing a confusing
+    hash-mismatch (ADVICE r05). Non-gate consumers (bench, ad-hoc use at
+    other scales) go through ``bpe_train`` directly."""
+    import os
+
+    oracle_dir = _oracle_sf_dir()
+    if os.path.normpath(sf_dir) != os.path.normpath(oracle_dir):
+        raise ValueError(
+            "text_bpe_train's VALUES oracle was generated from "
+            f"{oracle_dir!r} but the query is running on {sf_dir!r}; set "
+            "SPARK_GRAFT_CHECK_SF_DIR to the run's sf dir so the oracle "
+            "corpus matches"
+        )
     merges, _ = bpe_train(_docs(spark, sf_dir), n_merges=10)
     rows = [
         (rank + 1, left, right, c)
@@ -1149,13 +1175,9 @@ def _sql_text_bpe_train(n_merges: int = 10) -> str:
     correctness pass runs at sf0.01; SPARK_GRAFT_CHECK_SF_DIR overrides
     for local runs). Generated at import so oracle_sql() stays a plain
     string like every other entry."""
-    import os
-
     import pyarrow.parquet as pq
 
-    sf_dir = os.environ.get(
-        "SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01"
-    )
+    sf_dir = _oracle_sf_dir()
     texts = (
         pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
         .column("text")

@@ -216,6 +216,65 @@ def sample_stratified(
     return df.filter(bucket < thr)
 
 
+def broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` parsed to bytes; <= 0 means
+    broadcasting is disabled. Accepts the numeric and size-suffixed forms
+    Spark itself accepts ('10485760', '10m', '10MB', '-1')."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return 10 * (1 << 20)
+
+
+def maybe_broadcast(
+    df: DataFrame,
+    *,
+    force: bool | None = None,
+    est_rows: int | None = None,
+    bytes_per_row: int = 32,
+) -> DataFrame:
+    """Size/config-gated broadcast hint (VERDICT r05 items 2-3).
+
+    A bare ``F.broadcast`` FORCES the broadcast even when the relation is
+    huge or the user disabled broadcasting (threshold -1) — the scale
+    hazard the round-5 verdict flagged on the graph fixpoints and PPJoin's
+    dfreq join. This helper applies the hint only when it is safe:
+
+    - ``force=True/False`` overrides everything (explicit caller choice);
+    - otherwise the hint is applied iff broadcasting is enabled
+      (``autoBroadcastJoinThreshold`` > 0) AND, when the caller supplies
+      ``est_rows``, the estimated relation size
+      (``est_rows * bytes_per_row``) fits under the threshold.
+
+    When the hint is withheld, Catalyst plans an ordinary key-partitioned
+    join (and may still auto-broadcast from its own statistics if the
+    relation is genuinely small) — the documented "beyond ~10^8 rows"
+    fallback, now a code path instead of a comment.
+    """
+    if force is True:
+        return F.broadcast(df)
+    if force is False:
+        return df
+    thr = broadcast_threshold_bytes(df.sparkSession)
+    if thr <= 0:
+        return df
+    if est_rows is not None and est_rows * bytes_per_row > thr:
+        return df
+    return F.broadcast(df)
+
+
 def explain_summary(df: DataFrame) -> dict:
     """Plan introspection for tests/tuning: operator counts + scan schemas."""
     plan = df._jdf.queryExecution().executedPlan().toString()

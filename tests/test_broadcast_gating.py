@@ -1,0 +1,168 @@
+"""Broadcast-fallback gating (VERDICT r05 items 2-3).
+
+The graph fixpoints and PPJoin's dfreq join used to FORCE node-sized /
+vocab-sized broadcasts; at 100x scale that hint is wrong. These tests
+pin the new behavior:
+
+- forcing the non-broadcast path (``broadcast=False`` / threshold -1)
+  produces oracle-identical output for pagerank, khop, LPA and the
+  prefix-filtered Jaccard join — the fallback is a real, executable plan;
+- the plan actually changes: with the hint withheld and auto-broadcast
+  disabled, no BroadcastHashJoin remains in the loop joins;
+- ``maybe_broadcast``'s size gate respects the session threshold.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_etl_framework_spark.graph import (
+    khop_distances,
+    label_propagation,
+    pagerank_quantized,
+)
+from pandas_etl_framework_spark.llmops.dedup import (
+    jaccard_prefix_pairs,
+    token_sets_df,
+)
+from pandas_etl_framework_spark.scale import (
+    broadcast_threshold_bytes,
+    explain_summary,
+    maybe_broadcast,
+)
+
+THRESHOLD_KEY = "spark.sql.autoBroadcastJoinThreshold"
+
+
+@contextmanager
+def _threshold(spark, value):
+    saved = spark.conf.get(THRESHOLD_KEY)
+    spark.conf.set(THRESHOLD_KEY, str(value))
+    try:
+        yield
+    finally:
+        spark.conf.set(THRESHOLD_KEY, saved)
+
+
+def _edges(spark):
+    # two triangles bridged by a path + an isolated-ish pendant: enough
+    # structure that pagerank/khop/LPA all produce non-trivial output
+    rows = [
+        (0, 1, 2), (1, 2, 1), (0, 2, 1),
+        (2, 3, 3), (3, 4, 1), (4, 5, 2), (3, 5, 1),
+        (5, 6, 1),
+    ]
+    sym = rows + [(v, u, w) for (u, v, w) in rows]
+    return spark.createDataFrame(sym, "src long, dst long, w long")
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_pagerank_broadcast_off_identical(spark):
+    e = _edges(spark)
+    base = _sorted(pagerank_quantized(e, iterations=3))
+    off = _sorted(pagerank_quantized(e, iterations=3, broadcast=False))
+    assert base == off and len(base) == 7
+
+
+def test_pagerank_threshold_disabled_auto_identical(spark):
+    e = _edges(spark)
+    base = _sorted(pagerank_quantized(e, iterations=3))
+    with _threshold(spark, -1):
+        gated = _sorted(pagerank_quantized(e, iterations=3))
+    assert base == gated
+
+
+def test_khop_broadcast_off_identical(spark):
+    e = _edges(spark)
+    seeds = spark.createDataFrame([(0,)], "node long")
+    base = _sorted(khop_distances(e, seeds, hops=3))
+    off = _sorted(khop_distances(e, seeds, hops=3, broadcast=False))
+    with _threshold(spark, -1):
+        gated = _sorted(khop_distances(e, seeds, hops=3))
+    assert base == off == gated
+    # sanity: BFS distances are correct on the known graph — node 5 is
+    # exactly 3 hops from the seed (0->2->3->5); node 6 is beyond the cap
+    d = dict(base)
+    assert d[5] == 3 and 6 not in d
+
+
+def test_lpa_broadcast_off_identical(spark):
+    und = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        "u long, v long",
+    )
+    base = _sorted(label_propagation(und, rounds=2))
+    off = _sorted(label_propagation(und, rounds=2, broadcast=False))
+    with _threshold(spark, -1):
+        gated = _sorted(label_propagation(und, rounds=2))
+    assert base == off == gated
+
+
+def test_jaccard_prefix_broadcast_off_identical(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "an entirely different document about spark joins"),
+            (4, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    ts = token_sets_df(docs)
+    base = _sorted(jaccard_prefix_pairs(ts))
+    off = _sorted(jaccard_prefix_pairs(ts, broadcast_dfreq=False))
+    on = _sorted(jaccard_prefix_pairs(ts, broadcast_dfreq=True))
+    with _threshold(spark, -1):
+        gated = _sorted(jaccard_prefix_pairs(ts))
+    assert base == off == on == gated
+    assert (1, 4) in {(a, b) for (a, b, *_rest) in base}
+
+
+def test_non_broadcast_plan_has_no_broadcast_join(spark):
+    # with the hint withheld AND auto-broadcast disabled, the gated join
+    # (the rank-update shape — pagerank's own loop output hides its plan
+    # behind the per-iteration localCheckpoint) must plan as a shuffle
+    # join — proves the fallback is real, not a hint Catalyst overrides
+    e = _edges(spark)
+    ranks = e.select(F.col("src").alias("node"), F.lit(1).alias("rank_q"))
+    with _threshold(spark, -1):
+        contrib = e.join(
+            maybe_broadcast(ranks), e.src == ranks.node
+        ).select("dst", "rank_q")
+        ops = explain_summary(contrib)
+    assert ops.get("BroadcastHashJoin", 0) == 0
+    assert (
+        ops.get("SortMergeJoin", 0) + ops.get("ShuffledHashJoin", 0) > 0
+    )
+
+
+def test_maybe_broadcast_size_gate(spark):
+    df = spark.range(10)
+    # fits: hint applied -> plan broadcasts even against a big side
+    small = maybe_broadcast(df, est_rows=10, bytes_per_row=32)
+    joined = spark.range(10000).join(small, "id")
+    assert explain_summary(joined).get("BroadcastHashJoin", 0) >= 1
+    # does not fit: hint withheld; Catalyst may still choose for itself,
+    # so assert on the helper's decision (returned plan object identity)
+    big = maybe_broadcast(df, est_rows=10**9, bytes_per_row=32)
+    assert big is df
+    with _threshold(spark, -1):
+        assert maybe_broadcast(df) is df
+    assert maybe_broadcast(df, force=False) is df
+
+
+def test_broadcast_threshold_parsing(spark):
+    with _threshold(spark, "10MB"):
+        assert broadcast_threshold_bytes(spark) == 10 * (1 << 20)
+    with _threshold(spark, "1g"):
+        assert broadcast_threshold_bytes(spark) == 1 << 30
+    with _threshold(spark, -1):
+        assert broadcast_threshold_bytes(spark) <= 0
+    with _threshold(spark, "1048576b"):
+        assert broadcast_threshold_bytes(spark) == 1 << 20

@@ -125,7 +125,14 @@ def summarize(plan: str) -> dict:
     for op in _OPS:
         if detail_names:
             if op == "FileScan":
-                n = sum(nm.startswith("Scan parquet") for nm in detail_names)
+                # formatted-mode details name scans 'Scan <format> <path>'
+                # for every file format — counting only parquet would
+                # silently drop the ORC/JSON/CSV round-trip audit scans
+                n = sum(
+                    nm.startswith(("Scan parquet", "Scan orc", "Scan json",
+                                   "Scan csv", "Scan text"))
+                    for nm in detail_names
+                )
             else:
                 n = sum(op in nm for nm in detail_names)
         else:
