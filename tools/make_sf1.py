@@ -1,0 +1,116 @@
+"""Synthesize an sf1-equivalent dataset for the SCALING.md rehearsal
+(VERDICT r05 item 6): 10 key-offset replicas of /root/testdata/sf0.1.
+
+PERF-ONLY data — correctness oracles always run on the driver's own
+testdata. Design choices that keep the 10x a faithful scale-up of the
+WORKLOAD, not just the byte count:
+
+- every key column is offset per replica (keys stay globally unique and
+  join relationships stay consistent: lineitem.l_suppkey lands on the
+  same replica's supplier, etc.) — so join/agg key cardinality grows
+  10x like a real sf1;
+- nation/region stay single-copy (fixed dims, like TPC-H);
+- document text gets a per-replica suffix token and embeddings a
+  per-replica first-component nudge — without this, identical docs/
+  vectors across replicas would inflate near-dup PAIR counts ~100x
+  (quadratic in replica count), which is a different workload, not 10x
+  the data.
+
+Usage: python tools/make_sf1.py [out_dir]   (default scratch/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+# multiple of 10 so o_orderkey % 10-style batch filters keep their
+# selectivity in every replica; far above any sf0.1 key
+OFFSET = 100_000_000
+
+# table -> int64 key columns to offset per replica
+KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_ONCE = ["nation", "region"]
+
+
+def _replica(table: pa.Table, name: str, i: int) -> pa.Table:
+    off = i * OFFSET
+    for col in KEYS[name]:
+        idx = table.schema.get_field_index(col)
+        table = table.set_column(
+            idx, col, pc.add(table.column(col), pa.scalar(off, pa.int64()))
+        )
+    if name == "documents" and i > 0:
+        idx = table.schema.get_field_index("text")
+        text = pc.binary_join_element_wise(
+            table.column("text").cast(pa.string()), f" repl{i}", ""
+        )
+        table = table.set_column(idx, "text", text)
+        nidx = table.schema.get_field_index("n_chars")
+        table = table.set_column(
+            nidx,
+            "n_chars",
+            pc.add(
+                table.column("n_chars"),
+                pa.scalar(len(f" repl{i}"), pa.int64()),
+            ),
+        )
+    if name == "embeddings" and i > 0:
+        # nudge component 0 by a replica-specific epsilon: cosine
+        # structure within a replica is preserved, exact cross-replica
+        # vector duplicates are not
+        emb = table.column("embedding").combine_chunks()
+        values = emb.values.to_numpy(zero_copy_only=False).copy()
+        offsets = emb.offsets.to_numpy(zero_copy_only=False)
+        starts = offsets[:-1]
+        values[starts] = values[starts] + (i * 1e-3)
+        nudged = pa.ListArray.from_arrays(
+            emb.offsets, pa.array(values, type=pa.float32())
+        )
+        eidx = table.schema.get_field_index("embedding")
+        table = table.set_column(
+            eidx, "embedding", nudged.cast(table.schema.field("embedding").type)
+        )
+    return table
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scratch", "sf1",
+    )
+    for name in COPY_ONCE:
+        os.makedirs(f"{out}/{name}.parquet", exist_ok=True)
+        pq.write_table(
+            pq.read_table(f"{SRC}/{name}.parquet"),
+            f"{out}/{name}.parquet/part-0.parquet",
+        )
+    for name in KEYS:
+        src = pq.read_table(f"{SRC}/{name}.parquet")
+        os.makedirs(f"{out}/{name}.parquet", exist_ok=True)
+        for i in range(REPLICAS):
+            pq.write_table(
+                _replica(src, name, i),
+                f"{out}/{name}.parquet/part-{i}.parquet",
+            )
+        print(f"{name}: {src.num_rows} x {REPLICAS} rows -> {out}")
+    print("done:", out)
+
+
+if __name__ == "__main__":
+    main()
