@@ -268,7 +268,9 @@ def cosupply_backbone(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(
+    edges: DataFrame, broadcast: bool | None = None
+) -> DataFrame:
     """Global triangle census of an undirected simple graph given as
     canonical (u < v) edges: one row (n_edges, n_triangles, n_wedges,
     clustering_coeff).
@@ -298,11 +300,21 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     keyed = deg.select(
         "n", (F.col("d") * F.lit(1 << 32) + F.col("n")).alias("k")
     )
+    # keyed is one row per node — same size-gated hint as the fixpoint
+    # loops (auto: broadcast only while the counted node set fits the
+    # session threshold; the fallback re-keys via two shuffle joins)
+    bc = _node_hinter(
+        edges.sparkSession,
+        broadcast,
+        lambda: edges.select(F.col("u").alias("n")).unionByName(
+            edges.select(F.col("v").alias("n"))
+        ).distinct().count(),
+    )
     ek = (
-        edges.join(F.broadcast(keyed).withColumnRenamed("n", "u"), "u")
+        edges.join(bc(keyed.withColumnRenamed("n", "u")), "u")
         .withColumnRenamed("k", "ku")
         .join(
-            F.broadcast(keyed).withColumnRenamed("n", "v").withColumnRenamed("k", "kv"),
+            bc(keyed.withColumnRenamed("n", "v").withColumnRenamed("k", "kv")),
             "v",
         )
         .select(

@@ -124,6 +124,20 @@ def test_jaccard_prefix_broadcast_off_identical(spark):
     assert (1, 4) in {(a, b) for (a, b, *_rest) in base}
 
 
+def test_triangle_count_broadcast_off_identical(spark):
+    from pandas_etl_framework_spark.graph import triangle_count
+
+    k4 = spark.createDataFrame(
+        [(u, v) for u in range(4) for v in range(u + 1, 4)], "u long, v long"
+    )
+    base = triangle_count(k4).collect()[0]
+    off = triangle_count(k4, broadcast=False).collect()[0]
+    with _threshold(spark, -1):
+        gated = triangle_count(k4).collect()[0]
+    assert tuple(base) == tuple(off) == tuple(gated)
+    assert base["n_triangles"] == 4 and base["n_wedges"] == 12
+
+
 def test_non_broadcast_plan_has_no_broadcast_join(spark):
     # with the hint withheld AND auto-broadcast disabled, the gated join
     # (the rank-update shape — pagerank's own loop output hides its plan
