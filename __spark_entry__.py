@@ -39,23 +39,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Subset contract: the driver records correctness rows for the FIRST 50
-# queries() entries only, while the registry holds 204 (203 oracle-gated
+# queries() entries only, while the registry holds 206 (205 oracle-gated
 # + rows-only emb_pca_project, which stays OUT of the window permanently
 # per the r04 ruling — its gate is the numpy parity test in
-# tests/test_projection.py; io_read_current_hashes joined in r06).
+# tests/test_projection.py; io_read_current_hashes, text_domain_cap and
+# text_oov_rate joined in r06).
 # Cumulative after r05: 180 of the r05-era 203 ever driver-checked,
 # 180 ever-green.
 #
-# ROUND-6 ROTATION (VERDICT r05 item 1): slots 1-24 are every remaining
+# ROUND-6 ROTATION (VERDICT r05 item 1): slots 1-24 are every previously
 # dark query — the 23 enumerated in the r05 verdict (20 simple shapes /
 # pair-level siblings + the three r05 additions dedup_containment,
-# dedup_keeper_priority, events_mad_outliers) plus this round's one new
-# registry entry (io_read_current_hashes, S3's own oracle row per r05
-# item 8). A green window makes the registry 204/204 ever-checked — zero
-# dark queries. Slots 25-50 re-check the code this round touched (the
-# graph fixpoints and PPJoin after the broadcast-gate change, the BPE
-# trainer after the oracle-dir guard, connected-components consumers) and
-# the r05 verdict's named riskiest shapes (streaming_sessionize,
+# dedup_keeper_priority, events_mad_outliers) plus io_read_current_hashes
+# (S3's own oracle row per r05 item 8). The three r06 registry additions
+# are all IN this window, so a green window makes the registry 206/206
+# ever-checked — zero dark queries. The remaining slots re-check the code
+# this round touched (the graph fixpoints, triangle census and PPJoin
+# after the size-gated-broadcast change, the BPE trainer after the
+# oracle-dir pinning, connected-components consumers) and the r05
+# verdict's named riskiest shapes (streaming_sessionize,
 # streaming_interval_join, versioned_store_lifecycle).
 DRIVER_PRIORITY = [
     # -- dark until now: relational shapes --------------------------------
@@ -88,10 +90,13 @@ DRIVER_PRIORITY = [
     # -- re-checks: r05 verdict's named riskiest shapes -------------------
     "streaming_sessionize", "streaming_interval_join", "streaming_enrich",
     "streaming_dedup_counts", "versioned_store_lifecycle",
+    # -- new this round: curation additions (two-phase salted per-source
+    #    doc cap vs a single-global-window oracle; corpus top-K OOV rate) -
+    "text_domain_cap", "text_oov_rate",
     # -- re-checks: flagship + headline operators -------------------------
     "cdc_historize_two_runs", "scd2_merge", "emb_topk", "emb_kmeans",
     "emb_kmeans_inertia", "emb_covariance", "events_asof_tolerance",
-    "sql_shared_recursive", "io_csv_corrupt_routing", "text_pack_sequences",
+    "sql_shared_recursive",
 ]
 
 

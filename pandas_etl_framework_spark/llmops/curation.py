@@ -495,8 +495,164 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# Per-source document cap (RefinedWeb-style domain frequency cap)
+# --------------------------------------------------------------------------
+
+DOMAIN_CAP = 15
+_CAP_SALT_BUCKETS = 4
+
+
+def source_doc_cap(
+    docs,
+    cap: int = DOMAIN_CAP,
+    salt_buckets: int = _CAP_SALT_BUCKETS,
+):
+    """Keep at most ``cap`` documents per source, preferring the longest
+    (ties by smallest doc_id) — the RefinedWeb/C4-style domain frequency
+    cap that stops a single hot domain from dominating the training mix.
+
+    Distributed as a TWO-PHASE EXACT top-k per key: phase one ranks
+    within (source, salt) partitions — ``salt = doc_id % salt_buckets``,
+    deterministic — and keeps each partial top-``cap``; phase two ranks
+    the ≤ ``salt_buckets * cap`` survivors per source and keeps the
+    global top-``cap``. The union of partial top-k sets provably
+    contains the global top-k, so the result is exactly the single-
+    window answer — but the heavy first window never sees more than a
+    salt-bucket slice of a hot domain, which is what a single
+    ``Window.partitionBy(source)`` gets wrong at 100 TB (one straggler
+    task owning the hottest domain's billions of rows). ``salt_buckets``
+    scales with expected per-domain skew.
+
+    Output: (doc_id, source, n_chars, rank_in_source), kept rows only.
+    """
+    w1 = Window.partitionBy("source", "salt").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    w2 = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.col("doc_id") % salt_buckets).alias("salt"),
+        )
+        .withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= cap)
+        .withColumn("rank_in_source", F.row_number().over(w2))
+        .filter(F.col("rank_in_source") <= cap)
+        .select("doc_id", "source", "n_chars", "rank_in_source")
+    )
+
+
+def q_text_domain_cap(spark, sf_dir):
+    """Driver row for the domain cap: the two-phase salted top-k must
+    equal the oracle's single global window exactly."""
+    return source_doc_cap(_docs(spark, sf_dir))
+
+
+# Oracle: ONE global window — the two-phase plan must match it row-for-row.
+SQL_TEXT_DOMAIN_CAP = f"""
+WITH ranked AS (
+    SELECT doc_id, source, n_chars,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ) AS INT) AS rank_in_source
+    FROM documents
+)
+SELECT doc_id, source, n_chars, rank_in_source
+FROM ranked WHERE rank_in_source <= {DOMAIN_CAP}
+"""
+
+
+# --------------------------------------------------------------------------
+# Out-of-vocabulary rate vs the corpus top-K vocabulary
+# --------------------------------------------------------------------------
+
+OOV_VOCAB_K = 40
+
+
+def oov_rate(docs, vocab_k: int = OOV_VOCAB_K):
+    """Per-document out-of-vocabulary ratio against the corpus's top-K
+    words by frequency (ties by word) — the classic cheap garbage signal
+    (a doc whose words mostly fall outside the corpus head vocabulary is
+    boilerplate, another language, or noise).
+
+    Scale shape: one explode + word-key shuffle builds corpus
+    frequencies; the vocabulary cut is K rows (orderBy+limit on the
+    AGGREGATED counts — K bounded, so the sort input is |vocab|, not
+    |corpus|); the per-doc membership test joins the exploded tokens
+    against the K-row vocabulary — legitimately broadcast at any corpus
+    size since K is a constant. Counts are exact integers; the single
+    ratio division is performed identically on both engines.
+
+    Output: (doc_id, n_tokens, n_oov, oov_ratio).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col()).alias("word")
+    )
+    vocab = (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(vocab_k)
+        .select("word")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab).withColumn("in_vocab", F.lit(1)), "word", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias(
+                "oov_ratio"
+            ),
+        )
+    )
+
+
+def q_text_oov_rate(spark, sf_dir):
+    return oov_rate(_docs(spark, sf_dir))
+
+
+SQL_TEXT_OOV_RATE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+    FROM documents
+),
+vocab AS (
+    SELECT word FROM (
+        SELECT word, COUNT(*) AS freq,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rk
+        FROM toks GROUP BY word
+    ) WHERE rk <= {OOV_VOCAB_K}
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS oov_ratio
+FROM toks t LEFT JOIN vocab v ON t.word = v.word
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "text_pii_redact": (q_text_pii_redact, SQL_TEXT_PII_REDACT),
+    "text_domain_cap": (q_text_domain_cap, SQL_TEXT_DOMAIN_CAP),
+    "text_oov_rate": (q_text_oov_rate, SQL_TEXT_OOV_RATE),
     "text_shuffle_shard": (q_text_shuffle_shard, SQL_TEXT_SHUFFLE_SHARD),
     "text_source_mixture": (q_text_source_mixture, SQL_TEXT_SOURCE_MIXTURE),
     "text_weighted_reservoir": (
