@@ -1081,6 +1081,7 @@ def containment_pairs(
     c_num: int = CONT_C_NUM,
     c_den: int = CONT_C_DEN,
     min_size: int = CONT_MIN_SIZE,
+    broadcast_dfreq: bool | None = None,
 ) -> DataFrame:
     """Ordered pairs (doc_inner, doc_outer, intersection, containment)
     with shingle containment |inner ∩ outer| / |inner| >= c — the
@@ -1117,8 +1118,22 @@ def containment_pairs(
     k = F.floor((c_num * F.col("set_size") + c_den - 1) / c_den).cast("long")
     plen = F.col("set_size") - k + 1
     w = Window.partitionBy("doc_id").orderBy("dfreq", "tok")
+    # same vocab-sized-broadcast gate as jaccard_prefix_pairs: auto mode
+    # bounds the vocabulary by total token count over the checkpointed
+    # sets and hints only while that fits the session threshold; at
+    # corpus scale the hint is withheld and the join runs as an ordinary
+    # shuffle (VERDICT r05 item 3's hazard class, containment sibling)
+    if broadcast_dfreq is None and broadcast_threshold_bytes(
+        token_sets.sparkSession
+    ) > 0:
+        vocab_bound = ts.agg(F.sum("set_size")).first()[0] or 0
+        dfreq_hinted = maybe_broadcast(
+            dfreq, est_rows=vocab_bound, bytes_per_row=24
+        )
+    else:
+        dfreq_hinted = maybe_broadcast(dfreq, force=bool(broadcast_dfreq))
     prefix = (
-        sh.join(F.broadcast(dfreq), "tok")
+        sh.join(dfreq_hinted, "tok")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= plen)
         .select(F.col("doc_id").alias("doc_inner"), "tok")

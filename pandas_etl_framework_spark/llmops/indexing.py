@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..scale import maybe_broadcast
+
 TOPK_TERMS = 3          # keywords kept per document
 POSTINGS_CAP = 8        # doc ids kept per inverted-index posting list
 LN_SCALE = 1_000_000    # quantization grid for logarithm-valued scores
@@ -78,9 +80,16 @@ def tfidf_topk(
     broadcast singleton (no eager driver-side ``.count()`` job), the same
     one-lazy-plan idiom as rel_dq_constraints' row-count join. Both paths
     share this single implementation.
+
+    The per-term document-frequency table is VOCABULARY-sized; its
+    broadcast hint is config-gated (withheld when the session disables
+    broadcasting via ``autoBroadcastJoinThreshold <= 0``), so at corpus
+    scale — word vocabularies reach 10^8+ terms — disabling the
+    threshold turns the join into an ordinary term-key shuffle with no
+    code change.
     """
     df_tbl = docs_tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    base = docs_tf.join(F.broadcast(df_tbl), "term")
+    base = docs_tf.join(maybe_broadcast(df_tbl), "term")
     if isinstance(n_docs, DataFrame):
         base = base.crossJoin(F.broadcast(n_docs))
         n_col = F.col("n_docs").cast("double")
@@ -205,6 +214,10 @@ def unigram_surprisal(docs_tf: DataFrame) -> DataFrame:
     sum, and the mean (one IEEE division of identical integers, so exact
     across engines).  High mean surprisal = rare-token-heavy document: the
     same screening CCNet does with a KenLM, with the corpus itself as the LM.
+
+    The corpus unigram table is vocabulary-sized; its broadcast hint is
+    config-gated like ``tfidf_topk``'s — disable the session broadcast
+    threshold at corpus scale and the join shuffles on the term key.
     """
     corpus = docs_tf.groupBy("term").agg(F.sum("tf").alias("cw"))
     total = corpus.agg(F.sum("cw").alias("t_total"))
@@ -213,7 +226,7 @@ def unigram_surprisal(docs_tf: DataFrame) -> DataFrame:
         * LN_SCALE
     ).cast("bigint")
     return (
-        docs_tf.join(F.broadcast(corpus), "term")
+        docs_tf.join(maybe_broadcast(corpus), "term")
         .crossJoin(F.broadcast(total))
         .withColumn("tok_surp_q", F.col("tf") * surp_q)
         .groupBy("doc_id")

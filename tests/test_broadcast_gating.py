@@ -156,6 +156,48 @@ def test_non_broadcast_plan_has_no_broadcast_join(spark):
     )
 
 
+def test_containment_broadcast_off_identical(spark):
+    from pandas_etl_framework_spark.llmops.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+            (3, "wholly different words about nothing in particular here "
+                "covering unrelated topics entirely separate matters"),
+        ],
+        "doc_id long, text string",
+    )
+    ts = token_sets_df(docs)
+    base = _sorted(containment_pairs(ts, min_size=5))
+    off = _sorted(containment_pairs(ts, min_size=5, broadcast_dfreq=False))
+    on = _sorted(containment_pairs(ts, min_size=5, broadcast_dfreq=True))
+    with _threshold(spark, -1):
+        gated = _sorted(containment_pairs(ts, min_size=5))
+    assert base == off == on == gated
+    # doc 1's shingles are a prefix of doc 2's -> containment pair exists
+    assert any(a == 1 and b == 2 for (a, b, *_r) in base)
+
+
+def test_vocab_table_joins_gate_on_threshold(spark):
+    from pandas_etl_framework_spark.llmops.indexing import (
+        tfidf_topk,
+        unigram_surprisal,
+    )
+
+    tf = spark.createDataFrame(
+        [(1, "aa", 3), (1, "bb", 1), (2, "aa", 1), (2, "cc", 2)],
+        "doc_id long, term string, tf long",
+    )
+    base_t = _sorted(tfidf_topk(tf, 2, k=2))
+    base_u = _sorted(unigram_surprisal(tf))
+    with _threshold(spark, -1):
+        gated_t = _sorted(tfidf_topk(tf, 2, k=2))
+        gated_u = _sorted(unigram_surprisal(tf))
+    assert base_t == gated_t and base_u == gated_u
+
+
 def test_maybe_broadcast_size_gate(spark):
     df = spark.range(10)
     # fits: hint applied -> plan broadcasts even against a big side

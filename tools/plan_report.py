@@ -80,6 +80,9 @@ AUDIT = [
     "dedup_containment",
     "dedup_keeper_priority",
     "events_mad_outliers",
+    "io_read_current_hashes",
+    "text_domain_cap",
+    "text_oov_rate",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
