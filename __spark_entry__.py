@@ -39,11 +39,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Subset contract: the driver records correctness rows for the FIRST 50
-# queries() entries only, while the registry holds 206 (205 oracle-gated
+# queries() entries only, while the registry holds 207 (206 oracle-gated
 # + rows-only emb_pca_project, which stays OUT of the window permanently
 # per the r04 ruling — its gate is the numpy parity test in
-# tests/test_projection.py; io_read_current_hashes, text_domain_cap and
-# text_oov_rate joined in r06).
+# tests/test_projection.py; io_read_current_hashes, text_domain_cap,
+# text_oov_rate and streaming_scd2_merge joined in r06).
 # Cumulative after r05: 180 of the r05-era 203 ever driver-checked,
 # 180 ever-green.
 #
@@ -51,8 +51,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # dark query — the 23 enumerated in the r05 verdict (20 simple shapes /
 # pair-level siblings + the three r05 additions dedup_containment,
 # dedup_keeper_priority, events_mad_outliers) plus io_read_current_hashes
-# (S3's own oracle row per r05 item 8). The three r06 registry additions
-# are all IN this window, so a green window makes the registry 206/206
+# (S3's own oracle row per r05 item 8). The four r06 registry additions
+# are all IN this window, so a green window makes the registry 207/207
 # ever-checked — zero dark queries. The remaining slots re-check the code
 # this round touched (the graph fixpoints, triangle census and PPJoin
 # after the size-gated-broadcast change, the BPE trainer after the
@@ -91,11 +91,13 @@ DRIVER_PRIORITY = [
     "streaming_sessionize", "streaming_interval_join", "streaming_enrich",
     "streaming_dedup_counts", "versioned_store_lifecycle",
     # -- new this round: curation additions (two-phase salted per-source
-    #    doc cap vs a single-global-window oracle; corpus top-K OOV rate) -
-    "text_domain_cap", "text_oov_rate",
+    #    doc cap vs a single-global-window oracle; corpus top-K OOV rate)
+    #    and the streaming SCD2 merge (foreachBatch Scd2Store merge under
+    #    pinned run contexts vs the batch scd2_merge oracle verbatim) ----
+    "text_domain_cap", "text_oov_rate", "streaming_scd2_merge",
     # -- re-checks: flagship + headline operators -------------------------
     "cdc_historize_two_runs", "scd2_merge", "emb_topk", "emb_kmeans",
-    "emb_kmeans_inertia", "emb_covariance", "events_asof_tolerance",
+    "emb_kmeans_inertia", "events_asof_tolerance",
     "sql_shared_recursive",
 ]
 

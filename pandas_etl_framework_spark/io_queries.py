@@ -387,6 +387,69 @@ WHERE NOT EXISTS (
     )
 
 
+def q_streaming_scd2_merge(spark, sf_dir):
+    """Streaming SCD2 through the REAL micro-batch engine (r06): batch-1
+    order files stream into an Scd2Store via foreachBatch merge
+    (availableNow, run context pinned to RUN1/LOWER_BOUND), then batch-2
+    files land and a second availableNow run on the SAME checkpoint
+    merges them under RUN2/LOAD_DATE. The store must equal the batch
+    scd2_merge result COLUMN FOR COLUMN — the full 5-way routing
+    including VALID_FROM/VALID_TO stamps — because the pinned contexts
+    make every audit column deterministic. This is the streaming twin of
+    the reference's commented merge path (SCDHelpers.py:129-220) the way
+    streaming_cdc_historize twins the live pipeline."""
+    from .constants import (
+        VALID_FROM_MODE_LOAD_DATE,
+        VALID_FROM_MODE_LOWER_BOUND,
+    )
+    from .harness import (
+        RUN1_TS,
+        RUN2_TS,
+        SCD2_COLS,
+        orders_batch1,
+        orders_batch2,
+    )
+    from .meta_columns import create_currents
+    from .scd2_store import Scd2Store
+    from .streaming.historize import streaming_scd2_merge
+
+    tmp = _scratch()
+    try:
+        src, store, ckpt = f"{tmp}/src", f"{tmp}/store", f"{tmp}/ckpt"
+        b1 = orders_batch1(spark, sf_dir)
+        b2 = orders_batch2(spark, sf_dir)
+        b1.write.parquet(src)
+        schema = b1.schema
+        runs = [
+            (create_currents(RUN1_TS), VALID_FROM_MODE_LOWER_BOUND),
+            (create_currents(RUN2_TS), VALID_FROM_MODE_LOAD_DATE),
+        ]
+        for i, (ctx, mode) in enumerate(runs):
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = streaming_scd2_merge(
+                spark,
+                stream,
+                store,
+                ckpt,
+                ["o_orderkey"],
+                valid_from_mode=mode,
+                trigger_once=True,
+                currents=ctx,
+            )
+            q.awaitTermination()
+            if i == 0:
+                b2.write.mode("append").parquet(src)
+        out = (
+            Scd2Store(spark, store)
+            .read()
+            .select(*SCD2_COLS)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_io_read_current_hashes(spark, sf_dir):
     """S3's own oracle row (VERDICT r05 item 8): stamp batch-1 orders,
     write them through the partitioned store sink, then read back ONLY
@@ -422,6 +485,13 @@ def register_all() -> None:
         "io_read_current_hashes",
         q_io_read_current_hashes,
         _sql_io_read_current_hashes(),
+    )
+    # oracle is the batch scd2_merge twin, verbatim — the streaming path
+    # must land on the identical 5-way-routed store
+    harness.register(
+        "streaming_scd2_merge",
+        q_streaming_scd2_merge,
+        harness.SQL_SCD2_MERGE,
     )
     harness.register(
         "io_partitioned_sink", q_io_partitioned_sink, SQL_IO_PARTITIONED_SINK

@@ -119,10 +119,19 @@ def streaming_scd2_merge(
     valid_from_mode: int = 2,  # VALID_FROM_MODE_LOAD_DATE
     record_hash_exclude_columns: list[str] | None = None,
     trigger_once: bool = False,
+    currents: dict | None = None,
 ):
     """Continuous SCD Type 2: each micro-batch is stamped and merged into an
     Scd2Store (open-partition overwrite + closed-partition append), so the
     one-open-row-per-key invariant holds at every micro-batch boundary.
+
+    ``currents``: None (production default) stamps each micro-batch with a
+    fresh wall-clock run context; passing a context pins EVERY micro-batch
+    of this invocation to it — the deterministic-replay hook the oracle
+    harness uses (one pinned context per availableNow run = one logical
+    "load" regardless of how the engine chops the files into batches;
+    merging same-context sub-batches sequentially is equivalent to one
+    merge because keys within a load are unique).
     """
     from ..meta_columns import add_meta_columns
     from ..scd2_store import Scd2Store
@@ -132,11 +141,11 @@ def streaming_scd2_merge(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        currents = create_currents()
+        ctx = currents if currents is not None else create_currents()
         stamped = add_meta_columns(
-            batch_df, currents, key_columns, record_hash_exclude_columns
+            batch_df, ctx, key_columns, record_hash_exclude_columns
         )
-        store.merge(stamped, currents=currents, valid_from_mode=valid_from_mode)
+        store.merge(stamped, currents=ctx, valid_from_mode=valid_from_mode)
 
     writer = (
         stream_df.writeStream.outputMode("update")
