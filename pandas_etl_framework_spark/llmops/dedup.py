@@ -1203,8 +1203,137 @@ WHERE {CONT_C_DEN} * i.intersection >= {CONT_C_NUM} * s.set_size
 """
 
 
+# --------------------------------------------------------------------------
+# LSH candidate quality: recall/precision vs exact Jaccard ground truth
+# --------------------------------------------------------------------------
+
+def q_dedup_minhash_recall(spark, sf_dir):
+    """One-row quality report of the MinHash-LSH candidate generator
+    against exact ground truth: n_true (pairs with exact shingle Jaccard
+    >= t), n_candidates (pairs sharing any LSH band bucket), n_hits
+    (their intersection), and the derived recall (hits/true) and
+    precision (hits/candidates).
+
+    This is the 'measure, don't guess' knob for the band/row
+    configuration (NUM_MINHASHES/LSH_BANDS trade recall against
+    candidate volume): a production corpus tunes bands by watching
+    exactly these two ratios on a sample. All counts are exact integers
+    computed from the SAME shingle definition on both engines; the two
+    ratio divisions are single double ops performed identically."""
+    # ground truth rebuilt from shingles with the EXACT integer threshold
+    # (never from the pair query's float jaccard column — re-deriving the
+    # union size from a double ratio can flip a boundary pair)
+    sh = shingles_df(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("set_size").alias("size_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("set_size").alias("size_b"),
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.lit(JACCARD_T_DEN) * F.col("i")
+            >= F.lit(JACCARD_T_NUM)
+            * (F.col("size_a") + F.col("size_b") - F.col("i"))
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    cand = q_dedup_minhash_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    hits = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_hits").cast("double") / F.col("n_true"),
+            ).otherwise(F.lit(0.0)).alias("recall"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_hits").cast("double") / F.col("n_candidates"),
+            ).otherwise(F.lit(0.0)).alias("precision"),
+        )
+    )
+
+
+SQL_DEDUP_MINHASH_RECALL = (
+    f"WITH {SQL_SHINGLES},{SQL_MINHASH_BANDS_BODY}"
+    f""",
+sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS set_size
+    FROM shingles GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS i
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE {JACCARD_T_DEN} * i
+          >= {JACCARD_T_NUM} * (sa.set_size + sb.set_size - i)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+),
+counts AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM truth t JOIN cand c
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hits
+)
+SELECT n_true, n_candidates, n_hits,
+       CASE WHEN n_true > 0
+            THEN CAST(n_hits AS DOUBLE) / n_true
+            ELSE CAST(0.0 AS DOUBLE) END AS recall,
+       CASE WHEN n_candidates > 0
+            THEN CAST(n_hits AS DOUBLE) / n_candidates
+            ELSE CAST(0.0 AS DOUBLE) END AS "precision"
+FROM counts
+"""
+)
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_recall": (q_dedup_minhash_recall, SQL_DEDUP_MINHASH_RECALL),
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_DEDUP_JACCARD_PREFIX),

@@ -356,8 +356,88 @@ QUERIES = {
 }
 
 
+SKEW_TOP_K = 20
+
+
+def key_skew_profile(
+    df: DataFrame, key: str, top_k: int = SKEW_TOP_K
+) -> DataFrame:
+    """Heavy-hitter profile of a join/aggregation key: the ``top_k``
+    hottest values with row count, share of total, and cumulative share —
+    the diagnostic that decides whether a key needs salting (`salted_join`
+    / `salted_aggregate`), a broadcast, or AQE skew handling before a
+    100-TB join is launched.
+
+    One groupBy shuffle on the key; the top-k cut sorts only the
+    AGGREGATED key counts; share divisions are single double ops over
+    exact integer counts; cumulative share is a window over the K-row
+    result (driver-scale, never corpus-scale). Ties break on the key
+    value so the profile is deterministic.
+    """
+    counts = df.groupBy(key).agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    from pyspark.sql import Window
+
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col(key))
+        .limit(top_k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = (
+        Window.orderBy(F.col("n").desc(), F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.select(
+        F.col(key),
+        "n",
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col(key))
+        ).alias("rank"),
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+        (F.sum("n").over(w).cast("double") / F.col("total")).alias(
+            "cum_share"
+        ),
+    )
+
+
+def q_rel_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hottest l_suppkey values in lineitem with row share and
+    cumulative share — the pre-join skew diagnostic as a driver row."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_suppkey")
+    return key_skew_profile(li, "l_suppkey")
+
+
+SQL_REL_KEY_SKEW_PROFILE = f"""
+WITH counts AS (
+    SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_suppkey
+),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+top AS (
+    SELECT l_suppkey, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, l_suppkey) AS INT)
+               AS rank,
+           CAST(SUM(n) OVER (
+               ORDER BY n DESC, l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_n
+    FROM counts
+)
+SELECT l_suppkey, n, rank,
+       CAST(n AS DOUBLE) / total.total AS share,
+       CAST(cum_n AS DOUBLE) / total.total AS cum_share
+FROM top CROSS JOIN total
+WHERE rank <= {SKEW_TOP_K}
+"""
+
+
 def register_all() -> None:
     from . import harness
 
     for name, (fn, sql) in QUERIES.items():
         harness.register(name, fn, sql)
+    harness.register(
+        "rel_key_skew_profile",
+        q_rel_key_skew_profile,
+        SQL_REL_KEY_SKEW_PROFILE,
+    )
