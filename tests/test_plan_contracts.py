@@ -41,6 +41,8 @@ BNLJ_SINGLETON_OK = {
     "curation_pipeline",
     "graph_triangles",         # n_edges x tri x wedges one-row census rows
     "emb_covariance",          # row-count singleton joined onto d^2 moments
+    "dedup_minhash_recall",    # n_true x n_candidates x n_hits one-row report
+    "rel_key_skew_profile",    # total-row-count singleton onto K-row top list
 }
 
 SKIP = {
