@@ -40,6 +40,13 @@ QUERIES = [
     "multimodal_phash_dedup",
     "text_shuffle_shard",
     "events_ewma",
+    "dedup_containment",
+    "dedup_keeper_priority",
+    "events_mad_outliers",
+    "text_domain_cap",
+    "text_oov_rate",
+    "dedup_minhash_recall",
+    "rel_key_skew_profile",
 ]
 
 
@@ -79,9 +86,22 @@ def main() -> None:
             f"| {name} | {ts[0]:.2f}s | {ts[1]:.2f}s | {ts[2]:.2f}s | {slope}x |"
         )
     lines.append("")
-    lines.append(NARRATIVE)
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "SCALING.md"), "w") as fh:
+    # Preserve every narrative section of the EXISTING file (everything
+    # from its first "## " heading onward) — the hard-coded NARRATIVE
+    # constant below is only the bootstrap for a missing file. Without
+    # this, regenerating the table silently clobbered the per-round
+    # evidence sections added after the tool last ran.
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALING.md")
+    narrative = NARRATIVE
+    if os.path.exists(path):
+        with open(path) as fh:
+            existing = fh.read()
+        idx = existing.find("\n## ")
+        if idx != -1:
+            narrative = existing[idx + 1:]
+    lines.append(narrative)
+    with open(path, "w") as fh:
         fh.write("\n".join(lines))
     print("wrote SCALING.md")
     spark.stop()
