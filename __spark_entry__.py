@@ -39,12 +39,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Subset contract: the driver records correctness rows for the FIRST 50
-# queries() entries only, while the registry holds 209 (208 oracle-gated
+# queries() entries only, while the registry holds 210 (209 oracle-gated
 # + rows-only emb_pca_project, which stays OUT of the window permanently
 # per the r04 ruling — its gate is the numpy parity test in
 # tests/test_projection.py; io_read_current_hashes, text_domain_cap,
-# text_oov_rate, streaming_scd2_merge, dedup_minhash_recall and
-# rel_key_skew_profile joined in r06).
+# text_oov_rate, streaming_scd2_merge, dedup_minhash_recall,
+# rel_key_skew_profile and io_jdbc_roundtrip joined in r06).
 # Cumulative after r05: 180 of the r05-era 203 ever driver-checked,
 # 180 ever-green.
 #
@@ -52,9 +52,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # dark query — the 23 enumerated in the r05 verdict (20 simple shapes /
 # pair-level siblings + the three r05 additions dedup_containment,
 # dedup_keeper_priority, events_mad_outliers) plus io_read_current_hashes
-# (S3's own oracle row per r05 item 8). All six r06 registry additions
-# are IN this window, so a green window makes the registry 209/209
-# ever-checked — zero dark queries. The remaining slots re-check the code
+# (S3's own oracle row per r05 item 8). All seven r06 registry additions
+# are IN this window, so a green window makes the registry 210/210
+# ever-checked — zero dark queries. (dedup_incremental yields its
+# re-check slot to io_jdbc_roundtrip: driver-green r05, untouched since.) The remaining slots re-check the code
 # this round touched (the graph fixpoints, triangle census and PPJoin
 # after the size-gated-broadcast change, the BPE trainer after the
 # oracle-dir pinning, connected-components consumers) and the r05
@@ -85,7 +86,9 @@ DRIVER_PRIORITY = [
     # -- re-checks: PPJoin after the dfreq broadcast gate (r05 item 3) +
     #    connected-components consumers after the max_iterations guard ----
     "dedup_jaccard_prefix", "dedup_clusters", "dedup_minhash_pairs",
-    "dedup_incremental",
+    # -- new this round: JDBC round-trip through embedded Derby (closes
+    #    the one IO path that had zero executed coverage) ----------------
+    "io_jdbc_roundtrip",
     # -- new this round: LSH candidate-quality metrics (recall/precision
     #    vs exact-Jaccard ground truth) and the pre-join heavy-hitter key
     #    skew diagnostic ---------------------------------------------------
