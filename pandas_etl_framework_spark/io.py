@@ -173,6 +173,29 @@ def read_jdbc(
     return reader.load()
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    **properties,
+) -> None:
+    """JDBC sink twin of ``read_jdbc``: each output partition opens one
+    connection and writes its rows batched, so write parallelism = the
+    DataFrame's partition count (repartition before calling to match the
+    database's ingest capacity — N concurrent writers against a
+    single-node database is a knob, not a default)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .mode(mode)
+    )
+    for k, v in properties.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def delete_store(spark: SparkSession, path: str) -> bool:
     """Remove a store directory (simulation/bootstrap reset).
 

@@ -398,9 +398,7 @@ def q_io_jdbc_roundtrip(spark, sf_dir):
     tmp = _scratch()
     try:
         url = f"jdbc:derby:{tmp}/db;create=true"
-        src.write.format("jdbc").option("url", url).option(
-            "dbtable", "region_rt"
-        ).mode("overwrite").save()
+        eio.write_jdbc(src, url, "region_rt", mode="overwrite")
         back = eio.read_jdbc(
             spark,
             url,

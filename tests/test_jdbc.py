@@ -11,7 +11,7 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
-from pandas_etl_framework_spark.io import read_jdbc
+from pandas_etl_framework_spark.io import read_jdbc, write_jdbc
 
 
 @pytest.fixture()
@@ -26,9 +26,7 @@ def test_jdbc_write_read_roundtrip(spark, derby_url):
         F.concat(F.lit("n"), F.col("id")).alias("name"),
         (F.col("id") * 2.5).alias("val"),
     )
-    src.write.format("jdbc").option("url", derby_url).option(
-        "dbtable", "roundtrip"
-    ).mode("overwrite").save()
+    write_jdbc(src, derby_url, "roundtrip", mode="overwrite")
     back = read_jdbc(spark, derby_url, "roundtrip")
     assert back.count() == 50
     got = sorted(
