@@ -1207,7 +1207,9 @@ WHERE {CONT_C_DEN} * i.intersection >= {CONT_C_NUM} * s.set_size
 # LSH candidate quality: recall/precision vs exact Jaccard ground truth
 # --------------------------------------------------------------------------
 
-def q_dedup_minhash_recall(spark, sf_dir):
+def minhash_recall_report(
+    spark, docs: DataFrame, sample_mod: int = 1
+) -> DataFrame:
     """One-row quality report of the MinHash-LSH candidate generator
     against exact ground truth: n_true (pairs with exact shingle Jaccard
     >= t), n_candidates (pairs sharing any LSH band bucket), n_hits
@@ -1216,14 +1218,21 @@ def q_dedup_minhash_recall(spark, sf_dir):
 
     This is the 'measure, don't guess' knob for the band/row
     configuration (NUM_MINHASHES/LSH_BANDS trade recall against
-    candidate volume): a production corpus tunes bands by watching
-    exactly these two ratios on a sample. All counts are exact integers
-    computed from the SAME shingle definition on both engines; the two
-    ratio divisions are single double ops performed identically."""
+    candidate volume). The exact-truth branch is intentionally the
+    quadratic-flavored baseline — measured slope 9x on 10x data
+    (SCALING.md sf1 rehearsal) — so at corpus scale pass
+    ``sample_mod`` > 1: both truth and candidates are restricted to the
+    deterministic doc sample ``doc_id % sample_mod == 0`` and the
+    ratios estimate the corpus ratios at 1/sample_mod² of the pair
+    cost. All counts are exact integers computed from the SAME shingle
+    definition on both engines; the two ratio divisions are single
+    double ops performed identically."""
+    if sample_mod > 1:
+        docs = docs.filter(F.col("doc_id") % sample_mod == 0)
     # ground truth rebuilt from shingles with the EXACT integer threshold
     # (never from the pair query's float jaccard column — re-deriving the
     # union size from a double ratio can flip a boundary pair)
-    sh = shingles_df(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    sh = shingles_df(docs).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     inter = (
         sh.alias("a")
@@ -1260,7 +1269,40 @@ def q_dedup_minhash_recall(spark, sf_dir):
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    cand = q_dedup_minhash_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    # candidates from the SAME (possibly sampled) docs so recall is
+    # measured like-for-like; `sh` is the checkpointed shingle relation
+    # above, so the signature pass re-reads blocks, not the corpus
+    sig = minhash_signatures_perm(sh)
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh{b * ROWS_PER_BAND + i}").cast("string")
+                    for i in range(ROWS_PER_BAND)
+                ],
+            ).alias("band_key"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key").localCheckpoint(eager=True)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     hits = truth.join(cand, ["doc_a", "doc_b"]).agg(
         F.count("*").alias("n_hits")
     )
@@ -1283,6 +1325,13 @@ def q_dedup_minhash_recall(spark, sf_dir):
             ).otherwise(F.lit(0.0)).alias("precision"),
         )
     )
+
+
+def q_dedup_minhash_recall(spark, sf_dir):
+    """Driver row: full-corpus recall report (sample_mod=1 — the gate
+    compares exactly against the full-corpus oracle; production use at
+    scale passes sample_mod > 1)."""
+    return minhash_recall_report(spark, _docs(spark, sf_dir))
 
 
 SQL_DEDUP_MINHASH_RECALL = (

@@ -83,6 +83,9 @@ AUDIT = [
     "io_read_current_hashes",
     "text_domain_cap",
     "text_oov_rate",
+    "dedup_minhash_recall",
+    "rel_key_skew_profile",
+    "io_jdbc_roundtrip",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]

@@ -36,6 +36,8 @@ QUERIES = [
     "tpch_q18",
     "tpch_q5",
     "events_sessionize",
+    "dedup_minhash_recall",
+    "text_domain_cap",
 ]
 
 
