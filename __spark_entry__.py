@@ -39,12 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Subset contract: the driver records correctness rows for the FIRST 50
-# queries() entries only, while the registry holds 210 (209 oracle-gated
+# queries() entries only, while the registry holds 211 (210 oracle-gated
 # + rows-only emb_pca_project, which stays OUT of the window permanently
 # per the r04 ruling — its gate is the numpy parity test in
 # tests/test_projection.py; io_read_current_hashes, text_domain_cap,
 # text_oov_rate, streaming_scd2_merge, dedup_minhash_recall,
-# rel_key_skew_profile and io_jdbc_roundtrip joined in r06).
+# rel_key_skew_profile, io_jdbc_roundtrip and emb_ivf_recall_at_k
+# joined in r06).
 # Cumulative after r05: 180 of the r05-era 203 ever driver-checked,
 # 180 ever-green.
 #
@@ -52,10 +53,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # dark query — the 23 enumerated in the r05 verdict (20 simple shapes /
 # pair-level siblings + the three r05 additions dedup_containment,
 # dedup_keeper_priority, events_mad_outliers) plus io_read_current_hashes
-# (S3's own oracle row per r05 item 8). All seven r06 registry additions
-# are IN this window, so a green window makes the registry 210/210
-# ever-checked — zero dark queries. (dedup_incremental yields its
-# re-check slot to io_jdbc_roundtrip: driver-green r05, untouched since.) The remaining slots re-check the code
+# (S3's own oracle row per r05 item 8). All eight r06 registry additions
+# are IN this window, so a green window makes the registry 211/211
+# ever-checked — zero dark queries. (dedup_incremental and
+# streaming_enrich yield their re-check slots to io_jdbc_roundtrip and
+# emb_ivf_recall_at_k: both driver-green r05, untouched since.) The remaining slots re-check the code
 # this round touched (the graph fixpoints, triangle census and PPJoin
 # after the size-gated-broadcast change, the BPE trainer after the
 # oracle-dir pinning, connected-components consumers) and the r05
@@ -96,8 +98,11 @@ DRIVER_PRIORITY = [
     # -- re-check: BPE trainer after the oracle-corpus-dir guard ----------
     "text_bpe_train",
     # -- re-checks: r05 verdict's named riskiest shapes -------------------
-    "streaming_sessionize", "streaming_interval_join", "streaming_enrich",
+    "streaming_sessionize", "streaming_interval_join",
     "streaming_dedup_counts", "versioned_store_lifecycle",
+    # -- new this round: ANN quality metric (IVF recall@k vs brute force,
+    #    the similarity twin of dedup_minhash_recall) ---------------------
+    "emb_ivf_recall_at_k",
     # -- new this round: curation additions (two-phase salted per-source
     #    doc cap vs a single-global-window oracle; corpus top-K OOV rate)
     #    and the streaming SCD2 merge (foreachBatch Scd2Store merge under

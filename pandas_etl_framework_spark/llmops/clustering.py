@@ -449,6 +449,94 @@ LIMIT {IVF_TOPK}
 SQL_EMB_IVF_TOPK = _sql_ivf_topk()
 
 
+def q_emb_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the probe-limited IVF search vs exact brute force —
+    the standard ANN quality metric, as a one-row oracle-gated report
+    (the similarity twin of dedup_minhash_recall: measure the
+    approximate index before trusting it at corpus scale).
+
+    Both sides score by the SAME quantized cosine, so the only
+    difference is the probe restriction; recall < 1 exactly when a true
+    neighbor lives in an unprobed cluster — the quantity the nprobe
+    knob trades against scan cost. Exact side is one corpus scan + a
+    k-row TakeOrdered; counts exact integers; the one ratio division is
+    performed identically on both engines."""
+    from .similarity import _qdot
+
+    ivf = q_emb_ivf_topk(spark, sf_dir).select("vec_id").localCheckpoint(
+        eager=True
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [
+        int(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select(F.expr(_VQ_EXPR).alias("vq"))
+        .first()["vq"]
+    ]
+    qlit = F.array(*[F.lit(x).cast("long") for x in qv])
+    qq = float(sum(x * x for x in qv))
+    qcos = _qdot(F.col("vq"), qlit) / (
+        F.sqrt(_qdot(F.col("vq"), F.col("vq")).cast("double"))
+        * F.sqrt(F.lit(qq))
+    )
+    exact = (
+        emb.select("vec_id", F.expr(_VQ_EXPR).alias("vq"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", qcos.alias("qcos"))
+        .orderBy(F.col("qcos").desc(), "vec_id")
+        .limit(IVF_TOPK)
+        .select("vec_id")
+    )
+    hits = exact.join(ivf, "vec_id").agg(F.count("*").alias("n_hits"))
+    return hits.select(
+        F.lit(IVF_TOPK).cast("long").alias("k"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        (F.col("n_hits").cast("double") / IVF_TOPK).alias("recall_at_k"),
+    )
+
+
+def _sql_ivf_recall() -> str:
+    i = SEMDEDUP_ITERATIONS
+    tail = f""",
+qv AS (SELECT vq FROM e WHERE vec_id = 0),
+cdist AS (
+    SELECT c.cid,
+           CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                j -> (c.c[j] - q.vq[j]) * (c.c[j] - q.vq[j]))) AS BIGINT) AS d
+    FROM cent{i} c CROSS JOIN qv q
+),
+probes AS (SELECT cid FROM cdist ORDER BY d, cid LIMIT {IVF_NPROBE}),
+scored AS (
+    SELECT e.vec_id,
+           CAST(list_dot_product(e.vq, q.vq) AS BIGINT)
+               / (sqrt(CAST(CAST(list_dot_product(e.vq, e.vq) AS BIGINT) AS DOUBLE))
+                  * sqrt(CAST(CAST(list_dot_product(q.vq, q.vq) AS BIGINT) AS DOUBLE)))
+               AS qcos,
+           a.cid
+    FROM e JOIN a{i} a ON e.vec_id = a.vec_id
+    CROSS JOIN qv q
+    WHERE e.vec_id <> 0
+),
+ivf AS (
+    SELECT vec_id FROM scored
+    WHERE cid IN (SELECT cid FROM probes)
+    ORDER BY qcos DESC, vec_id LIMIT {IVF_TOPK}
+),
+exact AS (
+    SELECT vec_id FROM scored ORDER BY qcos DESC, vec_id LIMIT {IVF_TOPK}
+)
+SELECT CAST({IVF_TOPK} AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM exact JOIN ivf USING (vec_id)) AS BIGINT)
+           AS n_hits,
+       CAST((SELECT COUNT(*) FROM exact JOIN ivf USING (vec_id)) AS DOUBLE)
+           / {IVF_TOPK} AS recall_at_k
+"""
+    return _kmeans_cte_body(KM_K, SEMDEDUP_ITERATIONS) + tail
+
+
+SQL_EMB_IVF_RECALL_AT_K = _sql_ivf_recall()
+
+
 # --------------------------------------------------------------------------
 # PQ asymmetric-distance search + exact rerank, oracle-checkable
 # --------------------------------------------------------------------------
@@ -589,5 +677,6 @@ QUERIES = {
     "emb_kmeans_inertia": (q_emb_kmeans_inertia, _sql_kmeans_inertia()),
     "emb_semantic_dedup": (q_emb_semantic_dedup, SQL_EMB_SEMANTIC_DEDUP),
     "emb_ivf_topk": (q_emb_ivf_topk, SQL_EMB_IVF_TOPK),
+    "emb_ivf_recall_at_k": (q_emb_ivf_recall_at_k, SQL_EMB_IVF_RECALL_AT_K),
     "emb_pq_topk": (q_emb_pq_topk, SQL_EMB_PQ_TOPK),
 }
