@@ -438,7 +438,12 @@ def khop_distances(
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
     # frontier/visited are bounded by the node set; gate their broadcasts
     # on that bound (distinct node count over the checkpointed edges —
-    # one cheap job, skipped when `broadcast` is forced or disabled)
+    # one cheap job, skipped when `broadcast` is forced or disabled).
+    # The estimate counts distinct SOURCES, which equals the node set for
+    # the symmetric edge lists every caller here passes; for a directed
+    # edge list with sink-only nodes it undercounts — the generous
+    # _NODE_ROW_BYTES margin absorbs modest undercounts, and callers with
+    # heavily asymmetric graphs should pass `broadcast` explicitly.
     bc = _node_hinter(
         edges.sparkSession,
         broadcast,
