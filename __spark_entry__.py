@@ -63,6 +63,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-dir pinning, connected-components consumers) and the r05
 # verdict's named riskiest shapes (streaming_sessionize,
 # streaming_interval_join, versioned_store_lifecycle).
+# ROUND-7 ROTATION PLAN: a green r06 window leaves ZERO dark queries, so
+# r07's 50 slots are free for re-verification. Suggested composition:
+# (a) any query whose code r07 touches (same rule as this round);
+# (b) the oldest-evidence rows — queries last driver-checked in r01-r02
+#     (the cdc_*/scd2_* core, rel_* basics, tpch_q1-q22 sample) whose
+#     green rows predate four rounds of refactors;
+# (c) keep every NEW registry query windowed in its landing round —
+#     the standing rule that kept r06 at zero dark.
 DRIVER_PRIORITY = [
     # -- dark until now: relational shapes --------------------------------
     "rel_scalar_date_funcs", "rel_string_funcs", "rel_case_when",
