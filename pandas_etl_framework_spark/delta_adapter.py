@@ -80,6 +80,17 @@ class DeltaStore:
         _require_delta(spark)
         self.spark = spark
         self.path = path
+        # VersionedStore's CDF is always-on; mirror that here or
+        # ``changes()`` would fail on every table this adapter itself
+        # creates. Delta's public mechanism for create-time table
+        # properties is the session default — applies to NEW tables
+        # created after this point (existing tables need one ALTER TABLE
+        # ... SET TBLPROPERTIES ('delta.enableChangeDataFeed'='true')).
+        spark.conf.set(
+            "spark.databricks.delta.properties.defaults."
+            "enableChangeDataFeed",
+            "true",
+        )
 
     # -- writes ------------------------------------------------------------
 

@@ -436,18 +436,19 @@ def khop_distances(
     False = always shuffle joins).
     """
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
-    # frontier/visited are bounded by the node set; gate their broadcasts
-    # on that bound (distinct node count over the checkpointed edges —
-    # one cheap job, skipped when `broadcast` is forced or disabled).
-    # The estimate counts distinct SOURCES, which equals the node set for
-    # the symmetric edge lists every caller here passes; for a directed
-    # edge list with sink-only nodes it undercounts — the generous
-    # _NODE_ROW_BYTES margin absorbs modest undercounts, and callers with
-    # heavily asymmetric graphs should pass `broadcast` explicitly.
+    # frontier/visited are bounded by the FULL node set (src ∪ dst —
+    # counting sources alone would undercount arbitrarily on a directed
+    # sink-heavy graph, e.g. a star with one source and 10^9 sinks, and
+    # then force-broadcast a huge visited relation); one cheap job over
+    # the checkpointed edges, skipped when `broadcast` is forced or the
+    # threshold disables broadcasting.
     bc = _node_hinter(
         edges.sparkSession,
         broadcast,
-        lambda: edges.select(F.col("src").alias("node")).distinct().count(),
+        lambda: edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .count(),
     )
     visited = seeds.select("node", F.lit(0).cast("long").alias("dist"))
     frontier = visited.select("node").localCheckpoint(eager=True)

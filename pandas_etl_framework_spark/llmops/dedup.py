@@ -799,6 +799,23 @@ def token_sets_from_shingles(sh: DataFrame) -> DataFrame:
     )
 
 
+def _gate_dfreq(
+    ts: DataFrame, dfreq: DataFrame, broadcast_dfreq: bool | None
+) -> DataFrame:
+    """Shared vocabulary-sized-broadcast gate for the prefix-filter
+    joins (jaccard_prefix_pairs / containment_pairs): True/False force
+    the hint; None auto-decides against the session broadcast threshold
+    using total token count (one cheap agg over the CHECKPOINTED token
+    sets ``ts``) as a conservative upper bound on the distinct-shingle
+    vocabulary."""
+    if broadcast_dfreq is None and broadcast_threshold_bytes(
+        ts.sparkSession
+    ) > 0:
+        vocab_bound = ts.agg(F.sum("set_size")).first()[0] or 0
+        return maybe_broadcast(dfreq, est_rows=vocab_bound, bytes_per_row=24)
+    return maybe_broadcast(dfreq, force=bool(broadcast_dfreq))
+
+
 def jaccard_prefix_pairs(
     token_sets: DataFrame,
     t_num: int = JACCARD_T_NUM,
@@ -858,12 +875,9 @@ def jaccard_prefix_pairs(
     # dfreq is one row per distinct shingle — broadcast is right while the
     # vocabulary fits an executor (shingled fixture text: 27k tokens at
     # sf0.1), WRONG at corpus scale where distinct shingles ~ corpus size.
-    # ``broadcast_dfreq`` gates the hint (VERDICT r05 item 3): True/False
-    # force it; None auto-decides against the session broadcast threshold
-    # using total token count (one cheap agg over the CHECKPOINTED sets)
-    # as a conservative upper bound on the vocabulary — when withheld, the
-    # join and the doc_id window below run as two ordinary shuffles and
-    # nothing else changes.
+    # ``broadcast_dfreq`` gates the hint (VERDICT r05 item 3); see
+    # _gate_dfreq. When withheld, the join and the doc_id window below run
+    # as two ordinary shuffles and nothing else changes.
     # Both sides of the candidate self-join consume `prefix`, so the dfreq
     # join + ranking window run twice (plan shows Window×2) — but both
     # start from the checkpointed token sets, so the duplicate is window
@@ -871,17 +885,8 @@ def jaccard_prefix_pairs(
     # costs more (materialization write) than the duplicate window saves;
     # on a cluster where the prefix slice is large relative to executor
     # CPU, add .localCheckpoint(eager=False) here and re-measure.
-    if broadcast_dfreq is None and broadcast_threshold_bytes(
-        token_sets.sparkSession
-    ) > 0:
-        vocab_bound = ts.agg(F.sum("set_size")).first()[0] or 0
-        dfreq_hinted = maybe_broadcast(
-            dfreq, est_rows=vocab_bound, bytes_per_row=24
-        )
-    else:
-        dfreq_hinted = maybe_broadcast(dfreq, force=bool(broadcast_dfreq))
     prefix = (
-        sh.join(dfreq_hinted, "tok")
+        sh.join(_gate_dfreq(ts, dfreq, broadcast_dfreq), "tok")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= plen)
         .select("doc_id", "tok", "set_size", "rk")
@@ -1118,22 +1123,12 @@ def containment_pairs(
     k = F.floor((c_num * F.col("set_size") + c_den - 1) / c_den).cast("long")
     plen = F.col("set_size") - k + 1
     w = Window.partitionBy("doc_id").orderBy("dfreq", "tok")
-    # same vocab-sized-broadcast gate as jaccard_prefix_pairs: auto mode
-    # bounds the vocabulary by total token count over the checkpointed
-    # sets and hints only while that fits the session threshold; at
-    # corpus scale the hint is withheld and the join runs as an ordinary
-    # shuffle (VERDICT r05 item 3's hazard class, containment sibling)
-    if broadcast_dfreq is None and broadcast_threshold_bytes(
-        token_sets.sparkSession
-    ) > 0:
-        vocab_bound = ts.agg(F.sum("set_size")).first()[0] or 0
-        dfreq_hinted = maybe_broadcast(
-            dfreq, est_rows=vocab_bound, bytes_per_row=24
-        )
-    else:
-        dfreq_hinted = maybe_broadcast(dfreq, force=bool(broadcast_dfreq))
+    # same vocab-sized-broadcast gate as jaccard_prefix_pairs (shared
+    # _gate_dfreq — VERDICT r05 item 3's hazard class, containment
+    # sibling): at corpus scale the hint is withheld and the join runs
+    # as an ordinary shuffle
     prefix = (
-        sh.join(dfreq_hinted, "tok")
+        sh.join(_gate_dfreq(ts, dfreq, broadcast_dfreq), "tok")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= plen)
         .select(F.col("doc_id").alias("doc_inner"), "tok")

@@ -95,13 +95,24 @@ def _pil_decode_image(content: bytes) -> dict | None:
     try:
         with Image.open(io.BytesIO(content)) as img:
             img.load()
+            # Normalize to 8-bit gray/RGB BEFORE averaging: raw-mode bytes
+            # of palette ('P'), RGBA, or 16-bit ('I;16'/'I') images are
+            # indices / alpha-interleaved / little-endian halves, and
+            # averaging them silently returns a wrong mean — the exact
+            # hazard the netpbm path refuses loudly (maxval > 255 check).
+            # Same normalization _pil_resize applies.
+            if img.mode not in ("L", "RGB"):
+                img = img.convert("RGB" if "A" in img.mode or
+                                  img.mode in ("P", "CMYK", "YCbCr")
+                                  else "L")
+            width, height = img.width, img.height
             data = img.tobytes()
     except (UnidentifiedImageError, OSError):
         return None
     n = len(data)
     return {
-        "width": img.width,
-        "height": img.height,
+        "width": width,
+        "height": height,
         "mean_pixel": (sum(data) / n) if n else None,
     }
 

@@ -218,15 +218,21 @@ def sample_stratified(
 
 def broadcast_threshold_bytes(spark: SparkSession) -> int:
     """``spark.sql.autoBroadcastJoinThreshold`` parsed to bytes; <= 0 means
-    broadcasting is disabled. Accepts the numeric and size-suffixed forms
-    Spark itself accepts ('10485760', '10m', '10MB', '-1')."""
+    broadcasting is disabled. Accepts every numeric and size-suffixed form
+    Spark's JavaUtils.byteStringAs accepts ('10485760', '10m', '10MB',
+    '1pb', '-1'). An unparsable value (which Spark itself would have
+    rejected at conf-set time, so this is belt-and-braces) falls back to
+    Spark's 10MB default — the conservative direction for a gate: hints
+    are withheld for anything larger."""
     raw = str(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     ).strip().lower()
     mult = 1
     for suffix, m in (
-        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
-        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+        ("kb", 1 << 10),
+        ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20),
+        ("k", 1 << 10),
         ("b", 1),
     ):
         if raw.endswith(suffix):

@@ -73,14 +73,19 @@ def _replica(table: pa.Table, name: str, i: int) -> pa.Table:
     if name == "embeddings" and i > 0:
         # nudge component 0 by a replica-specific epsilon: cosine
         # structure within a replica is preserved, exact cross-replica
-        # vector duplicates are not
+        # vector duplicates are not. Nudge ONLY non-empty entries (an
+        # empty list's start offset equals its successor's — nudging it
+        # would hit the NEXT vector's component 0) and carry the null
+        # mask through from_arrays so null embeddings stay null.
         emb = table.column("embedding").combine_chunks()
         values = emb.values.to_numpy(zero_copy_only=False).copy()
         offsets = emb.offsets.to_numpy(zero_copy_only=False)
-        starts = offsets[:-1]
-        values[starts] = values[starts] + (i * 1e-3)
+        starts, ends = offsets[:-1], offsets[1:]
+        nonempty = starts[starts < ends]
+        values[nonempty] = values[nonempty] + (i * 1e-3)
+        mask = emb.is_null() if emb.null_count else None
         nudged = pa.ListArray.from_arrays(
-            emb.offsets, pa.array(values, type=pa.float32())
+            emb.offsets, pa.array(values, type=pa.float32()), mask=mask
         )
         eidx = table.schema.get_field_index("embedding")
         table = table.set_column(

@@ -60,7 +60,9 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             row[label] = round(time.time() - t0, 2)
-        row["slope"] = round(row["sf1"] / row["sf0.1"], 1)
+        # a warm cheap query can round to 0.00s; clamp the denominator so
+        # one fast cell can't ZeroDivisionError the whole rehearsal
+        row["slope"] = round(row["sf1"] / max(row["sf0.1"], 0.01), 1)
         out[name] = row
         print(f"{name}: {row['sf0.1']}s -> {row['sf1']}s  slope {row['slope']}x",
               flush=True)
