@@ -76,39 +76,54 @@ class DeltaStore:
     ==================  =========================================
     """
 
+    _CDF_DEFAULT_KEY = (
+        "spark.databricks.delta.properties.defaults.enableChangeDataFeed"
+    )
+
     def __init__(self, spark: SparkSession, path: str):
         _require_delta(spark)
         self.spark = spark
         self.path = path
-        # VersionedStore's CDF is always-on; mirror that here or
-        # ``changes()`` would fail on every table this adapter itself
-        # creates. Delta's public mechanism for create-time table
-        # properties is the session default — applies to NEW tables
-        # created after this point (existing tables need one ALTER TABLE
-        # ... SET TBLPROPERTIES ('delta.enableChangeDataFeed'='true')).
-        spark.conf.set(
-            "spark.databricks.delta.properties.defaults."
-            "enableChangeDataFeed",
-            "true",
-        )
 
     # -- writes ------------------------------------------------------------
 
     def write(self, df: DataFrame, mode: str = "append") -> None:
-        (
-            df.write.format("delta")
-            .mode(mode)
-            .option("mergeSchema", "true")  # VersionedStore evolves schemas
-            .save(self.path)
-        )
+        # VersionedStore's CDF is always-on; mirror that here or
+        # ``changes()`` would fail on every table this adapter itself
+        # creates. The session default is the create-time mechanism for
+        # path-based tables, but it is session-global — scope it to this
+        # write and restore the caller's value so unrelated Delta tables
+        # created later in the session don't silently inherit CDF (and
+        # its per-write change-file overhead).
+        prev = self.spark.conf.get(self._CDF_DEFAULT_KEY, None)
+        self.spark.conf.set(self._CDF_DEFAULT_KEY, "true")
+        try:
+            (
+                df.write.format("delta")
+                .mode(mode)
+                # VersionedStore evolves schemas
+                .option("mergeSchema", "true")
+                .save(self.path)
+            )
+        finally:
+            if prev is None:
+                self.spark.conf.unset(self._CDF_DEFAULT_KEY)
+            else:
+                self.spark.conf.set(self._CDF_DEFAULT_KEY, prev)
 
     def merge_upsert(self, source: DataFrame, key_columns: list[str]) -> None:
         """merge_cdc as a native transactional MERGE (ref semantics
         SCDHelpers.py:67-73: delete-then-insert per key becomes
-        whenMatched update + whenNotMatched insert)."""
+        whenMatched update + whenNotMatched insert).
+
+        Contract (same as ``VersionedStore.merge``): ``source`` must have
+        at most one row per key tuple — callers dedup first. A
+        multi-row-per-key source makes the MERGE ambiguous and Delta
+        fails it at runtime with its multiple-source-matches error.
+        """
         DeltaTable = _require_delta(self.spark)
         target = DeltaTable.forPath(self.spark, self.path)
-        cond = " AND ".join(f"t.{k} = s.{k}" for k in key_columns)
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in key_columns)
         (
             target.alias("t")
             .merge(source.alias("s"), cond)

@@ -805,13 +805,24 @@ def _gate_dfreq(
     """Shared vocabulary-sized-broadcast gate for the prefix-filter
     joins (jaccard_prefix_pairs / containment_pairs): True/False force
     the hint; None auto-decides against the session broadcast threshold
-    using total token count (one cheap agg over the CHECKPOINTED token
-    sets ``ts``) as a conservative upper bound on the distinct-shingle
-    vocabulary."""
+    using ``approx_count_distinct`` over the CHECKPOINTED token sets
+    ``ts`` — i.e. an HLL estimate of the actual distinct-shingle
+    vocabulary (= the dfreq row count), padded 10% for sketch error.
+    One eager map-side-combined agg over checkpointed longs; unlike the
+    earlier sum(set_size) bound it does NOT overestimate on highly
+    duplicated corpora, where total token count exceeds the vocabulary
+    by orders of magnitude and would withhold a beneficial broadcast
+    (ADVICE r06)."""
     if broadcast_dfreq is None and broadcast_threshold_bytes(
         ts.sparkSession
     ) > 0:
-        vocab_bound = ts.agg(F.sum("set_size")).first()[0] or 0
+        vocab_est = (
+            ts.select(F.explode("toks").alias("tok"))
+            .agg(F.approx_count_distinct("tok").alias("v"))
+            .first()[0]
+            or 0
+        )
+        vocab_bound = int(vocab_est * 1.1) + 1
         return maybe_broadcast(dfreq, est_rows=vocab_bound, bytes_per_row=24)
     return maybe_broadcast(dfreq, force=bool(broadcast_dfreq))
 

@@ -101,6 +101,19 @@ def _pil_decode_image(content: bytes) -> dict | None:
             # averaging them silently returns a wrong mean — the exact
             # hazard the netpbm path refuses loudly (maxval > 255 check).
             # Same normalization _pil_resize applies.
+            if img.mode in ("I;16", "I;16B", "I;16L", "I;16N"):
+                # Pillow's I;16->L convert CLIPS values > 255 (silently
+                # wrong mean); scale the 16-bit range down explicitly
+                # instead, mirroring how an 8-bit sensor would quantize.
+                img = img.point(lambda v: v >> 8, mode="L")
+            elif img.mode in ("I", "F"):
+                # 32-bit int / float rasters have no single right 8-bit
+                # scaling — refuse loudly like the netpbm maxval>255
+                # branch rather than return a silently clipped mean.
+                raise NotImplementedError(
+                    f"high-depth image mode {img.mode!r}: no lossless "
+                    "8-bit normalization; pre-scale before decode"
+                )
             if img.mode not in ("L", "RGB"):
                 img = img.convert("RGB" if "A" in img.mode or
                                   img.mode in ("P", "CMYK", "YCbCr")

@@ -1113,8 +1113,21 @@ def q_text_bpe_train(spark, sf_dir):
     runs queries at a different scale than the oracle was generated from
     (ADVICE r05). Non-gate consumers (bench, ad-hoc use at any scale) go
     through ``bpe_train`` directly."""
-    del sf_dir  # gate-only row: corpus pinned to the oracle's dir
-    merges, _ = bpe_train(_docs(spark, _oracle_sf_dir()), n_merges=10)
+    oracle_dir = _oracle_sf_dir()
+    if sf_dir != oracle_dir:
+        # gate-only row: corpus pinned to the oracle's dir. Warn (don't
+        # raise — plan-only consumers run every registry query at
+        # sf0.001) so a bench/scaling consumer at another scale sees
+        # that it is getting the pinned-corpus result (ADVICE r06).
+        import warnings
+
+        warnings.warn(
+            f"q_text_bpe_train ignores sf_dir={sf_dir!r}: its VALUES "
+            f"oracle is corpus-specific, so the corpus is pinned to "
+            f"{oracle_dir!r}; use bpe_train() directly for other scales",
+            stacklevel=2,
+        )
+    merges, _ = bpe_train(_docs(spark, oracle_dir), n_merges=10)
     rows = [
         (rank + 1, left, right, c)
         for rank, (left, right, c) in enumerate(merges)
