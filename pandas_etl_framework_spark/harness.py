@@ -162,6 +162,37 @@ def q_cdc_add_meta(spark, sf_dir):
 SQL_CDC_ADD_META = CDC_PRELUDE + f"SELECT {_S} FROM stamped1"
 
 
+def q_cdc_source_file_meta(spark, sf_dir):
+    """SOURCE_FILE_NAME provenance stamping (VERDICT r06 item 7): stamp
+    batch1 with ``source_file=True`` so the real ``F.input_file_name()``
+    path is exercised, then project the path's BASENAME — deterministic
+    across hosts (the absolute sf_dir differs per environment, the file
+    name does not). The oracle pins the literal 'orders.parquet'."""
+    from .constants import SOURCE_FILE_NAME
+
+    stamped = add_meta_columns(
+        orders_batch1(spark, sf_dir),
+        create_currents(RUN1_TS),
+        ["o_orderkey"],
+        source_file=True,
+    )
+    return stamped.select(
+        "o_orderkey",
+        KEY_HASH,
+        "INSERT_RUN_ID",
+        F.regexp_extract(F.col(SOURCE_FILE_NAME), "[^/]+$", 0).alias(
+            "source_file_base"
+        ),
+    )
+
+
+SQL_CDC_SOURCE_FILE_META = CDC_PRELUDE + """
+SELECT o_orderkey, KEY_HASH, INSERT_RUN_ID,
+       'orders.parquet' AS source_file_base
+FROM stamped1
+"""
+
+
 def q_cdc_delta(spark, sf_dir):
     return cdc.get_delta(stamped1(spark, sf_dir), stamped2(spark, sf_dir)).select(
         *STAMPED_COLS
@@ -546,6 +577,7 @@ FROM region
 # lazily by __spark_entry__.oracle_sql() so harness import stays pure.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_add_meta": (q_cdc_add_meta, SQL_CDC_ADD_META),
+    "cdc_source_file_meta": (q_cdc_source_file_meta, SQL_CDC_SOURCE_FILE_META),
     "cdc_delta": (q_cdc_delta, SQL_CDC_DELTA),
     "cdc_inserts": (q_cdc_inserts, SQL_CDC_INSERTS),
     "cdc_updates": (q_cdc_updates, SQL_CDC_UPDATES),

@@ -40,6 +40,7 @@ from .constants import (
     PYTHON_TS_FORMAT,
     RECORD_HASH,
     RUN_ID_FORMAT,
+    SOURCE_FILE_NAME,
     UPDATE_RUN_ID,
     UPDATE_TS,
 )
@@ -134,12 +135,24 @@ def add_meta_columns(
     currents: dict,
     key_columns: list[str],
     record_hash_exclude_columns: list[str] | None = None,
+    source_file: bool | str = False,
 ) -> DataFrame:
     """Stamp KEY_HASH, RECORD_HASH, INSERT/UPDATE_TS, INSERT/UPDATE_RUN_ID, DELETED.
 
     ref: MetaColumnHelpers.py:141-152. ``DELETED`` is a nullable timestamp
     (the reference types it as NaT, not boolean — MetaColumnHelpers.py:150);
     preserved for store compatibility.
+
+    ``source_file`` populates the reserved SOURCE_FILE_NAME meta column
+    (constants.py:45, mirroring reference MetaColumnHelpers.py:28 — which
+    declares it but never stamps it): ``True`` records the scan-time file
+    provenance via ``F.input_file_name()`` (empty string when the row
+    does not originate from a file scan, e.g. createDataFrame inputs); a
+    string stamps that literal instead, for deterministic tests and for
+    sources whose provenance the caller already knows (JDBC, streaming).
+    SOURCE_FILE_NAME is a meta column, so it never enters RECORD_HASH —
+    re-loading identical data from a differently named file stays a
+    no-op delta.
     """
     missing = [c for c in key_columns if c not in df.columns]
     if missing:
@@ -154,12 +167,17 @@ def add_meta_columns(
     run_ts = F.to_timestamp(F.lit(currents[CURRENT_RUN_TS]), "yyyy-MM-dd HH:mm:ss")
     df = add_key_hash(df, key_columns)
     df = add_record_hash(df, record_hash_exclude_columns)
-    return df.withColumns(
-        {
-            INSERT_TS: run_ts,
-            UPDATE_TS: run_ts,
-            INSERT_RUN_ID: F.lit(currents[CURRENT_RUN_ID]),
-            UPDATE_RUN_ID: F.lit(currents[CURRENT_RUN_ID]),
-            DELETED: F.lit(None).cast("timestamp"),
-        }
-    )
+    stamped: dict[str, Column] = {
+        INSERT_TS: run_ts,
+        UPDATE_TS: run_ts,
+        INSERT_RUN_ID: F.lit(currents[CURRENT_RUN_ID]),
+        UPDATE_RUN_ID: F.lit(currents[CURRENT_RUN_ID]),
+        DELETED: F.lit(None).cast("timestamp"),
+    }
+    if source_file:
+        stamped[SOURCE_FILE_NAME] = (
+            F.lit(source_file).cast("string")
+            if isinstance(source_file, str)
+            else F.input_file_name()
+        )
+    return df.withColumns(stamped)

@@ -91,3 +91,37 @@ def test_timestamp_column_hash_is_format_stable(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = add_hash_column(df, ["k", "ts"], "H").first()
     assert out["H"] == md5_hex("k#?2021-06-01 10:20:30")
+
+
+def test_source_file_literal_and_record_hash_invariance(grades_run1):
+    """source_file=<str> stamps the literal; SOURCE_FILE_NAME is a meta
+    column, so two stamps of the same data from different "files" must
+    produce identical RECORD_HASHes (re-loading identical data from a
+    renamed file stays a no-op delta)."""
+    from pandas_etl_framework_spark import SOURCE_FILE_NAME
+
+    currents = create_currents(RUN1_TS)
+    a = add_meta_columns(grades_run1, currents, KEY_COLUMNS, source_file="load_a.csv")
+    b = add_meta_columns(grades_run1, currents, KEY_COLUMNS, source_file="load_b.csv")
+    assert a.first()[SOURCE_FILE_NAME] == "load_a.csv"
+    assert b.first()[SOURCE_FILE_NAME] == "load_b.csv"
+    ha = {r[KEY_HASH]: r[RECORD_HASH] for r in a.collect()}
+    hb = {r[KEY_HASH]: r[RECORD_HASH] for r in b.collect()}
+    assert ha == hb
+
+
+def test_source_file_default_absent_and_scan_provenance(spark, tmp_path):
+    """Default keeps the column absent (store compat with pre-r07 data);
+    source_file=True on a file-scanned frame records the real path."""
+    from pandas_etl_framework_spark import SOURCE_FILE_NAME
+
+    currents = create_currents(RUN1_TS)
+    df = spark.createDataFrame([(1, "x")], "k int, v string")
+    assert SOURCE_FILE_NAME not in add_meta_columns(df, currents, ["k"]).columns
+
+    p = str(tmp_path / "prov.parquet")
+    df.write.parquet(p)
+    scanned = spark.read.parquet(p)
+    out = add_meta_columns(scanned, currents, ["k"], source_file=True)
+    fname = out.first()[SOURCE_FILE_NAME]
+    assert "prov.parquet" in fname and fname.endswith(".parquet")
