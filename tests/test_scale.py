@@ -231,3 +231,78 @@ def test_bucketed_join_skips_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_auto_join_strategy_decisions(spark):
+    from pandas_etl_framework_spark.scale import auto_join_strategy
+
+    uniform = spark.range(0, 4000).select((F.col("id") % 1000).alias("k"))
+    hot = spark.range(0, 4000).select(
+        F.when(F.col("id") % 3 != 0, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )
+    assert auto_join_strategy(uniform, ["k"]) == "plain"
+    assert auto_join_strategy(hot, ["k"]) == "salted"
+    # empty probe side: no straggler to spread, stay plain
+    assert auto_join_strategy(uniform.filter("k < 0"), ["k"]) == "plain"
+    # deterministic hash-sampled profile still sees a >=20%-share hitter
+    assert (
+        auto_join_strategy(hot, ["k"], profile_fraction=0.5) == "salted"
+    )
+
+
+def test_auto_join_hot_fixture_takes_salted_path_and_matches_plain(spark):
+    from pandas_etl_framework_spark.scale import SALT_COL, auto_join
+
+    hot = spark.range(0, 4000).select(
+        F.when(F.col("id") % 3 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 100).alias("v"),
+    )
+    dim = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+    )
+    joined = auto_join(hot, dim, ["k"])
+    # plan proof: the hot fixture actually went through salting — the
+    # salt column appears in the physical plan and the join is the
+    # shuffle-hash join salted_join pins (not a broadcast of the
+    # replicated relation)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert SALT_COL in plan
+    assert "ShuffledHashJoin" in plan
+    plain = hot.join(dim, on=["k"]).groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv")
+    )
+    auto = joined.groupBy("grp").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv")
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_auto_join_uniform_fixture_stays_plain(spark):
+    from pandas_etl_framework_spark.scale import SALT_COL, auto_join
+
+    uniform = spark.range(0, 4000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 1000).select(F.col("id").alias("k"))
+    joined = auto_join(uniform, dim, ["k"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert SALT_COL not in plan
+    assert joined.count() == 4000
+
+
+def test_auto_join_unsaltable_how_never_salts(spark):
+    from pandas_etl_framework_spark.scale import SALT_COL, auto_join
+
+    hot = spark.range(0, 3000).select(
+        F.when(F.col("id") % 3 != 0, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )
+    dim = spark.range(0, 10).select(F.col("id").alias("k"), F.lit("x").alias("lbl"))
+    # full outer would duplicate unmatched dim rows under salting — the
+    # guard must route it plain even though the probe side is hot
+    joined = auto_join(hot, dim, ["k"], how="full")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert SALT_COL not in plan
+    # k=8 is the one dim key absent from hot (hot = {7} ∪ multiples of
+    # 3); under a wrongly-salted full join it would surface once per salt
+    # bucket instead of once
+    assert joined.filter("k = 8").count() == 1
