@@ -101,3 +101,55 @@ def test_netpbm_path_unaffected_by_adapter():
     d = multimodal.decode_image(b"P6\n2 2\n255\n" + raster)
     assert (d["width"], d["height"]) == (2, 2)
     assert abs(d["mean_pixel"] - sum(raster) / 12) < 1e-12
+
+
+def test_dhash_neardup_banded_equals_brute_force(spark):
+    """Pigeonhole recall proof on adversarial hashes: base fingerprints
+    plus variants at exactly 1, 3, and 7 flipped bits (7 = the max the
+    8-band guarantee covers) and one at 8 (must be excluded). The banded
+    join must return exactly the brute-force pair set."""
+    import itertools
+
+    from pandas_etl_framework_spark.llmops.multimodal import (
+        dhash_neardup_pairs,
+    )
+
+    bases = [0x0123456789ABCDE7, 0x7EDCBA9876543210, 0x00FF00FF00FF00FF]
+    rows = []
+    mid = 0
+    for base in bases:
+        variants = [
+            base,
+            base ^ (1 << 5),                       # distance 1
+            base ^ (1 << 0) ^ (1 << 17) ^ (1 << 62),   # distance 3
+            base ^ sum(1 << (8 * b) for b in range(7)),  # distance 7
+            base ^ sum(1 << (8 * b + 1) for b in range(8)),  # distance 8
+        ]
+        for v in variants:
+            # keep hashes in signed-64 range like dhash63 (sign bit clear)
+            rows.append((mid, v & 0x7FFFFFFFFFFFFFFF))
+            mid += 1
+    hashes = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = {
+        (r["media_id_a"], r["media_id_b"], r["hamming"])
+        for r in dhash_neardup_pairs(hashes, max_distance=7).collect()
+    }
+    want = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 7:
+            want.add((ia, ib, d))
+    assert got == want
+    # and the 8-distance variant really was excluded from its own family
+    assert not any(a % 5 == 0 and b == a + 4 for a, b, _ in got)
+
+
+def test_dhash_neardup_threshold_guard():
+    import pytest
+
+    from pandas_etl_framework_spark.llmops.multimodal import (
+        dhash_neardup_pairs,
+    )
+
+    with pytest.raises(ValueError):
+        dhash_neardup_pairs(None, max_distance=8, bands=8)
