@@ -387,6 +387,61 @@ WHERE NOT EXISTS (
     )
 
 
+def q_streaming_cdc_redelivery(spark, sf_dir):
+    """Failure-recovery proof for the streaming historization (VERDICT
+    r06 item 2): exactly-once store content under AT-LEAST-ONCE batch
+    delivery. Sequence:
+
+    1. batch-1 files stream into the store (availableNow, checkpoint C);
+    2. C is SNAPSHOTTED — the state a crash would leave if the sink
+       commit landed but the offset commit didn't;
+    3. batch-2 files land, a normal run on C merges them (sink now holds
+       runs 1+2);
+    4. C is ROLLED BACK to the snapshot and the stream restarted — the
+       engine re-delivers every batch-2 file into a store that already
+       contains them.
+
+    The replayed historize_append must be a natural no-op: get_delta
+    anti-joins on (KEY_HASH, RECORD_HASH), and RECORD_HASH excludes the
+    meta columns, so the re-stamped rows (fresh wall-clock run context!)
+    still match and nothing appends. The oracle is the plain two-run
+    batch oracle — re-delivery must be hash-invisible."""
+    from .harness import ORDERS_COLS, orders_batch1, orders_batch2
+    from .streaming.historize import streaming_historize_append
+
+    tmp = _scratch()
+    try:
+        src, store = f"{tmp}/src", f"{tmp}/store"
+        ckpt, snap = f"{tmp}/ckpt", f"{tmp}/ckpt_snapshot"
+        b1 = orders_batch1(spark, sf_dir)
+        b2 = orders_batch2(spark, sf_dir)
+        b1.write.parquet(src)
+        schema = b1.schema
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = streaming_historize_append(
+                spark, stream, store, ckpt, ["o_orderkey"], trigger_once=True
+            )
+            q.awaitTermination()
+
+        run_once()                                   # run 1: batch-1 files
+        shutil.copytree(ckpt, snap)                  # crash-window snapshot
+        b2.write.mode("append").parquet(src)
+        run_once()                                   # run 2: batch-2 files
+        shutil.rmtree(ckpt)
+        shutil.copytree(snap, ckpt)                  # lose the offset commit
+        run_once()                                   # run 3: REDELIVERY
+        out = (
+            eio.read_parquet_df(spark, store)
+            .select(*ORDERS_COLS, "KEY_HASH", "RECORD_HASH")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_io_jdbc_roundtrip(spark, sf_dir):
     """JDBC source/sink round-trip through a REAL database (r06): region →
     Spark JDBC writer into an embedded Derby DB (the driver Spark ships)
@@ -552,6 +607,13 @@ def register_all() -> None:
     harness.register(
         "streaming_cdc_historize",
         q_streaming_cdc_historize,
+        _sql_streaming_cdc_historize(),
+    )
+    # re-delivery twin: same oracle — a replayed micro-batch must leave
+    # the store hash-identical to the crash-free run
+    harness.register(
+        "streaming_cdc_redelivery",
+        q_streaming_cdc_redelivery,
         _sql_streaming_cdc_historize(),
     )
     harness.register(
