@@ -63,63 +63,63 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle-dir pinning, connected-components consumers) and the r05
 # verdict's named riskiest shapes (streaming_sessionize,
 # streaming_interval_join, versioned_store_lifecycle).
-# ROUND-7 ROTATION PLAN: a green r06 window leaves ZERO dark queries, so
-# r07's 50 slots are free for re-verification. Suggested composition:
-# (a) any query whose code r07 touches (same rule as this round);
-# (b) the oldest-evidence rows — queries last driver-checked in r01-r02
-#     (the cdc_*/scd2_* core, rel_* basics, tpch_q1-q22 sample) whose
-#     green rows predate four rounds of refactors;
-# (c) keep every NEW registry query windowed in its landing round —
-#     the standing rule that kept r06 at zero dark.
+# ROUND-7 ROTATION (VERDICT r06 item 1): zero dark queries after r06, so
+# this window is re-verification debt + the six r07 additions. Slots:
+# (a) the 6 NEW r07 rows (standing rule: every new query windowed in its
+#     landing round);
+# (b) ALL 34 queries whose latest driver row is r02 — the oldest
+#     evidence on the books, predating five rounds of refactors;
+# (c) 10 r03-era rows, touched-code first: add_meta_columns gained the
+#     source_file param (cdc/scd2 consumers), _gate_dfreq's vocabulary
+#     bound changed (PPJoin/containment), clustering.py split
+#     kmeans_quantized/kmeans_on_vq (emb consumers), multimodal.py's
+#     Pillow adapter changed (decode_image), scale.py gained auto_join
+#     (salted-join sibling).
+# Remaining r03-era greens (cdc_inserts/updates/deletes_by_column/
+# deleted_by_full_load, schema_prepare, sketches, text_langid/quality/
+# contamination/tfidf, tpch r03 cohort, events r03 rows,
+# streaming_windowed_counts, sql_shared_delta/lateral, dedup_exact/
+# simhash/cross_source, emb_ann_lsh, multimodal_decode_video,
+# curation_pipeline, rel_filter_project, rel_window_lag) are the r08
+# rotation's backlog — staleness-order them next round.
 DRIVER_PRIORITY = [
-    # -- dark until now: relational shapes --------------------------------
-    "rel_scalar_date_funcs", "rel_string_funcs", "rel_case_when",
-    "rel_cross_join", "rel_having", "rel_window_ntile",
-    "rel_window_first_last", "rel_limit_offset",
-    # -- dark until now: text analysis ------------------------------------
-    "text_tokens", "text_token_entropy", "text_length_histogram",
-    "text_fingerprint", "text_winnow_fingerprint",
-    # -- dark until now: dedup pair-level rows + r05 additions ------------
-    "dedup_jaccard_pairs", "dedup_minhash_bands", "dedup_simhash_pairs",
-    "dedup_containment", "dedup_keeper_priority",
-    # -- dark until now: embeddings ---------------------------------------
-    "emb_topk_batch", "emb_norms", "emb_knn_per_label", "emb_lsh_buckets",
-    # -- dark until now: time series --------------------------------------
-    "events_mad_outliers",
-    # -- new this round: S3 column-pruned hash read (r05 item 8) ----------
-    "io_read_current_hashes",
-    # -- re-checks: graph fixpoints after the size-gated-broadcast change
-    #    (r05 item 2) — the loop joins replan when the gate withholds the
-    #    hint, so the outputs must be re-proven under driver compare ------
-    "graph_pagerank", "graph_triangles", "graph_khop",
-    "graph_label_propagation",
-    # -- re-checks: PPJoin after the dfreq broadcast gate (r05 item 3) +
-    #    connected-components consumers after the max_iterations guard ----
-    "dedup_jaccard_prefix", "dedup_clusters", "dedup_minhash_pairs",
-    # -- new this round: JDBC round-trip through embedded Derby (closes
-    #    the one IO path that had zero executed coverage) ----------------
-    "io_jdbc_roundtrip",
-    # -- new this round: LSH candidate-quality metrics (recall/precision
-    #    vs exact-Jaccard ground truth) and the pre-join heavy-hitter key
-    #    skew diagnostic ---------------------------------------------------
-    "dedup_minhash_recall", "rel_key_skew_profile",
-    # -- re-check: BPE trainer after the oracle-corpus-dir guard ----------
-    "text_bpe_train",
-    # -- re-checks: r05 verdict's named riskiest shapes -------------------
-    "streaming_sessionize", "streaming_interval_join",
-    "streaming_dedup_counts", "versioned_store_lifecycle",
-    # -- new this round: ANN quality metric (IVF recall@k vs brute force,
-    #    the similarity twin of dedup_minhash_recall) ---------------------
-    "emb_ivf_recall_at_k",
-    # -- new this round: curation additions (two-phase salted per-source
-    #    doc cap vs a single-global-window oracle; corpus top-K OOV rate)
-    #    and the streaming SCD2 merge (foreachBatch Scd2Store merge under
-    #    pinned run contexts vs the batch scd2_merge oracle verbatim) ----
-    "text_domain_cap", "text_oov_rate", "streaming_scd2_merge",
-    # -- re-checks: flagship + headline operators -------------------------
-    "cdc_historize_two_runs", "scd2_merge", "emb_topk", "emb_kmeans",
-    "emb_kmeans_inertia", "events_asof_tolerance",
-    "sql_shared_recursive",
+    # -- new this round: SOURCE_FILE_NAME provenance stamping -------------
+    "cdc_source_file_meta",
+    # -- new this round: skew-profile-driven join strategy ----------------
+    "rel_auto_skew_join",
+    # -- new this round: composed IVF-PQ index + its recall metric --------
+    "emb_ivfpq_topk", "emb_ivfpq_recall_at_k",
+    # -- new this round: banded Hamming image near-dup --------------------
+    "multimodal_dhash_neardup",
+    # -- new this round: streaming re-delivery idempotency proof ----------
+    "streaming_cdc_redelivery",
+    # -- r02-era greens: cdc/scd2 store reads ------------------------------
+    "cdc_latest_snapshot", "cdc_store_diff", "cdc_version_history",
+    "scd2_snapshot",
+    # -- r02-era greens: events ---------------------------------------------
+    "events_hourly", "events_sessionize_native",
+    # -- r02-era greens: relational core -----------------------------------
+    "rel_agg_distinct", "rel_agg_groupby", "rel_agg_stats",
+    "rel_anti_join", "rel_cube", "rel_distinct", "rel_except",
+    "rel_grouping_sets", "rel_groupwise_min", "rel_intersect",
+    "rel_join_broadcast_dims", "rel_join_inner", "rel_outer_join",
+    "rel_pivot", "rel_rollup", "rel_semi_join", "rel_sort_limit",
+    "rel_theta_join", "rel_union", "rel_window_rank",
+    "rel_window_running",
+    # -- r02-era greens: TPC-H sample ---------------------------------------
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14",
+    "tpch_q18",
+    # -- r03-era, code touched this round -----------------------------------
+    "cdc_add_meta",            # add_meta_columns gained source_file
+    "cdc_delta", "cdc_merge_cdc",            # stamped-input consumers
+    "scd2_split_active", "scd2_split_hist",  # scd2 family stamp consumers
+    "dedup_jaccard_prefix",    # _gate_dfreq vocabulary-bound change
+    "emb_semantic_dedup",      # kmeans_quantized/kmeans_on_vq split
+    "multimodal_decode_image", # Pillow 16-bit adapter change
+    "rel_salted_join",         # scale.py auto_join sibling
+    # -- r03-era (dedup_containment also sits on _gate_dfreq, but its r06
+    #    green is current; this last slot goes to the oldest remaining) --
+    "rel_window_lag",
 ]
 
 

@@ -52,6 +52,11 @@ BENCH_QUERIES = [
     # core20.
     "dedup_keeper_priority",
     "dedup_containment",
+    # r07 additions: the composed IVF-PQ ANN search and the banded
+    # Hamming image near-dup — the round's two new heavy operators.
+    # Outside core20.
+    "emb_ivfpq_topk",
+    "multimodal_dhash_neardup",
 ]
 
 # the 20 queries (incl. streaming) benched since r01 — their sum is

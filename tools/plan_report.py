@@ -86,6 +86,12 @@ AUDIT = [
     "dedup_minhash_recall",
     "rel_key_skew_profile",
     "io_jdbc_roundtrip",
+    # r07 additions
+    "rel_auto_skew_join",
+    "emb_ivfpq_topk",
+    "multimodal_dhash_neardup",
+    "cdc_source_file_meta",
+    "streaming_cdc_redelivery",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]

@@ -47,6 +47,10 @@ QUERIES = [
     "text_oov_rate",
     "dedup_minhash_recall",
     "rel_key_skew_profile",
+    # r07 additions
+    "rel_auto_skew_join",
+    "emb_ivfpq_topk",
+    "multimodal_dhash_neardup",
 ]
 
 
