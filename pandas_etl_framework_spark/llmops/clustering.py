@@ -127,6 +127,100 @@ def kmeans_on_vq(
     return assign.select("vec_id", "cid"), cent
 
 
+def kmeans_on_vq_grouped(
+    e: DataFrame, k: int = KM_K, iterations: int = KM_ITERATIONS
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd rounds over MANY independent problems at once: ``e`` is
+    (vec_id, grp, vq) and each ``grp`` value is clustered separately,
+    seeded per group by the rows with ``vec_id`` < k. Returns
+    (assignments(vec_id, grp, cid), centroids(grp, cid, c)).
+
+    Bit-identical to running ``kmeans_on_vq`` once per group (same GEMM
+    arithmetic, same div(s, n) centroid update, same lowest-cid tie
+    break), but the m problems share every job: one collect of m*k
+    centroids per round instead of m, one Arrow assignment pass over the
+    tagged union instead of m passes, one (grp, cid, pos) shuffle
+    instead of m — the IVF-PQ residual chains use this to train all
+    PQ_M subspace codebooks in a single pipeline (m sequential chains
+    measured ~2 jobs each on the same data volume)."""
+    import numpy as np
+
+    # posexplode tags arrive as int; pin to long so the Arrow batch dtype
+    # matches the declared mapInPandas output schema exactly
+    e = e.select(
+        "vec_id", F.col("grp").cast("long").alias("grp"), "vq"
+    )
+    cent = e.filter(F.col("vec_id") < k).select(
+        "grp", F.col("vec_id").alias("cid"), F.col("vq").alias("c")
+    )
+    assign = None
+    for _ in range(iterations):
+        crows = cent.collect()  # m*k rows of dim ints — driver-sized
+        by_grp: dict[int, list] = {}
+        for r in crows:
+            by_grp.setdefault(int(r["grp"]), []).append(r)
+        mats = {
+            g: (
+                np.array(
+                    [r["c"] for r in sorted(rows, key=lambda r: r["cid"])],
+                    dtype="int64",
+                ).astype("float64"),
+                np.array(
+                    sorted(int(r["cid"]) for r in rows), dtype="int64"
+                ),
+            )
+            for g, rows in by_grp.items()
+        }
+
+        def assign_batches(it, mats=mats):
+            import numpy as np
+            import pandas as pd
+
+            ccs = {g: (C * C).sum(axis=1) for g, (C, _) in mats.items()}
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                out_cid = np.empty(len(pdf), dtype="int64")
+                grps = pdf["grp"].to_numpy()
+                Q_all = np.stack(pdf["vq"].to_numpy()).astype("float64")
+                for g in np.unique(grps):
+                    C, cids = mats[int(g)]
+                    sel = grps == g
+                    Q = Q_all[sel]
+                    qq = (Q * Q).sum(axis=1)
+                    d = qq[:, None] - 2.0 * (Q @ C.T) + ccs[int(g)][None, :]
+                    out_cid[sel] = cids[np.argmin(d, axis=1)]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "grp": grps,
+                        "vq": pdf["vq"],
+                        "cid": out_cid,
+                    }
+                )
+
+        assign = e.mapInPandas(
+            assign_batches, "vec_id long, grp long, vq array<long>, cid long"
+        )
+        sums = (
+            assign.select("grp", "cid", F.posexplode("vq").alias("pos", "v"))
+            .groupBy("grp", "cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        )
+        cent = (
+            sums.select("grp", "cid", "pos", F.expr("div(s, n)").alias("cq"))
+            .groupBy("grp", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+                    lambda st: st["cq"],
+                ).alias("c")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return assign.select("vec_id", "grp", "cid"), cent
+
+
 def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster profile after 3 quantized Lloyd rounds over the embeddings:
     size, vec_id checksum, and the (dequantized) centroid squared norm."""
@@ -733,20 +827,39 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
         # coarse k-means lineage
         .localCheckpoint(eager=True)
     )
-    codes = res.select("vec_id", "cid")
-    codebooks: list[dict[int, list[int]]] = []
-    for j in range(PQ_M):
-        sub = res.select(
-            "vec_id", F.slice("rv", j * sub_d + 1, sub_d).alias("vq")
-        )
-        assign_j, cent_j = kmeans_on_vq(sub, KM_K, IVFPQ_PQ_ITERS)
-        codes = codes.join(
-            assign_j.withColumnRenamed("cid", f"code_{j}"), "vec_id"
-        )
-        codebooks.append(
-            {int(r["cid"]): [int(x) for x in r["c"]] for r in cent_j.collect()}
-        )
-    return e, cent, codes, codebooks
+    # All PQ_M subspace codebooks train in ONE grouped Lloyd pipeline
+    # (bit-identical to m sequential kmeans_on_vq chains — see
+    # kmeans_on_vq_grouped): tag each residual slice with its subspace
+    # index, cluster per tag, then pivot the assignments back to one
+    # code_j column per subspace with a single vec_id aggregation
+    # instead of m joins.
+    sub_all = res.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("rv", j * sub_d + 1, sub_d)
+                    for j in range(PQ_M)
+                ]
+            )
+        ).alias("grp", "vq"),
+    )
+    assign_all, cent_all = kmeans_on_vq_grouped(sub_all, KM_K, IVFPQ_PQ_ITERS)
+    codes = res.select("vec_id", "cid").join(
+        assign_all.groupBy("vec_id").agg(
+            *[
+                F.max(
+                    F.when(F.col("grp") == j, F.col("cid"))
+                ).alias(f"code_{j}")
+                for j in range(PQ_M)
+            ]
+        ),
+        "vec_id",
+    )
+    books: list[dict[int, list[int]]] = [{} for _ in range(PQ_M)]
+    for r in cent_all.collect():
+        books[int(r["grp"])][int(r["cid"])] = [int(x) for x in r["c"]]
+    return e, cent, codes, books
 
 
 def _ivfpq_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
