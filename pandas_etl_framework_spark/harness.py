@@ -167,8 +167,22 @@ def q_cdc_source_file_meta(spark, sf_dir):
     batch1 with ``source_file=True`` so the real ``F.input_file_name()``
     path is exercised, then project the path's BASENAME — deterministic
     across hosts (the absolute sf_dir differs per environment, the file
-    name does not). The oracle pins the literal 'orders.parquet'."""
+    name does not). The oracle pins the literal 'orders.parquet', which
+    assumes a SINGLE-FILE fixture — input_file_name() on a multi-part
+    directory layout would surface 'part-*.parquet' basenames and turn
+    the row into an opaque hash mismatch, so that contract is asserted
+    loudly here at query build (ADVICE r07)."""
+    import os
+
     from .constants import SOURCE_FILE_NAME
+
+    fixture = f"{sf_dir}/orders.parquet"
+    if not os.path.isfile(fixture):
+        raise ValueError(
+            f"cdc_source_file_meta needs a single-file fixture; {fixture} "
+            "is a directory (multi-part layout) — its part-file basenames "
+            "would not match the oracle's pinned 'orders.parquet'"
+        )
 
     stamped = add_meta_columns(
         orders_batch1(spark, sf_dir),

@@ -926,7 +926,7 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The billion-vector index composed (IVF cells + PQ residual codes +
     per-cell ADC + exact rerank), driver-verified: search touches only
     the IVF_NPROBE probed cells, scores them from m byte-codes via
-    lookup tables, exact-reranks the top PQ_RERANK by quantized cosine,
+    lookup tables, exact-reranks the top IVFPQ_RERANK by quantized cosine,
     returns the top 10. Integer arithmetic end-to-end until the final
     cosine, so the DuckDB oracle (the same pipeline as relational CTEs:
     coarse chain → residual CTE → m subspace chains → join-based LUTs)

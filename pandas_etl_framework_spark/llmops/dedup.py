@@ -816,13 +816,17 @@ def _gate_dfreq(
     if broadcast_dfreq is None and broadcast_threshold_bytes(
         ts.sparkSession
     ) > 0:
+        # explicit rsd + a 3-sigma pad: the default HLL rsd is 5%, so the
+        # old flat 10% pad could greenlight a broadcast on a ~2-sigma-tail
+        # underestimate (ADVICE r07)
+        rsd = 0.05
         vocab_est = (
             ts.select(F.explode("toks").alias("tok"))
-            .agg(F.approx_count_distinct("tok").alias("v"))
+            .agg(F.approx_count_distinct("tok", rsd).alias("v"))
             .first()[0]
             or 0
         )
-        vocab_bound = int(vocab_est * 1.1) + 1
+        vocab_bound = int(vocab_est * (1.0 + 3.0 * rsd)) + 1
         return maybe_broadcast(dfreq, est_rows=vocab_bound, bytes_per_row=24)
     return maybe_broadcast(dfreq, force=bool(broadcast_dfreq))
 

@@ -174,7 +174,15 @@ def add_meta_columns(
         UPDATE_RUN_ID: F.lit(currents[CURRENT_RUN_ID]),
         DELETED: F.lit(None).cast("timestamp"),
     }
-    if source_file:
+    # identity check, not truthiness: source_file="" must stamp the empty
+    # provenance literal, and source_file=False is the only "don't stamp"
+    # value (ADVICE r07)
+    if source_file is not False:
+        if not isinstance(source_file, (bool, str)):
+            raise TypeError(
+                "source_file must be False (skip), True (input_file_name) "
+                f"or a literal string, got {type(source_file).__name__}"
+            )
         stamped[SOURCE_FILE_NAME] = (
             F.lit(source_file).cast("string")
             if isinstance(source_file, str)

@@ -479,6 +479,14 @@ def auto_join(
     Output is value-identical to ``left.join(right, keys, how)`` in
     every case; only task placement differs.
     """
+    if strategy == "salted" and how.lower() not in _SALTABLE_HOW:
+        # a silent downgrade would hide the caller contradiction: salting
+        # replicates the small side, which duplicates unmatched small-side
+        # rows under right/full outer joins (ADVICE r07)
+        raise ValueError(
+            f"strategy='salted' is not semantics-preserving for how={how!r};"
+            f" saltable join types: {sorted(_SALTABLE_HOW)}"
+        )
     chosen = strategy or (
         auto_join_strategy(
             left,

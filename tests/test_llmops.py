@@ -850,7 +850,7 @@ def test_bpe_encode_spark_matches_batch_reference(spark):
 
 def test_ivfpq_recall_not_below_ivf_at_equal_probe_budget(spark):
     """The composed IVF-PQ index (PQ-coded residuals + per-cell ADC +
-    exact 50-deep rerank) must match or beat the plain-IVF recall at the
+    exact IVFPQ_RERANK-deep (100) rerank) must match or beat the plain-IVF recall at the
     same nprobe: both scan the same probed cells, and the rerank pool is
     deep enough that ADC ordering errors inside a cell cannot evict a
     true neighbor (VERDICT r06 item 3's acceptance bar)."""
