@@ -306,12 +306,14 @@ def minhash_signatures_fast(
     )
 
 
-def q_dedup_minhash_bands(spark, sf_dir):
-    """LSH band keys per document: band_key = '|'-joined minhashes of the
-    band's 4 permutations. Built on the permutation signature (ONE md5 per
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) LSH banding relation for a documents
+    DataFrame — the library entry the band queries and the capped pair
+    join share. band_key = '|'-joined minhashes of the band's 4
+    permutations, built on the permutation signature (ONE md5 per
     shingle, one aggregation, one doc-sized shuffle); the band key is a
     plain concat — hashing it again would only burn CPU."""
-    sig = minhash_signatures_perm(shingles_df(_docs(spark, sf_dir)))
+    sig = minhash_signatures_perm(shingles_df(docs))
     band_structs = [
         F.struct(
             F.lit(b).cast("long").alias("band"),
@@ -329,6 +331,10 @@ def q_dedup_minhash_bands(spark, sf_dir):
     return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", "bk.band", "bk.band_key")
+
+
+def q_dedup_minhash_bands(spark, sf_dir):
+    return minhash_bands(_docs(spark, sf_dir))
 
 
 _SQL_PERM_MINS = ",\n           ".join(
@@ -367,7 +373,9 @@ SQL_DEDUP_MINHASH_BANDS = (
 )
 
 
-def q_dedup_minhash_pairs(spark, sf_dir):
+def minhash_band_pairs(
+    bands: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
     """Candidate near-dup pairs: documents sharing any LSH band bucket.
 
     The band table is materialized (localCheckpoint) before the self-join —
@@ -375,8 +383,25 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     join sides. Checkpoint, not .cache(): cache is advisory (anything that
     clears or evicts it silently re-runs the pipeline twice), while the
     checkpoint truncates lineage so both sides are block reads.
-    """
-    bands = q_dedup_minhash_bands(spark, sf_dir).localCheckpoint(eager=True)
+
+    ``bucket_cap`` drops band buckets holding more than that many
+    documents BEFORE the self-join (VERDICT r07 item 2): one ultra-common
+    band key — boilerplate pages, an empty-text cluster — otherwise
+    produces a single quadratic bucket at corpus scale. The drop is never
+    silent: ``minhash_bucket_report`` over the same bands relation is the
+    required accounting twin (dropped buckets ARE skipped candidate
+    clusters; publish them)."""
+    bands = bands.localCheckpoint(eager=True)
+    if bucket_cap is not None:
+        hot = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > bucket_cap)
+            .select("band", "band_key")
+        )
+        # few saturated buckets by construction (≤ corpus/cap); AQE
+        # broadcast-plans the aggregate-sized anti-join side at runtime
+        bands = bands.join(hot, ["band", "band_key"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -393,12 +418,109 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     )
 
 
+def minhash_bucket_report(bands: DataFrame, bucket_cap: int) -> DataFrame:
+    """(band, band_key, n_docs) for the buckets a ``bucket_cap`` run
+    drops — the explicit accounting that makes the cap auditable."""
+    return (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") > bucket_cap)
+    )
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    return minhash_band_pairs(minhash_bands(_docs(spark, sf_dir)))
+
+
 SQL_DEDUP_MINHASH_PAIRS = (
     f"WITH {SQL_SHINGLES},{SQL_MINHASH_BANDS_BODY}"
     """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+)
+
+
+_BOILERPLATE_TEXT = (
+    "the quarterly report header boilerplate text block repeated verbatim"
+    " on every crawled page"
+)
+MINHASH_CAP_DENOM = 10  # bucket_cap = n_docs // 10
+
+
+def q_dedup_minhash_pairs_capped(spark, sf_dir):
+    """The banded pair join under a saturated bucket (VERDICT r07 item 2):
+    every doc_id % 4 == 0 document's text is replaced with one constant
+    boilerplate string, so ~25% of the corpus lands in ONE band bucket per
+    band — the quadratic cluster the cap exists for. With
+    bucket_cap = n_docs // 10 those four buckets are dropped and the join
+    cost stays bounded; the oracle recomputes the SAME capped semantics
+    (buckets ≤ cap only), so both the cap decision and the surviving pair
+    set are hash-pinned. The dropped buckets are published by
+    dedup_minhash_bucket_report — the no-silent-caps twin."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_BOILERPLATE_TEXT))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cap = docs.count() // MINHASH_CAP_DENOM
+    return minhash_band_pairs(minhash_bands(docs), bucket_cap=cap)
+
+
+def q_dedup_minhash_bucket_report(spark, sf_dir):
+    """Dropped-bucket accounting for the capped run: the (band, band_key,
+    n_docs) rows whose occupancy exceeds the cap — exactly the candidate
+    clusters q_dedup_minhash_pairs_capped skipped."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_BOILERPLATE_TEXT))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cap = docs.count() // MINHASH_CAP_DENOM
+    return minhash_bucket_report(minhash_bands(docs), bucket_cap=cap)
+
+
+_SQL_DOCS_MOD = f"""docs_mod AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN '{_BOILERPLATE_TEXT}' ELSE text END
+               AS text
+    FROM documents
+)"""
+
+_SQL_BANDS_MOD = (
+    _SQL_DOCS_MOD
+    + ","
+    + SQL_SHINGLES.replace("FROM documents", "FROM docs_mod")
+    + ","
+    + SQL_MINHASH_BANDS_BODY.lstrip("\n").lstrip()
+)
+
+SQL_DEDUP_MINHASH_PAIRS_CAPPED = (
+    f"WITH {_SQL_BANDS_MOD}"
+    f"""
+, keep AS (
+    SELECT band, band_key FROM bands
+    GROUP BY band, band_key
+    HAVING COUNT(*) <= (SELECT COUNT(*) // {MINHASH_CAP_DENOM} FROM documents)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN keep k ON a.band = k.band AND a.band_key = k.band_key
+JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+)
+
+SQL_DEDUP_MINHASH_BUCKET_REPORT = (
+    f"WITH {_SQL_BANDS_MOD}"
+    f"""
+SELECT band, band_key, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM bands
+GROUP BY band, band_key
+HAVING COUNT(*) > (SELECT COUNT(*) // {MINHASH_CAP_DENOM} FROM documents)
 """
 )
 
@@ -1399,6 +1521,14 @@ QUERIES = {
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
     "dedup_minhash_bands": (q_dedup_minhash_bands, SQL_DEDUP_MINHASH_BANDS),
     "dedup_minhash_pairs": (q_dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),
+    "dedup_minhash_pairs_capped": (
+        q_dedup_minhash_pairs_capped,
+        SQL_DEDUP_MINHASH_PAIRS_CAPPED,
+    ),
+    "dedup_minhash_bucket_report": (
+        q_dedup_minhash_bucket_report,
+        SQL_DEDUP_MINHASH_BUCKET_REPORT,
+    ),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_keeper_priority": (q_dedup_keeper_priority, SQL_DEDUP_KEEPER_PRIORITY),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),

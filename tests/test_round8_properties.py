@@ -48,3 +48,89 @@ def test_auto_join_explicit_salted_with_unsaltable_how_raises(spark):
     # explicit salted with a saltable how still works and matches plain
     got = auto_join(left, right, ["k"], how="inner", strategy="salted")
     assert sorted(r["k"] for r in got.collect()) == list(range(5))
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_dhash_capped_pairs_equal_uncapped_on_pigeonhole_safe_fixture(spark):
+    """Dropping the saturated band-0/band-7 buckets must lose NOTHING on
+    the synth fixture (every true pair also shares the quiet per-group
+    bands 1-6), so capped == uncapped == brute force."""
+    from pandas_etl_framework_spark.llmops.multimodal import (
+        _DHASH_CAP_MAXD,
+        DHASH_CAP_DENOM,
+        _dhash_synth_hashes,
+        dhash_band_buckets,
+        dhash_neardup_pairs,
+    )
+
+    hashes = _dhash_synth_hashes(spark, SF_DIR).localCheckpoint(eager=True)
+    n = hashes.count()
+    cap = n // DHASH_CAP_DENOM
+    capped = {
+        (r["media_id_a"], r["media_id_b"], r["hamming"])
+        for r in dhash_neardup_pairs(
+            hashes, max_distance=_DHASH_CAP_MAXD, bands=8, bucket_cap=cap
+        ).collect()
+    }
+    uncapped = {
+        (r["media_id_a"], r["media_id_b"], r["hamming"])
+        for r in dhash_neardup_pairs(
+            hashes, max_distance=_DHASH_CAP_MAXD, bands=8
+        ).collect()
+    }
+    assert capped == uncapped and capped
+    # the cap genuinely fired: band 0 holds the whole corpus, band 7 three
+    # ~33% variant buckets
+    report = (
+        dhash_band_buckets(hashes, max_distance=_DHASH_CAP_MAXD, bands=8)
+        .filter(F.col("n_ids") > cap)
+        .collect()
+    )
+    assert {int(r["band"]) for r in report} == {0, 7}
+    assert sum(1 for r in report if r["band"] == 7) == 3
+    assert next(r["n_ids"] for r in report if r["band"] == 0) == n
+
+
+def test_minhash_cap_drops_boilerplate_bucket_pairs_only(spark):
+    """The capped band join must drop exactly the pairs whose ONLY shared
+    buckets are saturated (the boilerplate cluster) and keep every other
+    candidate pair."""
+    from pandas_etl_framework_spark.llmops.dedup import (
+        _BOILERPLATE_TEXT,
+        MINHASH_CAP_DENOM,
+        minhash_band_pairs,
+        minhash_bands,
+        minhash_bucket_report,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 4 == 0, F.lit(_BOILERPLATE_TEXT))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cap = docs.count() // MINHASH_CAP_DENOM
+    bands = minhash_bands(docs).localCheckpoint(eager=True)
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_band_pairs(bands, bucket_cap=cap).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_band_pairs(bands).collect()
+    }
+    boiler = {
+        r["doc_id"] for r in docs.filter(F.col("doc_id") % 4 == 0).collect()
+    }
+    # dropped pairs are exactly the boilerplate-boilerplate candidates
+    dropped = uncapped - capped
+    assert dropped and all(a in boiler and b in boiler for a, b in dropped)
+    assert capped <= uncapped
+    # and the report names the saturated buckets (one per band, all ~25%)
+    rep = minhash_bucket_report(bands, bucket_cap=cap).collect()
+    assert len(rep) == 4 and all(r["n_docs"] == len(boiler) for r in rep)
