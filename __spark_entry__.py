@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Subset contract: the driver records correctness rows for the FIRST 50
-# queries() entries only, while the registry holds 211 (210 oracle-gated
+# queries() entries only, while the registry holds 224 (223 oracle-gated
 # + rows-only emb_pca_project, which stays OUT of the window permanently
 # per the r04 ruling — its gate is the numpy parity test in
 # tests/test_projection.py; io_read_current_hashes, text_domain_cap,
@@ -82,44 +82,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # simhash/cross_source, emb_ann_lsh, multimodal_decode_video,
 # curation_pipeline, rel_filter_project, rel_window_lag) are the r08
 # rotation's backlog — staleness-order them next round.
+# ROUND-8 ROTATION (VERDICT r07 item 1): the 7 new r08 rows + every query
+# whose code changed this round + ALL 31 r03-era rows (the oldest evidence
+# on the books) + 4 touched-family r04 rows. After a green window, no
+# registry query's latest driver row predates r04. Remaining r04-era rows
+# (cdc_simulate_runs, emb_pca/quantize/random_projection, events r04
+# cohort, io_csv/partitioned/store_reset, multimodal_metadata,
+# rel_array_agg/dq/higher_order/null_semantics/pivot_native/profile,
+# scd2_pit_join, sketch r04 cohort, text r04 cohort, tpch
+# q8/q11/q12/q15/q16/q19/q22) are the r09 rotation's backlog.
 DRIVER_PRIORITY = [
-    # -- new this round: SOURCE_FILE_NAME provenance stamping -------------
-    "cdc_source_file_meta",
-    # -- new this round: skew-profile-driven join strategy ----------------
-    "rel_auto_skew_join",
-    # -- new this round: composed IVF-PQ index + its recall metric --------
+    # -- new this round: banded-join hot-bucket caps + drop accounting ----
+    "dedup_minhash_pairs_capped", "dedup_minhash_bucket_report",
+    "multimodal_dhash_neardup_capped", "multimodal_dhash_bucket_report",
+    # -- new this round: IVF-PQ persistence + frozen-model append ---------
+    "emb_ivfpq_persist_roundtrip", "emb_ivfpq_add_batch",
+    # -- new this round: state-store crash-replay proof -------------------
+    "streaming_state_redelivery",
+    # -- changed this round: build = train + pure encode (new oracle) -----
     "emb_ivfpq_topk", "emb_ivfpq_recall_at_k",
-    # -- new this round: banded Hamming image near-dup --------------------
-    "multimodal_dhash_neardup",
-    # -- new this round: streaming re-delivery idempotency proof ----------
-    "streaming_cdc_redelivery",
-    # -- r02-era greens: cdc/scd2 store reads ------------------------------
-    "cdc_latest_snapshot", "cdc_store_diff", "cdc_version_history",
-    "scd2_snapshot",
-    # -- r02-era greens: events ---------------------------------------------
-    "events_hourly", "events_sessionize_native",
-    # -- r02-era greens: relational core -----------------------------------
-    "rel_agg_distinct", "rel_agg_groupby", "rel_agg_stats",
-    "rel_anti_join", "rel_cube", "rel_distinct", "rel_except",
-    "rel_grouping_sets", "rel_groupwise_min", "rel_intersect",
-    "rel_join_broadcast_dims", "rel_join_inner", "rel_outer_join",
-    "rel_pivot", "rel_rollup", "rel_semi_join", "rel_sort_limit",
-    "rel_theta_join", "rel_union", "rel_window_rank",
-    "rel_window_running",
-    # -- r02-era greens: TPC-H sample ---------------------------------------
-    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14",
-    "tpch_q18",
-    # -- r03-era, code touched this round -----------------------------------
-    "cdc_add_meta",            # add_meta_columns gained source_file
-    "cdc_delta", "cdc_merge_cdc",            # stamped-input consumers
-    "scd2_split_active", "scd2_split_hist",  # scd2 family stamp consumers
-    "dedup_jaccard_prefix",    # _gate_dfreq vocabulary-bound change
-    "emb_semantic_dedup",      # kmeans_quantized/kmeans_on_vq split
-    "multimodal_decode_image", # Pillow 16-bit adapter change
-    "rel_salted_join",         # scale.py auto_join sibling
-    # -- r03-era (dedup_containment also sits on _gate_dfreq, but its r06
-    #    green is current; this last slot goes to the oldest remaining) --
-    "rel_window_lag",
+    # -- changed this round: aqe_skew third leg ----------------------------
+    "rel_auto_skew_join",
+    # -- changed this round: banding refactor / dfreq 3-sigma pad /
+    #    single-file assertion ---------------------------------------------
+    "dedup_minhash_pairs", "multimodal_dhash_neardup",
+    "dedup_jaccard_prefix", "dedup_containment", "cdc_source_file_meta",
+    # -- r03-era greens: the whole remaining backlog ------------------------
+    "cdc_deleted_by_full_load", "cdc_deletes_by_column", "cdc_inserts",
+    "cdc_updates", "curation_pipeline", "dedup_cross_source",
+    "dedup_exact", "dedup_simhash", "emb_ann_lsh", "events_asof_join",
+    "events_sessionize", "multimodal_decode_video", "rel_filter_project",
+    "schema_prepare", "sketch_bloom_prune", "sketch_hll_distinct",
+    "sql_shared_delta", "sql_shared_lateral", "streaming_windowed_counts",
+    "text_contamination", "text_langid", "text_quality", "text_tfidf_topk",
+    "tpch_q1", "tpch_q13", "tpch_q17", "tpch_q2", "tpch_q20", "tpch_q21",
+    "tpch_q7", "tpch_q9",
+    # -- r04-era, touched families first: clustering.py restructure
+    #    (ivf/pq siblings), multimodal banding, streaming historize path --
+    "emb_ivf_topk", "emb_pq_topk", "multimodal_phash_dedup",
+    "streaming_cdc_historize",
 ]
 
 

@@ -367,6 +367,118 @@ GROUP BY event_type
 """
 
 
+def q_streaming_state_redelivery(spark, sf_dir: str) -> DataFrame:
+    """Failure-recovery proof for the STATE-STORE paths (VERDICT r07
+    item 5) — the twin of streaming_cdc_redelivery for a watermarked
+    windowed aggregation writing to the production FILE sink. Sequence:
+
+    1. the time-earlier half of events streams in (availableNow,
+       checkpoint C, append mode → parquet sink);
+    2. C is SNAPSHOTTED — the state a crash leaves when sink commits
+       landed but the offset commit didn't;
+    3. the later half lands and a normal run on C processes it (the
+       advancing watermark closes the early windows INTO the sink);
+    4. C is ROLLED BACK to the snapshot and the stream restarted — every
+       post-snapshot batch is re-executed against the state-store version
+       the snapshot pins.
+
+    Exactly-once here rests on two mechanisms the oracle check pins:
+    the state store reloads the pre-crash version (so the replayed
+    batches recompute IDENTICAL window rows), and the file sink's
+    _spark_metadata transaction log (which lives in the SINK, not the
+    rolled-back checkpoint) skips the already-committed batch ids instead
+    of appending duplicates. A double-applied count or a re-emitted
+    window is a driver-visible hash mismatch against the batch oracle.
+
+    The time-based split guarantees no row is ever late (batch 2's rows
+    all carry event times past batch 1's maximum), so the oracle is
+    split-independent: every window whose end the final watermark
+    (global max ts - 10 min) passed, counted over the whole table."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="q_stream_redeliver_")
+    src, sink = f"{tmp}/src", f"{tmp}/sink"
+    ckpt, snap = f"{tmp}/ckpt", f"{tmp}/ckpt_snapshot"
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        events = normalize_event_time(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), "ts"
+        ).select("event_id", "ts", "event_type", "value")
+        lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+        split = lo + (hi - lo) / 2
+        b1 = events.filter(F.col("ts") <= F.lit(split))
+        b2 = events.filter(F.col("ts") > F.lit(split))
+        b1.write.parquet(src)
+        schema = b1.schema
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            agg = (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(
+                    F.window("ts", "1 hour").alias("win"),
+                    F.col("event_type"),
+                )
+                .agg(
+                    F.count("*").alias("n"),
+                    (
+                        F.sum(
+                            F.round(F.col("value") * 10000).cast("long")
+                        ).cast("double")
+                        / 10000
+                    ).alias("sum_value"),
+                )
+                .select(
+                    F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "event_type",
+                    "n",
+                    "sum_value",
+                )
+            )
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()                       # run 1: early half
+        shutil.copytree(ckpt, snap)      # crash-window snapshot
+        b2.write.mode("append").parquet(src)
+        run_once()                       # run 2: late half closes windows
+        shutil.rmtree(ckpt)
+        shutil.copytree(snap, ckpt)      # lose the offset commits
+        run_once()                       # run 3: REDELIVERY
+        out = spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# append mode emits a window exactly once, when the watermark (global max
+# event time - 10 min after the final batch) passes its end; the replay
+# must leave precisely that set, with single-counted values.
+SQL_STREAMING_STATE_REDELIVERY = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000
+           AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+       <= (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+"""
+
+
 def q_streaming_sessionize(spark, sf_dir: str) -> DataFrame:
     """The CUSTOM STATEFUL OPERATOR (``applyInPandasWithState``
     sessionization, ``sessionize_stream``) through the real micro-batch
@@ -646,6 +758,11 @@ def register_all() -> None:
         "streaming_dedup_counts",
         q_streaming_dedup,
         SQL_STREAMING_DEDUP,
+    )
+    harness.register(
+        "streaming_state_redelivery",
+        q_streaming_state_redelivery,
+        SQL_STREAMING_STATE_REDELIVERY,
     )
     harness.register(
         "streaming_sessionize",

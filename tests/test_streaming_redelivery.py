@@ -180,3 +180,73 @@ def test_scd2_store_merge_redelivery_is_idempotent(spark, tmp_path):
         stamped2, currents=ctx2, valid_from_mode=VALID_FROM_MODE_LOAD_DATE
     )
     assert rows() == after_clean
+
+
+def test_stateful_dedup_file_sink_replays_lost_commit_without_duplicates(
+    spark, tmp_path
+):
+    """State-store path twin (VERDICT r07 item 5): streaming_dedup →
+    FILE sink, crash window forced by deleting the newest checkpoint
+    commit marker after the sink committed. On restart the engine
+    re-executes that batch against the state-store version the
+    checkpoint pins, and the file sink's _spark_metadata log (sink-side,
+    untouched by the checkpoint surgery) skips the already-committed
+    batch id — so the sink holds each surviving row exactly once, equal
+    to a clean no-crash twin run."""
+    from pandas_etl_framework_spark.streaming.historize import streaming_dedup
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    b1 = events.filter(F.col("event_id") % 3 != 0)
+    b2 = events.filter(F.col("event_id") % 3 == 0)
+
+    def run_stream(src: str, sink: str, ckpt: str) -> None:
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        deduped = streaming_dedup(stream, ["user_id", "event_type"])
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def fingerprint(sink: str):
+        df = spark.read.parquet(sink)
+        return (
+            df.count(),
+            df.select("user_id", "event_type").distinct().count(),
+            df.agg(F.sum("event_id")).first()[0],
+        )
+
+    # crash-replay run
+    src, sink, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+    )
+    b1.write.parquet(src)
+    run_stream(src, sink, ckpt)
+    b2.write.mode("append").parquet(src)
+    run_stream(src, sink, ckpt)
+    _drop_latest_commit(ckpt)          # sink committed, offset commit lost
+    run_stream(src, sink, ckpt)        # REDELIVERY of the last batch
+    # clean twin
+    src2, sink2, ckpt2 = (
+        str(tmp_path / "src2"),
+        str(tmp_path / "sink2"),
+        str(tmp_path / "ckpt2"),
+    )
+    b1.write.parquet(src2)
+    run_stream(src2, sink2, ckpt2)
+    b2.write.mode("append").parquet(src2)
+    run_stream(src2, sink2, ckpt2)
+
+    got, want = fingerprint(sink), fingerprint(sink2)
+    assert got == want
+    # the dedup itself did real work: one row per distinct key
+    n_rows, n_keys, _ = got
+    assert n_rows == n_keys
