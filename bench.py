@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     # Outside core20.
     "emb_ivfpq_topk",
     "multimodal_dhash_neardup",
+    # r08 addition: the persisted-index round-trip (build + write
+    # partitioned-by-cid + reload + search) — tracks the amortizable
+    # build cost the in-memory row hides. Outside core20.
+    "emb_ivfpq_persist_roundtrip",
 ]
 
 # the 20 queries (incl. streaming) benched since r01 — their sum is

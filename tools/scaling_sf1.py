@@ -49,8 +49,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    queries = sys.argv[1:] or QUERIES
     out: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name in queries:
         fn, _sql = REGISTRY[name]
         row: dict[str, float] = {}
         for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
