@@ -92,6 +92,12 @@ AUDIT = [
     "multimodal_dhash_neardup",
     "cdc_source_file_meta",
     "streaming_cdc_redelivery",
+    # r08 additions
+    "multimodal_dhash_neardup_capped",
+    "dedup_minhash_pairs_capped",
+    "emb_ivfpq_persist_roundtrip",
+    "emb_ivfpq_add_batch",
+    "streaming_state_redelivery",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
@@ -289,6 +295,38 @@ def main() -> None:
                 f"{m['pushed_filter_scans']}; columns read per scan: [{mwid}]",
             ]
         lines.append("")
+
+    # ---- IVF-PQ build vs search split (VERDICT r07 item 7) ---------------
+    from pandas_etl_framework_spark.llmops.clustering import (
+        IVFPQ_RERANK,
+        _ivfpq_index,
+        ivfpq_search,
+    )
+    from pyspark.sql import functions as _F
+
+    t0 = time.time()
+    e, crows, codes, books = _ivfpq_index(spark, SF_DIR)
+    codes = codes.localCheckpoint(eager=True)  # materialize the encode
+    build_wall = time.time() - t0
+    qv = [int(x) for x in e.filter(_F.col("vec_id") == 0).first()["vq"]]
+    t0 = time.time()
+    ivfpq_search(e, crows, codes, books, qv).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    search_wall = time.time() - t0
+    lines += [
+        "## emb_ivfpq_topk: build vs search",
+        "",
+        "The gate row rebuilds per query; production persists the build "
+        "(ivfpq_write / emb_ivfpq_persist_roundtrip) and pays only search:",
+        "",
+        f"- build (train coarse+subspace Lloyd, encode corpus, "
+        f"materialize codes): {build_wall:.2f}s",
+        f"- search (probe filter + ADC map-lookup projection + "
+        f"{IVFPQ_RERANK}-row exact rerank over the built codes): "
+        f"{search_wall:.2f}s",
+        "",
+    ]
 
     # ---- 10x replication smoke ------------------------------------------
     # versioned cache key: the generation logic (which tables replicate,
