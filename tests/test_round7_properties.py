@@ -147,7 +147,12 @@ def test_auto_join_decision_and_value_identity(
 
     counts = Counter(left_keys)
     mx = max(counts.values())
-    expected = "salted" if mx / n_left >= 0.2 else "plain"
+    share = mx / n_left
+    # r08: three regimes — salting at >=0.2, AQE skew split in
+    # [0.05, 0.2), plain below
+    expected = (
+        "salted" if share >= 0.2 else "aqe_skew" if share >= 0.05 else "plain"
+    )
     assert auto_join_strategy(left, ["k"]) == expected
 
     got = auto_join(left, right, ["k"], how=how, salt_buckets=4)
