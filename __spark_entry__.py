@@ -99,6 +99,8 @@ DRIVER_PRIORITY = [
     "emb_ivfpq_persist_roundtrip", "emb_ivfpq_add_batch",
     # -- new this round: state-store crash-replay proof -------------------
     "streaming_state_redelivery",
+    # -- new this round: batch-vs-corpus banded near-dup candidates -------
+    "dedup_minhash_incremental",
     # -- changed this round: build = train + pure encode (new oracle) -----
     "emb_ivfpq_topk", "emb_ivfpq_recall_at_k",
     # -- changed this round: aqe_skew third leg ----------------------------
@@ -118,9 +120,8 @@ DRIVER_PRIORITY = [
     "tpch_q1", "tpch_q13", "tpch_q17", "tpch_q2", "tpch_q20", "tpch_q21",
     "tpch_q7", "tpch_q9",
     # -- r04-era, touched families first: clustering.py restructure
-    #    (ivf/pq siblings), multimodal banding, streaming historize path --
+    #    (ivf/pq siblings), multimodal banding --
     "emb_ivf_topk", "emb_pq_topk", "multimodal_phash_dedup",
-    "streaming_cdc_historize",
 ]
 
 

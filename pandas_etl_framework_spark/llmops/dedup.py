@@ -1174,6 +1174,65 @@ def incremental_dedup(
     )
 
 
+def incremental_minhash_candidates(
+    batch_bands: DataFrame,
+    corpus_bands: DataFrame,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """NEAR-dup twin of ``incremental_dedup``: candidate pairs for one new
+    ingest batch against an already-banded historical corpus AND within
+    itself — never corpus-vs-corpus again. Inputs are (doc_id, band,
+    band_key) relations (``minhash_bands``); at 100 TB the corpus side is
+    a PERSISTED band store re-read per batch (band keys are ~16 bytes a
+    row — you never re-shingle history), and both joins shuffle
+    batch-sized on the probe side.
+
+    Returns (doc_new, doc_other, leg): leg='corpus' pairs a new document
+    with a historical one, leg='batch' with an earlier document of the
+    same batch (lower doc_id). ``bucket_cap`` drops saturated CORPUS
+    buckets before the join (same hazard and same accounting contract as
+    ``minhash_band_pairs``: publish ``minhash_bucket_report`` over the
+    corpus bands alongside)."""
+    if bucket_cap is not None:
+        hot = (
+            corpus_bands.groupBy("band", "band_key")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > bucket_cap)
+            .select("band", "band_key")
+        )
+        corpus_bands = corpus_bands.join(
+            hot, ["band", "band_key"], "left_anti"
+        )
+    n, o = batch_bands.alias("n"), corpus_bands.alias("o")
+    corpus_leg = (
+        n.join(
+            o,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"),
+            F.col("o.doc_id").alias("doc_other"),
+            F.lit("corpus").alias("leg"),
+        )
+    )
+    a, b = batch_bands.alias("a"), batch_bands.alias("b")
+    batch_leg = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("b.doc_id").alias("doc_other"),
+            F.lit("batch").alias("leg"),
+        )
+    )
+    return corpus_leg.unionByName(batch_leg).distinct()
+
+
 INCR_BATCH_SOURCE = "src0"   # harness split: src0 is the "new" ingest
 
 
@@ -1183,6 +1242,55 @@ def q_dedup_incremental(spark, sf_dir):
         docs.filter(F.col("source") == INCR_BATCH_SOURCE),
         docs.filter(F.col("source") != INCR_BATCH_SOURCE),
     )
+
+
+def q_dedup_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup candidates: bands are computed ONCE over the
+    union (batch = source 'src0', corpus = the rest — in production the
+    corpus bands come from a persisted store, not a recompute), then the
+    batch probes the corpus buckets and its own — the steady-state crawl
+    shape where per-snapshot cost is batch-sized, never corpus². The
+    oracle recomputes both legs from the same banding chain, so a pair
+    lost to the split (or a corpus-corpus pair leaking in) flips the row
+    red."""
+    docs = _docs(spark, sf_dir)
+    bands = (
+        minhash_bands(docs)
+        .join(
+            docs.select(
+                "doc_id",
+                (F.col("source") == INCR_BATCH_SOURCE).alias("is_new"),
+            ),
+            "doc_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    return incremental_minhash_candidates(
+        bands.filter(F.col("is_new")).drop("is_new"),
+        bands.filter(~F.col("is_new")).drop("is_new"),
+    )
+
+
+SQL_DEDUP_MINHASH_INCREMENTAL = (
+    f"WITH {SQL_SHINGLES},{SQL_MINHASH_BANDS_BODY}"
+    f"""
+, lab AS (
+    SELECT b.doc_id, b.band, b.band_key, d.source = '{INCR_BATCH_SOURCE}' AS is_new
+    FROM bands b JOIN documents d USING (doc_id)
+)
+SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_other,
+       'corpus' AS leg
+FROM lab n JOIN lab o
+  ON n.band = o.band AND n.band_key = o.band_key
+WHERE n.is_new AND NOT o.is_new
+UNION
+SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_other,
+       'batch' AS leg
+FROM lab a JOIN lab b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE a.is_new AND b.is_new
+"""
+)
 
 
 SQL_DEDUP_INCREMENTAL = f"""
@@ -1517,6 +1625,10 @@ QUERIES = {
     "dedup_minhash_recall": (q_dedup_minhash_recall, SQL_DEDUP_MINHASH_RECALL),
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "dedup_minhash_incremental": (
+        q_dedup_minhash_incremental,
+        SQL_DEDUP_MINHASH_INCREMENTAL,
+    ),
     "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_DEDUP_JACCARD_PREFIX),
     "dedup_jaccard_pairs": (q_dedup_jaccard_pairs, SQL_DEDUP_JACCARD),
     "dedup_minhash_bands": (q_dedup_minhash_bands, SQL_DEDUP_MINHASH_BANDS),

@@ -174,3 +174,77 @@ def test_auto_join_aqe_skew_raises_when_aqe_disabled(spark):
             auto_join(left, right, ["k"], strategy="aqe_skew")
     finally:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", old)
+
+
+def test_ivfpq_persisted_codes_probe_filter_prunes_partitions(spark, tmp_path):
+    """The 100-TB claim behind ivfpq_write's partitionBy('cid'): a probed
+    search must PRUNE unprobed cells at the scan, not read-then-filter.
+    Build, persist, reload, filter to two cells, and assert the scan
+    carries a cid partition filter and reads only those directories."""
+    from pandas_etl_framework_spark.llmops.clustering import (
+        _ivfpq_index,
+        ivfpq_read,
+        ivfpq_write,
+    )
+
+    e, crows, codes, books = _ivfpq_index(spark, SF_DIR)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write(spark, path, crows, books, codes)
+    _crows2, _books2, codes2 = ivfpq_read(spark, path)
+    probed = sorted(crows)[:2]
+    filtered = codes2.filter(F.col("cid").isin([int(p) for p in probed]))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    # pruning is real: the filtered scan returns exactly the probed cells
+    cells = {
+        int(r["cid"]) for r in filtered.select("cid").distinct().collect()
+    }
+    assert cells <= set(int(p) for p in probed) and cells
+
+
+def test_incremental_minhash_candidates_match_full_join_restriction(spark):
+    """batch-vs-corpus + batch-vs-batch candidates must be EXACTLY the
+    full self-join's pairs that touch the batch — nothing lost by the
+    split, no corpus-corpus pair leaking in."""
+    from pandas_etl_framework_spark.llmops.dedup import (
+        INCR_BATCH_SOURCE,
+        incremental_minhash_candidates,
+        minhash_band_pairs,
+        minhash_bands,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bands = (
+        minhash_bands(docs)
+        .join(
+            docs.select(
+                "doc_id",
+                (F.col("source") == INCR_BATCH_SOURCE).alias("is_new"),
+            ),
+            "doc_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    new_ids = {
+        r["doc_id"] for r in bands.filter("is_new").select("doc_id").distinct().collect()
+    }
+    inc = incremental_minhash_candidates(
+        bands.filter("is_new").drop("is_new"),
+        bands.filter(~F.col("is_new")).drop("is_new"),
+    ).collect()
+    got = {(r["doc_new"], r["doc_other"], r["leg"]) for r in inc}
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_band_pairs(bands.drop("is_new")).collect()
+    }
+    want = set()
+    for a, b in full:
+        if a in new_ids and b in new_ids:
+            want.add((a, b, "batch"))
+        elif a in new_ids:
+            want.add((a, b, "corpus"))
+        elif b in new_ids:
+            want.add((b, a, "corpus"))
+    assert got == want and got
