@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Subset contract: the driver records correctness rows for the FIRST 50
-# queries() entries only, while the registry holds 224 (223 oracle-gated
+# queries() entries only, while the registry holds 225 (224 oracle-gated
 # + rows-only emb_pca_project, which stays OUT of the window permanently
 # per the r04 ruling — its gate is the numpy parity test in
 # tests/test_projection.py; io_read_current_hashes, text_domain_cap,

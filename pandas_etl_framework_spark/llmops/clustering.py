@@ -1066,7 +1066,13 @@ def q_emb_ivfpq_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     try:
         ivfpq_write(spark, tmp, crows, books, codes)
         crows2, books2, codes2 = ivfpq_read(spark, tmp)
-        out = ivfpq_search(e, crows2, codes2, books2, qv).localCheckpoint(
+        # rerank against a FRESH scan of the source table: nothing from
+        # the build survives except the on-disk index + the corpus —
+        # exactly what a later session searching the store would hold
+        e2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.expr(_VQ_EXPR).alias("vq")
+        )
+        out = ivfpq_search(e2, crows2, codes2, books2, qv).localCheckpoint(
             eager=True
         )
     finally:
