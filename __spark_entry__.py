@@ -82,15 +82,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # simhash/cross_source, emb_ann_lsh, multimodal_decode_video,
 # curation_pipeline, rel_filter_project, rel_window_lag) are the r08
 # rotation's backlog — staleness-order them next round.
-# ROUND-8 ROTATION (VERDICT r07 item 1): the 7 new r08 rows + every query
+# ROUND-8 ROTATION (VERDICT r07 item 1): the 8 new r08 rows + every query
 # whose code changed this round + ALL 31 r03-era rows (the oldest evidence
-# on the books) + 4 touched-family r04 rows. After a green window, no
+# on the books) + 3 touched-family r04 rows. After a green window, no
 # registry query's latest driver row predates r04. Remaining r04-era rows
 # (cdc_simulate_runs, emb_pca/quantize/random_projection, events r04
 # cohort, io_csv/partitioned/store_reset, multimodal_metadata,
 # rel_array_agg/dq/higher_order/null_semantics/pivot_native/profile,
 # scd2_pit_join, sketch r04 cohort, text r04 cohort, tpch
-# q8/q11/q12/q15/q16/q19/q22) are the r09 rotation's backlog.
+# q8/q11/q12/q15/q16/q19/q22, and streaming_cdc_historize — evicted from
+# this window to fit dedup_minhash_incremental) are the r09 rotation's
+# backlog.
 DRIVER_PRIORITY = [
     # -- new this round: banded-join hot-bucket caps + drop accounting ----
     "dedup_minhash_pairs_capped", "dedup_minhash_bucket_report",

@@ -177,11 +177,18 @@ def q_cdc_source_file_meta(spark, sf_dir):
     from .constants import SOURCE_FILE_NAME
 
     fixture = f"{sf_dir}/orders.parquet"
-    if not os.path.isfile(fixture):
+    if os.path.isdir(fixture):
         raise ValueError(
             f"cdc_source_file_meta needs a single-file fixture; {fixture} "
             "is a directory (multi-part layout) — its part-file basenames "
             "would not match the oracle's pinned 'orders.parquet'"
+        )
+    if not os.path.isfile(fixture):
+        # distinct message: a missing path (wrong sf_dir) or a
+        # non-local filesystem is not a layout problem
+        raise ValueError(
+            f"cdc_source_file_meta cannot verify the single-file fixture "
+            f"contract: {fixture} is not visible as a local file"
         )
 
     stamped = add_meta_columns(

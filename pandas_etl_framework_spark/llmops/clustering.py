@@ -1102,7 +1102,6 @@ def q_emb_ivfpq_add_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ivfpq_add_batch() -> str:
-    pq_i = IVFPQ_PQ_ITERS
     code_cols = ",\n       ".join(
         f"cj{j}.cid AS code_{j}" for j in range(PQ_M)
     )

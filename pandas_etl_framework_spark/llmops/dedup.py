@@ -449,23 +449,30 @@ _BOILERPLATE_TEXT = (
 MINHASH_CAP_DENOM = 10  # bucket_cap = n_docs // 10
 
 
-def q_dedup_minhash_pairs_capped(spark, sf_dir):
-    """The banded pair join under a saturated bucket (VERDICT r07 item 2):
-    every doc_id % 4 == 0 document's text is replaced with one constant
-    boilerplate string, so ~25% of the corpus lands in ONE band bucket per
-    band — the quadratic cluster the cap exists for. With
-    bucket_cap = n_docs // 10 those four buckets are dropped and the join
-    cost stays bounded; the oracle recomputes the SAME capped semantics
-    (buckets ≤ cap only), so both the cap decision and the surviving pair
-    set are hash-pinned. The dropped buckets are published by
-    dedup_minhash_bucket_report — the no-silent-caps twin."""
+def _boilerplate_docs_and_cap(spark, sf_dir):
+    """Shared saturated fixture for the capped join AND its accounting
+    twin — ONE definition, so the report can never describe buckets a
+    differently-built run dropped: every doc_id % 4 == 0 document's text
+    becomes one constant boilerplate string (~25% of the corpus in one
+    band bucket per band), cap = n_docs // MINHASH_CAP_DENOM."""
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         F.when(F.col("doc_id") % 4 == 0, F.lit(_BOILERPLATE_TEXT))
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    cap = docs.count() // MINHASH_CAP_DENOM
+    return docs, docs.count() // MINHASH_CAP_DENOM
+
+
+def q_dedup_minhash_pairs_capped(spark, sf_dir):
+    """The banded pair join under a saturated bucket (VERDICT r07 item 2):
+    the boilerplate fixture's four ~25% buckets are dropped at
+    bucket_cap = n_docs // 10 and the join cost stays bounded; the oracle
+    recomputes the SAME capped semantics (buckets ≤ cap only), so both
+    the cap decision and the surviving pair set are hash-pinned. The
+    dropped buckets are published by dedup_minhash_bucket_report — the
+    no-silent-caps twin."""
+    docs, cap = _boilerplate_docs_and_cap(spark, sf_dir)
     return minhash_band_pairs(minhash_bands(docs), bucket_cap=cap)
 
 
@@ -473,13 +480,7 @@ def q_dedup_minhash_bucket_report(spark, sf_dir):
     """Dropped-bucket accounting for the capped run: the (band, band_key,
     n_docs) rows whose occupancy exceeds the cap — exactly the candidate
     clusters q_dedup_minhash_pairs_capped skipped."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.when(F.col("doc_id") % 4 == 0, F.lit(_BOILERPLATE_TEXT))
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    cap = docs.count() // MINHASH_CAP_DENOM
+    docs, cap = _boilerplate_docs_and_cap(spark, sf_dir)
     return minhash_bucket_report(minhash_bands(docs), bucket_cap=cap)
 
 
@@ -1189,10 +1190,19 @@ def incremental_minhash_candidates(
 
     Returns (doc_new, doc_other, leg): leg='corpus' pairs a new document
     with a historical one, leg='batch' with an earlier document of the
-    same batch (lower doc_id). ``bucket_cap`` drops saturated CORPUS
-    buckets before the join (same hazard and same accounting contract as
-    ``minhash_band_pairs``: publish ``minhash_bucket_report`` over the
-    corpus bands alongside)."""
+    same batch — ``doc_other`` is always the EARLIER side (lower doc_id
+    within the batch), so the keep-earliest policy of the
+    ``incremental_dedup`` twin reads as "doc_new duplicates doc_other".
+    ``bucket_cap`` drops saturated CORPUS buckets before the join (same
+    hazard and same accounting contract as ``minhash_band_pairs``:
+    publish ``minhash_bucket_report`` over the corpus bands alongside).
+
+    The batch side is checkpointed here (it feeds BOTH sides of the
+    batch self-join plus the corpus probe — raw lineage would re-run the
+    shingle→signature pipeline three times); the corpus side is NOT (in
+    production it is a persisted store scan, and at corpus scale an
+    eager materialization would be the bug)."""
+    batch_bands = batch_bands.localCheckpoint(eager=True)
     if bucket_cap is not None:
         hot = (
             corpus_bands.groupBy("band", "band_key")
@@ -1225,8 +1235,10 @@ def incremental_minhash_candidates(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_new"),
-            F.col("b.doc_id").alias("doc_other"),
+            # the LATER document is the candidate duplicate; the earlier
+            # one is what it duplicates (keep-lowest-doc_id rule)
+            F.col("b.doc_id").alias("doc_new"),
+            F.col("a.doc_id").alias("doc_other"),
             F.lit("batch").alias("leg"),
         )
     )
@@ -1284,7 +1296,7 @@ FROM lab n JOIN lab o
   ON n.band = o.band AND n.band_key = o.band_key
 WHERE n.is_new AND NOT o.is_new
 UNION
-SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_other,
+SELECT DISTINCT b.doc_id AS doc_new, a.doc_id AS doc_other,
        'batch' AS leg
 FROM lab a JOIN lab b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id

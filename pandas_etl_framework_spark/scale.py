@@ -492,6 +492,14 @@ def auto_join(
     call. Output is value-identical to ``left.join(right, keys, how)``
     in every case; only task placement differs.
     """
+    if strategy is not None and strategy not in ("plain", "aqe_skew", "salted"):
+        # a typo'd strategy must not silently fall through to an
+        # unprotected plain join — that is the straggler this API exists
+        # to prevent
+        raise ValueError(
+            f"unknown strategy {strategy!r}; expected "
+            "'plain', 'aqe_skew' or 'salted'"
+        )
     if strategy == "salted" and how.lower() not in _SALTABLE_HOW:
         # a silent downgrade would hide the caller contradiction: salting
         # replicates the small side, which duplicates unmatched small-side

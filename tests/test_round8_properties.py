@@ -240,9 +240,10 @@ def test_incremental_minhash_candidates_match_full_join_restriction(spark):
         for r in minhash_band_pairs(bands.drop("is_new")).collect()
     }
     want = set()
-    for a, b in full:
+    for a, b in full:  # a < b by minhash_band_pairs' convention
         if a in new_ids and b in new_ids:
-            want.add((a, b, "batch"))
+            # doc_new = the LATER doc, doc_other = the earlier it duplicates
+            want.add((b, a, "batch"))
         elif a in new_ids:
             want.add((a, b, "corpus"))
         elif b in new_ids:
