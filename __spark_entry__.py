@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Subset contract: the driver records correctness rows for the FIRST 50
-# queries() entries only, while the registry holds 225 (224 oracle-gated
+# queries() entries only, while the registry holds 226 (225 oracle-gated
 # + rows-only emb_pca_project, which stays OUT of the window permanently
 # per the r04 ruling — its gate is the numpy parity test in
 # tests/test_projection.py; io_read_current_hashes, text_domain_cap,
@@ -90,8 +90,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # cohort, io_csv/partitioned/store_reset, multimodal_metadata,
 # rel_array_agg/dq/higher_order/null_semantics/pivot_native/profile,
 # scd2_pit_join, sketch r04 cohort, text r04 cohort, tpch
-# q8/q11/q12/q15/q16/q19/q22, and streaming_cdc_historize — evicted from
-# this window to fit dedup_minhash_incremental) are the r09 rotation's
+# q8/q11/q12/q15/q16/q19/q22, and streaming_cdc_historize + emb_pq_topk — evicted from
+# this window to fit dedup_minhash_incremental and dedup_minhash_band_store) are the r09 rotation's
 # backlog.
 DRIVER_PRIORITY = [
     # -- new this round: banded-join hot-bucket caps + drop accounting ----
@@ -101,8 +101,9 @@ DRIVER_PRIORITY = [
     "emb_ivfpq_persist_roundtrip", "emb_ivfpq_add_batch",
     # -- new this round: state-store crash-replay proof -------------------
     "streaming_state_redelivery",
-    # -- new this round: batch-vs-corpus banded near-dup candidates -------
-    "dedup_minhash_incremental",
+    # -- new this round: batch-vs-corpus banded near-dup candidates,
+    #    plus the persisted-band-store leg ---------------------------------
+    "dedup_minhash_incremental", "dedup_minhash_band_store",
     # -- changed this round: build = train + pure encode (new oracle) -----
     "emb_ivfpq_topk", "emb_ivfpq_recall_at_k",
     # -- changed this round: aqe_skew third leg ----------------------------
@@ -122,8 +123,8 @@ DRIVER_PRIORITY = [
     "tpch_q1", "tpch_q13", "tpch_q17", "tpch_q2", "tpch_q20", "tpch_q21",
     "tpch_q7", "tpch_q9",
     # -- r04-era, touched families first: clustering.py restructure
-    #    (ivf/pq siblings), multimodal banding --
-    "emb_ivf_topk", "emb_pq_topk", "multimodal_phash_dedup",
+    #    (ivf sibling), multimodal banding --
+    "emb_ivf_topk", "multimodal_phash_dedup",
 ]
 
 

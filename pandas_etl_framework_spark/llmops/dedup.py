@@ -1305,6 +1305,47 @@ WHERE a.is_new AND b.is_new
 )
 
 
+def q_dedup_minhash_band_store(spark, sf_dir):
+    """The persisted-band-store leg of the incremental story, executed:
+    the corpus bands are WRITTEN to a parquet store (partitioned by
+    band — a probe that touches one band prunes the rest) and READ BACK,
+    and the new batch probes the STORED bands. The oracle is the same
+    recompute-everything chain as dedup_minhash_incremental, so a band
+    key mangled by the round-trip (type widening, partition-column
+    drift, truncation) is a hash mismatch — this is what makes
+    'you never re-shingle history' an executed claim instead of a
+    docstring."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    bands = (
+        minhash_bands(docs)
+        .join(
+            docs.select(
+                "doc_id",
+                (F.col("source") == INCR_BATCH_SOURCE).alias("is_new"),
+            ),
+            "doc_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_band_store_")
+    try:
+        bands.filter(~F.col("is_new")).drop("is_new").write.mode(
+            "overwrite"
+        ).partitionBy("band").parquet(tmp)
+        stored = spark.read.parquet(tmp).select(
+            "doc_id", F.col("band").cast("long").alias("band"), "band_key"
+        )
+        out = incremental_minhash_candidates(
+            bands.filter(F.col("is_new")).drop("is_new"), stored
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 SQL_DEDUP_INCREMENTAL = f"""
 WITH batch AS (
     SELECT doc_id, md5(text) AS fp FROM documents
@@ -1639,6 +1680,10 @@ QUERIES = {
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_minhash_incremental": (
         q_dedup_minhash_incremental,
+        SQL_DEDUP_MINHASH_INCREMENTAL,
+    ),
+    "dedup_minhash_band_store": (
+        q_dedup_minhash_band_store,
         SQL_DEDUP_MINHASH_INCREMENTAL,
     ),
     "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_DEDUP_JACCARD_PREFIX),
