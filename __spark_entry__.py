@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Subset contract: the driver records correctness rows for the FIRST 50
-# queries() entries only, while the registry holds 226 (225 oracle-gated
+# queries() entries only, while the registry holds 227 (226 oracle-gated
 # + rows-only emb_pca_project, which stays OUT of the window permanently
 # per the r04 ruling — its gate is the numpy parity test in
 # tests/test_projection.py; io_read_current_hashes, text_domain_cap,
@@ -82,16 +82,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # simhash/cross_source, emb_ann_lsh, multimodal_decode_video,
 # curation_pipeline, rel_filter_project, rel_window_lag) are the r08
 # rotation's backlog — staleness-order them next round.
-# ROUND-8 ROTATION (VERDICT r07 item 1): the 8 new r08 rows + every query
+# ROUND-8 ROTATION (VERDICT r07 item 1): the 11 new r08 rows + every query
 # whose code changed this round + ALL 31 r03-era rows (the oldest evidence
-# on the books) + 3 touched-family r04 rows. After a green window, no
+# on the books) + 1 touched-family r04 row. After a green window, no
 # registry query's latest driver row predates r04. Remaining r04-era rows
 # (cdc_simulate_runs, emb_pca/quantize/random_projection, events r04
 # cohort, io_csv/partitioned/store_reset, multimodal_metadata,
 # rel_array_agg/dq/higher_order/null_semantics/pivot_native/profile,
 # scd2_pit_join, sketch r04 cohort, text r04 cohort, tpch
-# q8/q11/q12/q15/q16/q19/q22, and streaming_cdc_historize + emb_pq_topk — evicted from
-# this window to fit dedup_minhash_incremental and dedup_minhash_band_store) are the r09 rotation's
+# q8/q11/q12/q15/q16/q19/q22, and streaming_cdc_historize + emb_pq_topk + multimodal_phash_dedup — evicted from
+# this window to fit the minhash-incremental family) are the r09 rotation's
 # backlog.
 DRIVER_PRIORITY = [
     # -- new this round: banded-join hot-bucket caps + drop accounting ----
@@ -101,9 +101,10 @@ DRIVER_PRIORITY = [
     "emb_ivfpq_persist_roundtrip", "emb_ivfpq_add_batch",
     # -- new this round: state-store crash-replay proof -------------------
     "streaming_state_redelivery",
-    # -- new this round: batch-vs-corpus banded near-dup candidates,
-    #    plus the persisted-band-store leg ---------------------------------
+    # -- new this round: batch-vs-corpus banded near-dup candidates, the
+    #    persisted-band-store leg, and the micro-batch-engine twin ---------
     "dedup_minhash_incremental", "dedup_minhash_band_store",
+    "streaming_minhash_incremental",
     # -- changed this round: build = train + pure encode (new oracle) -----
     "emb_ivfpq_topk", "emb_ivfpq_recall_at_k",
     # -- changed this round: aqe_skew third leg ----------------------------
@@ -122,9 +123,8 @@ DRIVER_PRIORITY = [
     "text_contamination", "text_langid", "text_quality", "text_tfidf_topk",
     "tpch_q1", "tpch_q13", "tpch_q17", "tpch_q2", "tpch_q20", "tpch_q21",
     "tpch_q7", "tpch_q9",
-    # -- r04-era, touched families first: clustering.py restructure
-    #    (ivf sibling), multimodal banding --
-    "emb_ivf_topk", "multimodal_phash_dedup",
+    # -- r04-era, touched family: clustering.py restructure (ivf sibling) --
+    "emb_ivf_topk",
 ]
 
 

@@ -1346,6 +1346,80 @@ def q_dedup_minhash_band_store(spark, sf_dir):
     return out
 
 
+def q_streaming_minhash_incremental(spark, sf_dir):
+    """The incremental near-dup pipeline THROUGH the real micro-batch
+    engine: documents stream in (availableNow, file source), and each
+    micro-batch's foreachBatch (a) bands the batch, (b) probes the
+    persisted band STORE for candidates, (c) appends the candidates to a
+    sink, (d) appends the batch's bands to the store — the steady-state
+    crawl-ingest loop where history is only ever touched through its
+    band store. Two runs: the corpus bootstraps the store, then the
+    'src0' batch streams in; the returned rows are the src0 batch's
+    candidates and must hash-match the BATCH oracle
+    (SQL_DEDUP_MINHASH_INCREMENTAL) — so state ordering, store
+    append semantics, and the banded probe all sit behind one gate."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") != INCR_BATCH_SOURCE)
+    batch2 = docs.filter(F.col("source") == INCR_BATCH_SOURCE)
+    tmp = tempfile.mkdtemp(prefix="etl_stream_minhash_")
+    src = f"{tmp}/src"
+    store = f"{tmp}/band_store"
+    sink = f"{tmp}/cands"
+    ckpt = f"{tmp}/ckpt"
+    empty_bands = "doc_id long, band long, band_key string"
+
+    def process_batch(batch_df, _batch_id):
+        s = batch_df.sparkSession
+        bands_new = minhash_bands(batch_df)
+        try:
+            stored = s.read.parquet(store).select(
+                "doc_id", F.col("band").cast("long").alias("band"), "band_key"
+            )
+        except Exception:
+            stored = s.createDataFrame([], empty_bands)
+        cands = incremental_minhash_candidates(bands_new, stored)
+        cands.write.mode("append").parquet(sink)
+        # append AFTER probing: a batch must not see its own bands as
+        # corpus (bands_new was checkpointed inside the probe, so this
+        # append cannot double-run the banding pipeline either)
+        bands_new.write.mode("append").partitionBy("band").parquet(store)
+
+    def run_once(schema):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        corpus.write.parquet(src)
+        run_once(corpus.schema)          # run 1: corpus bootstraps the store
+        batch2.write.mode("append").parquet(src)
+        run_once(corpus.schema)          # run 2: src0 probes the store
+        batch_ids = batch2.select(F.col("doc_id").alias("doc_new"))
+        out = (
+            spark.read.parquet(sink)
+            # keep only the src0 batch's candidates: run 1 also emitted
+            # the corpus's own within-batch pairs, which the batch
+            # oracle deliberately excludes
+            .join(batch_ids, "doc_new", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 SQL_DEDUP_INCREMENTAL = f"""
 WITH batch AS (
     SELECT doc_id, md5(text) AS fp FROM documents
@@ -1684,6 +1758,10 @@ QUERIES = {
     ),
     "dedup_minhash_band_store": (
         q_dedup_minhash_band_store,
+        SQL_DEDUP_MINHASH_INCREMENTAL,
+    ),
+    "streaming_minhash_incremental": (
+        q_streaming_minhash_incremental,
         SQL_DEDUP_MINHASH_INCREMENTAL,
     ),
     "dedup_jaccard_prefix": (q_dedup_jaccard_prefix, SQL_DEDUP_JACCARD_PREFIX),
