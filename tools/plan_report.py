@@ -98,6 +98,9 @@ AUDIT = [
     "emb_ivfpq_persist_roundtrip",
     "emb_ivfpq_add_batch",
     "streaming_state_redelivery",
+    "dedup_minhash_incremental",
+    "dedup_minhash_band_store",
+    "streaming_minhash_incremental",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
