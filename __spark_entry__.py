@@ -105,13 +105,20 @@ DRIVER_PRIORITY = [
     #    persisted-band-store leg, and the micro-batch-engine twin ---------
     "dedup_minhash_incremental", "dedup_minhash_band_store",
     "streaming_minhash_incremental",
+    # -- new this round: corpus line-level dedup (CCNet/Dolma shape) ------
+    # (window stays 50: emb_ivfpq_recall_at_k and dedup_minhash_pairs
+    # yield their re-check slots — the encode-split oracle is already
+    # pinned by emb_ivfpq_topk/persist_roundtrip/add_batch, and the
+    # banding refactor by the capped/report/incremental family; both move
+    # to the r09 backlog)
+    "dedup_lines", "dedup_lines_report",
     # -- changed this round: build = train + pure encode (new oracle) -----
-    "emb_ivfpq_topk", "emb_ivfpq_recall_at_k",
+    "emb_ivfpq_topk",
     # -- changed this round: aqe_skew third leg ----------------------------
     "rel_auto_skew_join",
     # -- changed this round: banding refactor / dfreq 3-sigma pad /
     #    single-file assertion ---------------------------------------------
-    "dedup_minhash_pairs", "multimodal_dhash_neardup",
+    "multimodal_dhash_neardup",
     "dedup_jaccard_prefix", "dedup_containment", "cdc_source_file_meta",
     # -- r03-era greens: the whole remaining backlog ------------------------
     "cdc_deleted_by_full_load", "cdc_deletes_by_column", "cdc_inserts",

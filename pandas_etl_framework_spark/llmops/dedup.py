@@ -1747,8 +1747,248 @@ FROM counts
 )
 
 
+# --------------------------------------------------------------------------
+# Corpus line-level dedup (CCNet / Dolma paragraph-dedup shape)
+# --------------------------------------------------------------------------
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    min_chars: int = 10,
+    max_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide line/paragraph dedup: split each document on ``delim``,
+    and for every line string that occurs more than ``max_count`` times
+    across the WHOLE corpus, keep only its first occurrence (ordered by
+    ``(id_col, line_no)``) and drop every other copy, then reassemble the
+    surviving lines in original order. Lines shorter than ``min_chars``
+    are exempt (blank lines, headings — dropping those mangles structure
+    for no dedup value). This is the CCNet line-dedup / Dolma
+    paragraph-dedup pipeline stage: boilerplate (cookie banners,
+    nav/footer text, license blocks) repeats across millions of pages
+    while full-document dedup misses it entirely.
+
+    ``delim`` must be a literal separator string (it is used both as the
+    split pattern and the re-join separator).
+
+    Scale: one explode (map-local), one groupBy on ``md5(line)`` — the
+    32-char hash bounds shuffle-key width regardless of line length, with
+    map-side combine — restricted to lines occurring > max_count, one
+    hash join back on that hash (a corpus-frequent boilerplate line is
+    exactly ONE row on the build side however many copies exist, so hot
+    lines cannot skew the join), and one groupBy doc for reassembly.
+    Shuffle volume is O(lines), never O(lines²); output text is the only
+    wide column and it shuffles once, on the doc key it is already
+    grouped by.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("line_no", "line"),
+    ).withColumn("line_hash", F.md5("line"))
+    dup_owners = (
+        lines.filter(F.length("line") >= min_chars)
+        .groupBy("line_hash")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("doc_id", "line_no")).alias("owner"),
+        )
+        .filter(F.col("n_occ") > max_count)
+        .select("line_hash", "owner")
+    )
+    flagged = lines.join(dup_owners, "line_hash", "left").select(
+        "doc_id",
+        "line_no",
+        "line",
+        (
+            F.col("owner").isNull()
+            | (
+                (F.col("owner.doc_id") == F.col("doc_id"))
+                & (F.col("owner.line_no") == F.col("line_no"))
+            )
+        ).alias("keep"),
+    )
+    # collect_list skips the NULL structs of dropped lines; array_sort on
+    # (line_no, line) structs restores original order
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("line_no", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias(text_col),
+        F.count("*").alias("n_lines"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    )
+
+
+def line_dup_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    min_chars: int = 10,
+    max_count: int = 1,
+) -> DataFrame:
+    """Diagnostic twin of :func:`line_dedup`: one row per corpus-duplicated
+    line — ``(line, n_occ, owner_doc_id, owner_line_no)`` — naming the
+    occurrence the dedup pass keeps. Same grouping shape as the dedup
+    itself (hash-keyed, map-side combined), no join back."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("line_no", "line"),
+    )
+    return (
+        lines.filter(F.length("line") >= min_chars)
+        .withColumn("line_hash", F.md5("line"))
+        .groupBy("line_hash")
+        .agg(
+            F.max("line").alias("line"),
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("doc_id", "line_no")).alias("owner"),
+        )
+        .filter(F.col("n_occ") > max_count)
+        .select(
+            "line",
+            "n_occ",
+            F.col("owner.doc_id").alias("owner_doc_id"),
+            F.col("owner.line_no").alias("owner_line_no"),
+        )
+    )
+
+
+# The documents fixture is single-line word soup, so the gate builds a
+# line-structured corpus deterministically: chunk each doc's tokens into
+# 8-word lines, then append a shared boilerplate line to every third doc
+# and a second one to every fourth (the corpus-frequent lines the dedup
+# must strip). Both sides construct the identical corpus.
+_LINE_WORDS = 8
+_LINE_BP1 = "please subscribe to our newsletter and share this article with friends"
+_LINE_BP2 = "all rights reserved unauthorized reproduction is strictly prohibited worldwide"
+
+
+def _line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nl = F.ceil(F.size(toks) / F.lit(float(_LINE_WORDS))).cast("int")
+    # sequence() counts DOWN when stop < start (see shingles_df), so guard
+    base = F.when(
+        nl >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nl),
+            lambda i: F.array_join(
+                F.slice(toks, (i - 1) * _LINE_WORDS + 1, _LINE_WORDS), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    empty = F.array().cast("array<string>")
+    extra = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.array(F.lit(_LINE_BP1))).otherwise(
+            empty
+        ),
+        F.when(F.col("doc_id") % 4 == 0, F.array(F.lit(_LINE_BP2))).otherwise(
+            empty
+        ),
+    )
+    return docs.select(
+        "doc_id", F.array_join(F.concat(base, extra), "\n").alias("text")
+    )
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Per-doc result of corpus line-dedup over the constructed
+    line-structured corpus: cleaned text + per-doc drop accounting. The
+    oracle recomputes the keep-first policy with window functions, so a
+    wrong owner pick or a mangled reassembly order is a hash mismatch."""
+    return line_dedup(_line_corpus(spark, sf_dir))
+
+
+def q_dedup_lines_report(spark, sf_dir):
+    """Corpus-duplicated-line report over the same constructed corpus:
+    pins occurrence counts and the kept-occurrence choice directly."""
+    return line_dup_report(_line_corpus(spark, sf_dir))
+
+
+SQL_LINE_CORPUS = rf"""
+ltoks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+lnl AS (
+    SELECT doc_id, t, CAST(ceil(len(t) / {_LINE_WORDS}.0) AS BIGINT) AS nl
+    FROM ltoks
+),
+lchunk AS (
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS line_no,
+           array_to_string(
+               list_slice(t, (i - 1) * {_LINE_WORDS} + 1, i * {_LINE_WORDS}),
+               ' ') AS line
+    FROM (SELECT doc_id, t, unnest(generate_series(1, nl)) AS i FROM lnl)
+),
+lextra AS (
+    SELECT doc_id, CAST(nl AS INTEGER) AS line_no, '{_LINE_BP1}' AS line
+    FROM lnl WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id,
+           CAST(nl + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS line_no,
+           '{_LINE_BP2}' AS line
+    FROM lnl WHERE doc_id % 4 = 0
+),
+alllines AS (
+    SELECT * FROM lchunk UNION ALL SELECT * FROM lextra
+)
+"""
+
+SQL_DEDUP_LINES = f"""
+WITH {SQL_LINE_CORPUS},
+firsts AS (
+    SELECT line, doc_id AS odoc, line_no AS oline
+    FROM alllines
+    WHERE length(line) >= 10
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1
+        AND COUNT(*) OVER (PARTITION BY line) > 1
+),
+lflagged AS (
+    SELECT a.doc_id, a.line_no, a.line,
+           CASE WHEN f.line IS NULL
+                     OR (a.doc_id = f.odoc AND a.line_no = f.oline)
+                THEN 1 ELSE 0 END AS keep
+    FROM alllines a LEFT JOIN firsts f ON a.line = f.line
+)
+SELECT doc_id,
+       coalesce(
+           string_agg(line, chr(10) ORDER BY line_no)
+               FILTER (WHERE keep = 1),
+           '') AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
+FROM lflagged
+GROUP BY doc_id
+"""
+
+SQL_DEDUP_LINES_REPORT = f"""
+WITH {SQL_LINE_CORPUS}
+SELECT line, n_occ, owner_doc_id, owner_line_no FROM (
+    SELECT line, doc_id AS owner_doc_id, line_no AS owner_line_no,
+           CAST(COUNT(*) OVER (PARTITION BY line) AS BIGINT) AS n_occ,
+           ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no)
+               AS rn
+    FROM alllines WHERE length(line) >= 10
+) WHERE rn = 1 AND n_occ > 1
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
+    "dedup_lines_report": (q_dedup_lines_report, SQL_DEDUP_LINES_REPORT),
     "dedup_minhash_recall": (q_dedup_minhash_recall, SQL_DEDUP_MINHASH_RECALL),
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
