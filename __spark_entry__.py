@@ -105,13 +105,17 @@ DRIVER_PRIORITY = [
     #    persisted-band-store leg, and the micro-batch-engine twin ---------
     "dedup_minhash_incremental", "dedup_minhash_band_store",
     "streaming_minhash_incremental",
-    # -- new this round: corpus line-level dedup (CCNet/Dolma shape) ------
-    # (window stays 50: emb_ivfpq_recall_at_k and dedup_minhash_pairs
-    # yield their re-check slots — the encode-split oracle is already
-    # pinned by emb_ivfpq_topk/persist_roundtrip/add_batch, and the
-    # banding refactor by the capped/report/incremental family; both move
-    # to the r09 backlog)
+    # -- new this round: corpus line-level dedup (CCNet/Dolma shape) +
+    #    its incremental/persisted-store legs -----------------------------
+    # (window stays 50: emb_ivfpq_recall_at_k, dedup_minhash_pairs,
+    # dedup_containment and emb_ivf_topk yield their re-check slots — the
+    # encode-split oracle is already pinned by emb_ivfpq_topk /
+    # persist_roundtrip / add_batch, the banding refactor by the
+    # capped/report/incremental family, and the _gate_dfreq 3-sigma pad
+    # by dedup_jaccard_prefix (same shared code path); all four move to
+    # the r09 backlog)
     "dedup_lines", "dedup_lines_report",
+    "dedup_lines_incremental", "dedup_lines_store",
     # -- changed this round: build = train + pure encode (new oracle) -----
     "emb_ivfpq_topk",
     # -- changed this round: aqe_skew third leg ----------------------------
@@ -119,7 +123,7 @@ DRIVER_PRIORITY = [
     # -- changed this round: banding refactor / dfreq 3-sigma pad /
     #    single-file assertion ---------------------------------------------
     "multimodal_dhash_neardup",
-    "dedup_jaccard_prefix", "dedup_containment", "cdc_source_file_meta",
+    "dedup_jaccard_prefix", "cdc_source_file_meta",
     # -- r03-era greens: the whole remaining backlog ------------------------
     "cdc_deleted_by_full_load", "cdc_deletes_by_column", "cdc_inserts",
     "cdc_updates", "curation_pipeline", "dedup_cross_source",
@@ -130,8 +134,6 @@ DRIVER_PRIORITY = [
     "text_contamination", "text_langid", "text_quality", "text_tfidf_topk",
     "tpch_q1", "tpch_q13", "tpch_q17", "tpch_q2", "tpch_q20", "tpch_q21",
     "tpch_q7", "tpch_q9",
-    # -- r04-era, touched family: clustering.py restructure (ivf sibling) --
-    "emb_ivf_topk",
 ]
 
 

@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     # partitioned-by-cid + reload + search) — tracks the amortizable
     # build cost the in-memory row hides. Outside core20.
     "emb_ivfpq_persist_roundtrip",
+    # r08 addition: corpus line-level dedup (explode + hash-keyed
+    # first-occurrence policy + reassembly). Outside core20.
+    "dedup_lines",
 ]
 
 # the 20 queries (incl. streaming) benched since r01 — their sum is

@@ -1863,6 +1863,149 @@ def line_dup_report(
     )
 
 
+def _exploded_lines(
+    docs: DataFrame, text_col: str, id_col: str, delim: str
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("line_no", "line"),
+    ).withColumn("line_hash", F.md5("line"))
+
+
+def line_count_store(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    min_chars: int = 10,
+) -> DataFrame:
+    """Build the persisted side of incremental line dedup: one row per
+    distinct ELIGIBLE line — ``(line_hash, n_occ, owner_doc_id,
+    owner_line_no)``. Singletons are kept too: a future batch copy turns
+    them into duplicates, and the store must know who came first. Rows
+    are hash-keyed and constant-width (no line text), so the store is
+    O(distinct lines) however wide the documents are."""
+    return (
+        _exploded_lines(docs, text_col, id_col, delim)
+        .filter(F.length("line") >= min_chars)
+        .groupBy("line_hash")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("doc_id", "line_no")).alias("__owner"),
+        )
+        .select(
+            "line_hash",
+            "n_occ",
+            F.col("__owner.doc_id").alias("owner_doc_id"),
+            F.col("__owner.line_no").alias("owner_line_no"),
+        )
+    )
+
+
+def merge_line_store(store: DataFrame, other: DataFrame) -> DataFrame:
+    """Fold one batch's line stats into the store: counts add, the owner
+    is the lexicographic-min position. Associative and commutative, so
+    build(corpus) == fold of any batch partitioning of it."""
+    return (
+        store.unionByName(other)
+        .groupBy("line_hash")
+        .agg(
+            F.sum("n_occ").alias("n_occ"),
+            F.min(F.struct("owner_doc_id", "owner_line_no")).alias("__owner"),
+        )
+        .select(
+            "line_hash",
+            "n_occ",
+            F.col("__owner.owner_doc_id").alias("owner_doc_id"),
+            F.col("__owner.owner_line_no").alias("owner_line_no"),
+        )
+    )
+
+
+def incremental_line_dedup(
+    batch_docs: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    min_chars: int = 10,
+    max_count: int = 1,
+) -> DataFrame:
+    """Dedup ONE new ingest batch against the persisted corpus line store
+    plus itself — the steady-state crawl shape: history is only ever
+    touched through its constant-width store, never re-split, and
+    already-written corpus text is immutable. A batch line is dropped
+    when the combined corpus+batch occurrence count exceeds
+    ``max_count``, unless this occurrence is the globally-first position
+    (corpus owner vs batch first, lexicographic-min — so the result
+    equals full-corpus :func:`line_dedup` restricted to the batch docs,
+    whatever the id interleaving). Output schema matches ``line_dedup``.
+
+    Scale: the store side is pre-aggregated (one row per distinct line,
+    however many copies exist — a million-copy boilerplate line cannot
+    skew the probe join), and every shuffle is batch-sized except the
+    store-side join read."""
+    lines = _exploded_lines(batch_docs, text_col, id_col, delim)
+    batch_stats = (
+        lines.filter(F.length("line") >= min_chars)
+        .groupBy("line_hash")
+        .agg(
+            F.count("*").alias("b_occ"),
+            F.min(F.struct("doc_id", "line_no")).alias("b_owner"),
+        )
+    )
+    combined = (
+        batch_stats.join(store, "line_hash", "left")
+        .select(
+            "line_hash",
+            (F.col("b_occ") + F.coalesce(F.col("n_occ"), F.lit(0))).alias(
+                "total"
+            ),
+            F.when(
+                F.col("n_occ").isNotNull(),
+                F.least(
+                    F.col("b_owner"),
+                    F.struct(
+                        F.col("owner_doc_id").alias("doc_id"),
+                        F.col("owner_line_no").alias("line_no"),
+                    ),
+                ),
+            )
+            .otherwise(F.col("b_owner"))
+            .alias("owner"),
+        )
+        .filter(F.col("total") > max_count)
+        .select("line_hash", "owner")
+    )
+    flagged = lines.join(combined, "line_hash", "left").select(
+        "doc_id",
+        "line_no",
+        "line",
+        (
+            F.col("owner").isNull()
+            | (
+                (F.col("owner.doc_id") == F.col("doc_id"))
+                & (F.col("owner.line_no") == F.col("line_no"))
+            )
+        ).alias("keep"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("line_no", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias(text_col),
+        F.count("*").alias("n_lines"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    )
+
+
 # The documents fixture is single-line word soup, so the gate builds a
 # line-structured corpus deterministically: chunk each doc's tokens into
 # 8-word lines, then append a shared boilerplate line to every third doc
@@ -1897,7 +2040,9 @@ def _line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return docs.select(
-        "doc_id", F.array_join(F.concat(base, extra), "\n").alias("text")
+        "doc_id",
+        F.array_join(F.concat(base, extra), "\n").alias("text"),
+        "source",
     )
 
 
@@ -1913,6 +2058,46 @@ def q_dedup_lines_report(spark, sf_dir):
     """Corpus-duplicated-line report over the same constructed corpus:
     pins occurrence counts and the kept-occurrence choice directly."""
     return line_dup_report(_line_corpus(spark, sf_dir))
+
+
+def q_dedup_lines_incremental(spark, sf_dir):
+    """Incremental leg: the 'src0' docs arrive as one new ingest batch
+    and are deduped against the line-count STORE of the rest of the
+    corpus plus themselves. The oracle is the full-corpus recompute
+    restricted to the batch docs — so the lexicographic owner
+    resolution (store owner vs batch first, with ids interleaved across
+    sources) must agree exactly with global keep-first."""
+    corpus = _line_corpus(spark, sf_dir)
+    return incremental_line_dedup(
+        corpus.filter(F.col("source") == INCR_BATCH_SOURCE),
+        line_count_store(corpus.filter(F.col("source") != INCR_BATCH_SOURCE)),
+    )
+
+
+def q_dedup_lines_store(spark, sf_dir):
+    """The persisted-store leg, executed: the corpus line stats are
+    WRITTEN to parquet, READ BACK, and probed by the batch — same oracle
+    as the recompute, so any round-trip mangling (count widening, owner
+    column drift) is a hash mismatch. This is what makes 'history is
+    only ever touched through its constant-width store' an executed
+    claim."""
+    import shutil
+    import tempfile
+
+    corpus = _line_corpus(spark, sf_dir)
+    store = line_count_store(
+        corpus.filter(F.col("source") != INCR_BATCH_SOURCE)
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_line_store_")
+    try:
+        store.write.mode("overwrite").parquet(tmp)
+        out = incremental_line_dedup(
+            corpus.filter(F.col("source") == INCR_BATCH_SOURCE),
+            spark.read.parquet(tmp),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 SQL_LINE_CORPUS = rf"""
@@ -1946,8 +2131,7 @@ alllines AS (
 )
 """
 
-SQL_DEDUP_LINES = f"""
-WITH {SQL_LINE_CORPUS},
+_SQL_LINES_FLAGGED = """
 firsts AS (
     SELECT line, doc_id AS odoc, line_no AS oline
     FROM alllines
@@ -1962,6 +2146,9 @@ lflagged AS (
                 THEN 1 ELSE 0 END AS keep
     FROM alllines a LEFT JOIN firsts f ON a.line = f.line
 )
+"""
+
+_SQL_LINES_SELECT = """
 SELECT doc_id,
        coalesce(
            string_agg(line, chr(10) ORDER BY line_no)
@@ -1970,8 +2157,27 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
        CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
 FROM lflagged
+{where}
 GROUP BY doc_id
 """
+
+SQL_DEDUP_LINES = (
+    f"WITH {SQL_LINE_CORPUS},{_SQL_LINES_FLAGGED}"
+    + _SQL_LINES_SELECT.format(where="")
+)
+
+# incremental leg: identical global keep-first policy, restricted to the
+# 'src0' batch docs — the incremental path must agree with the full
+# recompute exactly, whatever the id interleaving across sources
+SQL_DEDUP_LINES_INCR = (
+    f"WITH {SQL_LINE_CORPUS},{_SQL_LINES_FLAGGED}"
+    + _SQL_LINES_SELECT.format(
+        where=(
+            "WHERE doc_id IN "
+            "(SELECT doc_id FROM documents WHERE source = 'src0')"
+        )
+    )
+)
 
 SQL_DEDUP_LINES_REPORT = f"""
 WITH {SQL_LINE_CORPUS}
@@ -1989,6 +2195,11 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     "dedup_lines_report": (q_dedup_lines_report, SQL_DEDUP_LINES_REPORT),
+    "dedup_lines_incremental": (
+        q_dedup_lines_incremental,
+        SQL_DEDUP_LINES_INCR,
+    ),
+    "dedup_lines_store": (q_dedup_lines_store, SQL_DEDUP_LINES_INCR),
     "dedup_minhash_recall": (q_dedup_minhash_recall, SQL_DEDUP_MINHASH_RECALL),
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),

@@ -8,7 +8,13 @@ from __future__ import annotations
 
 import pytest
 
-from pandas_etl_framework_spark.llmops.dedup import line_dedup, line_dup_report
+from pandas_etl_framework_spark.llmops.dedup import (
+    incremental_line_dedup,
+    line_count_store,
+    line_dedup,
+    line_dup_report,
+    merge_line_store,
+)
 
 BOILER = "subscribe to our newsletter today"  # 33 chars, eligible
 SHORT = "ok"  # < min_chars, exempt however often it repeats
@@ -90,6 +96,35 @@ def test_line_dedup_max_count_threshold(spark, docs_df):
         for r in line_dedup(docs_df, max_count=4).collect()
     }
     assert got == {doc_id: text for doc_id, text in DOCS}
+
+
+def test_incremental_matches_full_recompute(spark, docs_df):
+    # batch {0, 3} vs corpus {1, 2}: ids INTERLEAVE across the split, so
+    # for BOILER the store owner (doc 1) must LOSE to the batch's earlier
+    # copy at (0, 1) — the least(store, batch) branch — while doc 0's
+    # second copy still drops
+    batch = docs_df.filter("doc_id in (0, 3)")
+    corpus = docs_df.filter("doc_id in (1, 2)")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_dropped"])
+        for r in incremental_line_dedup(
+            batch, line_count_store(corpus)
+        ).collect()
+    }
+    full = py_line_dedup(DOCS)
+    assert got == {k: v for k, v in full.items() if k in (0, 3)}
+
+
+def test_line_store_merge_associative(spark, docs_df):
+    whole = line_count_store(docs_df)
+    folded = merge_line_store(
+        line_count_store(docs_df.filter("doc_id in (0, 3)")),
+        line_count_store(docs_df.filter("doc_id in (1, 2)")),
+    )
+    assert sorted(map(tuple, whole.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, folded.collect()), key=lambda t: t[0]
+    )
+    assert whole.columns == folded.columns
 
 
 def test_line_dup_report_owners(spark, docs_df):

@@ -101,6 +101,8 @@ AUDIT = [
     "dedup_minhash_incremental",
     "dedup_minhash_band_store",
     "streaming_minhash_incremental",
+    "dedup_lines",
+    "dedup_lines_store",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
