@@ -116,13 +116,16 @@ DRIVER_PRIORITY = [
     # the r09 backlog)
     "dedup_lines", "dedup_lines_report",
     "dedup_lines_incremental", "dedup_lines_store",
+    # (fifth slot: multimodal_dhash_neardup yields its re-check — the
+    # capped twin + bucket report in this window run the SAME banded-join
+    # code with the cap active; it joins the r09 backlog)
+    "streaming_lines_incremental",
     # -- changed this round: build = train + pure encode (new oracle) -----
     "emb_ivfpq_topk",
     # -- changed this round: aqe_skew third leg ----------------------------
     "rel_auto_skew_join",
     # -- changed this round: banding refactor / dfreq 3-sigma pad /
     #    single-file assertion ---------------------------------------------
-    "multimodal_dhash_neardup",
     "dedup_jaccard_prefix", "cdc_source_file_meta",
     # -- r03-era greens: the whole remaining backlog ------------------------
     "cdc_deleted_by_full_load", "cdc_deletes_by_column", "cdc_inserts",

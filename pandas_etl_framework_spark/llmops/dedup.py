@@ -1930,6 +1930,7 @@ def incremental_line_dedup(
     delim: str = "\n",
     min_chars: int = 10,
     max_count: int = 1,
+    store_preaggregated: bool = True,
 ) -> DataFrame:
     """Dedup ONE new ingest batch against the persisted corpus line store
     plus itself — the steady-state crawl shape: history is only ever
@@ -1944,7 +1945,17 @@ def incremental_line_dedup(
     Scale: the store side is pre-aggregated (one row per distinct line,
     however many copies exist — a million-copy boilerplate line cannot
     skew the probe join), and every shuffle is batch-sized except the
-    store-side join read."""
+    store-side join read.
+
+    ``store_preaggregated=False`` accepts a store holding APPENDED
+    per-batch partial stats (the streaming ingest shape, where each
+    micro-batch appends its own :func:`line_count_store` rows instead of
+    rewriting a compacted store in place) and folds them at probe time —
+    an extra store-side aggregation per batch that a compacted store
+    avoids; compact out-of-band in production."""
+    if not store_preaggregated:
+        # self-merge: same associative fold as merge_line_store
+        store = merge_line_store(store, store.limit(0))
     lines = _exploded_lines(batch_docs, text_col, id_col, delim)
     batch_stats = (
         lines.filter(F.length("line") >= min_chars)
@@ -2100,6 +2111,82 @@ def q_dedup_lines_store(spark, sf_dir):
     return out
 
 
+def q_streaming_lines_incremental(spark, sf_dir):
+    """The line-dedup ingest loop THROUGH the real micro-batch engine:
+    documents stream in (availableNow, file source) and each
+    micro-batch's foreachBatch (a) probes the APPENDED line-stat store
+    (folding the per-batch partials at probe time,
+    ``store_preaggregated=False``), (b) appends the cleaned batch to a
+    sink, (c) appends the batch's own raw-text line stats to the store.
+    Stats always come from RAW batch text, so the store is
+    chop-invariant whatever the engine's batching. Two runs: the corpus
+    bootstraps the store, then 'src0' streams in; the returned rows are
+    the src0 batch's cleaned docs and must hash-match the full-recompute
+    oracle restricted to the batch — store append semantics, the
+    probe-time fold, and the owner resolution all behind one gate."""
+    import shutil
+    import tempfile
+
+    all_docs = _line_corpus(spark, sf_dir)
+    corpus = all_docs.filter(F.col("source") != INCR_BATCH_SOURCE)
+    batch2 = all_docs.filter(F.col("source") == INCR_BATCH_SOURCE)
+    tmp = tempfile.mkdtemp(prefix="etl_stream_lines_")
+    src = f"{tmp}/src"
+    store = f"{tmp}/line_store"
+    sink = f"{tmp}/clean"
+    ckpt = f"{tmp}/ckpt"
+    empty_store = (
+        "line_hash string, n_occ bigint, owner_doc_id bigint,"
+        " owner_line_no int"
+    )
+
+    def process_batch(batch_df, _batch_id):
+        s = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        try:
+            stored = s.read.parquet(store)
+        except Exception:
+            stored = s.createDataFrame([], empty_store)
+        cleaned = incremental_line_dedup(
+            batch_df, stored, store_preaggregated=False
+        )
+        cleaned.write.mode("append").parquet(sink)
+        # append AFTER probing: a batch must not see its own stats as
+        # corpus; stats come from the raw batch text, never the cleaned
+        line_count_store(batch_df).write.mode("append").parquet(store)
+
+    def run_once(schema):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        corpus.write.parquet(src)
+        run_once(corpus.schema)          # run 1: corpus bootstraps the store
+        batch2.write.mode("append").parquet(src)
+        run_once(corpus.schema)          # run 2: src0 probes the store
+        batch_ids = batch2.select("doc_id")
+        out = (
+            spark.read.parquet(sink)
+            # run 1 also wrote the corpus's own cleaned docs, which the
+            # batch-restricted oracle deliberately excludes
+            .join(batch_ids, "doc_id", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 SQL_LINE_CORPUS = rf"""
 ltoks AS (
     SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
@@ -2200,6 +2287,10 @@ QUERIES = {
         SQL_DEDUP_LINES_INCR,
     ),
     "dedup_lines_store": (q_dedup_lines_store, SQL_DEDUP_LINES_INCR),
+    "streaming_lines_incremental": (
+        q_streaming_lines_incremental,
+        SQL_DEDUP_LINES_INCR,
+    ),
     "dedup_minhash_recall": (q_dedup_minhash_recall, SQL_DEDUP_MINHASH_RECALL),
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),

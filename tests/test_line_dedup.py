@@ -127,6 +127,21 @@ def test_line_store_merge_associative(spark, docs_df):
     assert whole.columns == folded.columns
 
 
+def test_incremental_accepts_appended_partial_store(spark, docs_df):
+    # streaming ingest appends per-batch partial stats instead of
+    # compacting; the probe-time fold must give the same answer
+    batch = docs_df.filter("doc_id in (0, 3)")
+    appended = line_count_store(
+        docs_df.filter("doc_id = 1")
+    ).unionByName(line_count_store(docs_df.filter("doc_id = 2")))
+    compacted = line_count_store(docs_df.filter("doc_id in (1, 2)"))
+    a = incremental_line_dedup(
+        batch, appended, store_preaggregated=False
+    ).collect()
+    b = incremental_line_dedup(batch, compacted).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_line_dup_report_owners(spark, docs_df):
     rep = {r["line"]: r for r in line_dup_report(docs_df).collect()}
     assert set(rep) == {BOILER, "alpha beta gamma", "delta epsilon zeta"}
