@@ -120,13 +120,18 @@ DRIVER_PRIORITY = [
     # capped twin + bucket report in this window run the SAME banded-join
     # code with the cap active; it joins the r09 backlog)
     "streaming_lines_incremental",
+    # -- new this round: DSIR importance resampling (hashed-ngram domain
+    #    matching). cdc_source_file_meta yields its slot — its only r08
+    #    change was a louder single-file diagnostic, pinned by pytest; it
+    #    joins the r09 backlog -------------------------------------------
+    "text_dsir_select",
     # -- changed this round: build = train + pure encode (new oracle) -----
     "emb_ivfpq_topk",
     # -- changed this round: aqe_skew third leg ----------------------------
     "rel_auto_skew_join",
     # -- changed this round: banding refactor / dfreq 3-sigma pad /
     #    single-file assertion ---------------------------------------------
-    "dedup_jaccard_prefix", "cdc_source_file_meta",
+    "dedup_jaccard_prefix",
     # -- r03-era greens: the whole remaining backlog ------------------------
     "cdc_deleted_by_full_load", "cdc_deletes_by_column", "cdc_inserts",
     "cdc_updates", "curation_pipeline", "dedup_cross_source",

@@ -649,8 +649,181 @@ GROUP BY t.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169)
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024          # paper uses 10k; any fixed B stays broadcastable
+DSIR_TARGET_SOURCE = "src1"  # gate fixture: src1 is the target domain
+
+
+def _dsir_feature_rows(docs, text_col: str = "text"):
+    """(doc_id, is_target, bucket) with multiplicity: hashed unigram +
+    word-bigram features, md5-bucketed so the DuckDB twin is bit-identical
+    (same _sql_hex_base fold as the MinHash family)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = docs.select("doc_id", "is_target", toks.alias("t"))
+    n = F.size(F.col("t"))
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, n - 1),
+        F.slice(F.col("t"), 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return d.select(
+        "doc_id",
+        "is_target",
+        F.explode(F.concat(F.col("t"), bigrams)).alias("feat"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+
+
+def dsir_bucket_weights(feats) -> "F.DataFrame":
+    """Per-bucket quantized importance log-ratio
+    ``w_q = floor(1e6 * ln( p_target(b) / p_raw(b) ))`` with add-one
+    smoothing over the fixed B-bucket hashed-n-gram space — the DSIR
+    importance estimator. The table is at most B rows (driver-sized at
+    any corpus scale), built by ONE map-side-combined aggregation; the
+    ln argument is a single IEEE division of exact integer products, so
+    the quantized weight is engine-portable (same pattern as the
+    unigram-surprisal LM)."""
+    from .indexing import LN_SCALE
+
+    w = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("cr"),
+    )
+    tot = w.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    # double products, not integer: count*count overflows BIGINT at real
+    # corpus scale, and IEEE multiply/divide round identically on both
+    # engines so portability is unaffected
+    num = (F.col("ct") + 1).cast("double") * (
+        F.col("nr") + DSIR_BUCKETS
+    ).cast("double")
+    den = (F.col("cr") + 1).cast("double") * (
+        F.col("nt") + DSIR_BUCKETS
+    ).cast("double")
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(F.log(num / den) * LN_SCALE).cast("bigint").alias("w_q"),
+        )
+    )
+
+
+def dsir_scores(docs, is_target, text_col: str = "text"):
+    """DSIR data selection: score every RAW (non-target) document by the
+    summed importance log-ratio of its hashed n-gram features against the
+    target domain — documents whose feature distribution looks like the
+    target get positive scores and the ``selected`` flag. This is the
+    published importance-resampling recipe for picking pretraining data
+    that matches a high-quality target corpus, without training a model.
+
+    Scale shape: one explode (map-local), one B-row weight aggregation,
+    then a BROADCAST join of the weight table onto the feature stream and
+    a doc-keyed sum — scoring 100 TB shuffles only the per-doc partial
+    sums; the corpus-sized feature relation never shuffles."""
+    feats = _dsir_feature_rows(
+        docs.select("doc_id", is_target.alias("is_target"), text_col),
+        text_col,
+    ).localCheckpoint(eager=True)
+    weights = dsir_bucket_weights(feats)
+    return (
+        feats.filter(~F.col("is_target"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("w_q").alias("dsir_score_q"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "dsir_score_q",
+            (
+                F.col("dsir_score_q").cast("double")
+                / F.col("n_feats").cast("double")
+            ).alias("mean_logratio_micro"),
+            (F.col("dsir_score_q") >= 0).alias("selected"),
+        )
+    )
+
+
+def q_text_dsir_select(spark, sf_dir):
+    """Driver row: DSIR selection of raw docs (every source but 'src1')
+    against the 'src1' target domain. The oracle unrolls the full
+    estimator — hashed features, smoothed bucket ratios, quantized ln —
+    so a biased weight table or a lost feature is a hash mismatch."""
+    docs = _docs(spark, sf_dir)
+    return dsir_scores(docs, F.col("source") == DSIR_TARGET_SOURCE)
+
+
+def _sql_text_dsir_select() -> str:
+    from .dedup import _sql_hex_base
+    from .indexing import LN_SCALE
+
+    b = DSIR_BUCKETS
+    return rf"""
+WITH d AS (
+    SELECT doc_id, source = '{DSIR_TARGET_SOURCE}' AS is_target,
+           string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+feats AS (
+    SELECT doc_id, is_target, unnest(t) AS feat FROM d
+    UNION ALL
+    SELECT doc_id, is_target, t[i] || ' ' || t[i + 1] AS feat
+    FROM (
+        SELECT doc_id, is_target, t,
+               unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+        FROM d
+    )
+),
+bf AS (
+    SELECT doc_id, is_target,
+           ({_sql_hex_base('md5(feat)')}) % {b} AS bucket
+    FROM feats
+),
+w AS (
+    SELECT bucket,
+           SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+           SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+    FROM bf GROUP BY bucket
+),
+tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM w),
+wq AS (
+    SELECT bucket,
+           CAST(FLOOR(LN(
+               (CAST(ct + 1 AS DOUBLE) * CAST(nr + {b} AS DOUBLE))
+               / (CAST(cr + 1 AS DOUBLE) * CAST(nt + {b} AS DOUBLE))
+           ) * {LN_SCALE}) AS BIGINT) AS w_q
+    FROM w CROSS JOIN tot
+)
+SELECT bf.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(w_q) AS BIGINT) AS dsir_score_q,
+       CAST(SUM(w_q) AS DOUBLE) / COUNT(*) AS mean_logratio_micro,
+       SUM(w_q) >= 0 AS selected
+FROM bf JOIN wq USING (bucket)
+WHERE NOT bf.is_target
+GROUP BY bf.doc_id
+"""
+
+
+SQL_TEXT_DSIR_SELECT = _sql_text_dsir_select()
+
+
 QUERIES = {
     "text_pii_redact": (q_text_pii_redact, SQL_TEXT_PII_REDACT),
+    "text_dsir_select": (q_text_dsir_select, SQL_TEXT_DSIR_SELECT),
     "text_domain_cap": (q_text_domain_cap, SQL_TEXT_DOMAIN_CAP),
     "text_oov_rate": (q_text_oov_rate, SQL_TEXT_OOV_RATE),
     "text_shuffle_shard": (q_text_shuffle_shard, SQL_TEXT_SHUFFLE_SHARD),

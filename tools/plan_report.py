@@ -103,6 +103,7 @@ AUDIT = [
     "streaming_minhash_incremental",
     "dedup_lines",
     "dedup_lines_store",
+    "text_dsir_select",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
