@@ -125,13 +125,17 @@ DRIVER_PRIORITY = [
     #    change was a louder single-file diagnostic, pinned by pytest; it
     #    joins the r09 backlog -------------------------------------------
     "text_dsir_select",
+    # -- new this round: sqrt-temperature source mixing. dedup_jaccard_prefix
+    #    yields its slot — its r08 change (3-sigma dfreq pad) is a
+    #    broadcast-gating hardening with forced-fallback oracle-identical
+    #    pytest coverage; it joins the r09 backlog ------------------------
+    "text_temperature_mixture",
     # -- changed this round: build = train + pure encode (new oracle) -----
     "emb_ivfpq_topk",
     # -- changed this round: aqe_skew third leg ----------------------------
     "rel_auto_skew_join",
     # -- changed this round: banding refactor / dfreq 3-sigma pad /
     #    single-file assertion ---------------------------------------------
-    "dedup_jaccard_prefix",
     # -- r03-era greens: the whole remaining backlog ------------------------
     "cdc_deleted_by_full_load", "cdc_deletes_by_column", "cdc_inserts",
     "cdc_updates", "curation_pipeline", "dedup_cross_source",

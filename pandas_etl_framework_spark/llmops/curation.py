@@ -406,6 +406,92 @@ SQL_TEXT_SOURCE_MIXTURE = _sql_source_mixture()
 
 
 # --------------------------------------------------------------------------
+# Temperature-based source mixing (sqrt-scaling multilingual sampler)
+# --------------------------------------------------------------------------
+
+_TEMP_MOD = 10_000
+
+
+def temperature_mixture(docs, mod: int = _TEMP_MOD):
+    """Rebalance source shares toward ``S_s^alpha`` with alpha = 1/2 —
+    the standard temperature sampler for heterogeneous pretraining mixes
+    (multilingual corpora, web-vs-books): big sources are tempered, small
+    ones up-weighted relative to proportional sampling, without ever
+    starving either. Keep-rate_s = (S_min / S_s)^(1/2), so the SMALLEST
+    source is kept whole and expected kept-token counts are proportional
+    to sqrt(S_s).
+
+    The draw reuses the content-stable md5 bucket (deterministic across
+    runs/engines/partitionings), and the alpha=1/2 rate compare needs NO
+    floating point at all — square both sides:
+    keep  <=>  bucket^2 * S_s < mod^2 * S_min.
+    Overflow bound: bucket < mod = 1e4 keeps the left product under 2^63
+    while S_s < 9.2e10 tokens per source; shrink ``mod`` (rate
+    granularity) before that, or pre-divide both sides.
+
+    Same shape as :func:`source_mixture`: one k-row per-source aggregate
+    broadcast back, a 1-row singleton for S_min, then the per-doc
+    decision is a pure projection composed with the scan."""
+    n_tokens = F.size(tokens_col()).cast("long")
+    d = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    per_src = d.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    mins = per_src.agg(F.min("src_tokens").alias("min_tokens"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % mod
+    )
+    return (
+        d.join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(mins))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "src_tokens",
+            "min_tokens",
+            bucket.alias("bucket"),
+            (
+                bucket * bucket * F.col("src_tokens")
+                < F.lit(mod) * F.lit(mod) * F.col("min_tokens")
+            ).alias("kept"),
+        )
+    )
+
+
+def q_text_temperature_mixture(spark, sf_dir):
+    return temperature_mixture(_docs(spark, sf_dir))
+
+
+def _sql_temperature_mixture() -> str:
+    from ..sketches import _sql_hex_to_long
+
+    bucket = f"({_sql_hex_to_long('md5(CAST(doc_id AS VARCHAR))', 1, 8)}" \
+        f" % {_TEMP_MOD})"
+    return rf"""
+WITH d AS (
+    SELECT doc_id, source,
+           CAST(LEN(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+s AS (
+    SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+    FROM d GROUP BY source
+),
+m AS (SELECT CAST(MIN(src_tokens) AS BIGINT) AS min_tokens FROM s)
+SELECT d.doc_id, d.source, d.n_tokens, s.src_tokens, m.min_tokens,
+       {bucket} AS bucket,
+       {bucket} * {bucket} * s.src_tokens
+           < {_TEMP_MOD} * {_TEMP_MOD} * m.min_tokens AS kept
+FROM d JOIN s USING (source) CROSS JOIN m
+"""
+
+
+SQL_TEXT_TEMPERATURE_MIXTURE = _sql_temperature_mixture()
+
+
+# --------------------------------------------------------------------------
 # Deterministic global shuffle + shard assignment (training order)
 # --------------------------------------------------------------------------
 
@@ -828,6 +914,10 @@ QUERIES = {
     "text_oov_rate": (q_text_oov_rate, SQL_TEXT_OOV_RATE),
     "text_shuffle_shard": (q_text_shuffle_shard, SQL_TEXT_SHUFFLE_SHARD),
     "text_source_mixture": (q_text_source_mixture, SQL_TEXT_SOURCE_MIXTURE),
+    "text_temperature_mixture": (
+        q_text_temperature_mixture,
+        SQL_TEXT_TEMPERATURE_MIXTURE,
+    ),
     "text_weighted_reservoir": (
         q_text_weighted_reservoir,
         _sql_weighted_reservoir(),

@@ -75,3 +75,33 @@ def test_oov_vocab_tie_break_deterministic(spark):
     rows = [(1, "aa bb", "s", 5), (2, "bb aa", "s", 5)]
     out = oov_rate(_docs_df(spark, rows), vocab_k=1).collect()
     assert all(r["n_oov"] == 1 for r in out)
+
+
+def test_temperature_mixture_sqrt_scaling(spark):
+    # skewed corpus: src_big 400 docs x 10 tokens, src_mid 100, src_small 25
+    rows = [(i, "a b c d e f g h i j", "src_big", 0) for i in range(400)]
+    rows += [(1000 + i, "a b c d e f g h i j", "src_mid", 0) for i in range(100)]
+    rows += [(2000 + i, "a b c d e f g h i j", "src_small", 0) for i in range(25)]
+    from pandas_etl_framework_spark.llmops.curation import (
+        _TEMP_MOD,
+        temperature_mixture,
+    )
+
+    got = temperature_mixture(_docs_df(spark, rows)).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+        # exact integer rule replicated per row
+        assert r["kept"] == (
+            r["bucket"] ** 2 * r["src_tokens"]
+            < _TEMP_MOD ** 2 * r["min_tokens"]
+        )
+    # the smallest source is kept whole (rate 1)
+    assert all(r["kept"] for r in by_src["src_small"])
+    # kept counts scale ~sqrt(S): rates 1, 1/2, 1/4 here (S = 4000/1000/250
+    # tokens -> sqrt(250/S) = .25/.5/1); md5 buckets are near-uniform, so
+    # allow a loose band around the expectation
+    kept_big = sum(r["kept"] for r in by_src["src_big"])
+    kept_mid = sum(r["kept"] for r in by_src["src_mid"])
+    assert 70 <= kept_big <= 130        # E = 100
+    assert 35 <= kept_mid <= 65         # E = 50
