@@ -701,8 +701,143 @@ GROUP BY doc_id, island
 """
 
 
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval (Okapi BM25, Lucene idf variant)
+# --------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("dup", "vector", "merge")   # fixed probe query
+BM25_TOPK = 10
+
+# k1 = 1.2, b = 0.75 — the textbook defaults. Both enter the score only
+# through the exact rational rewrite below, never as float literals.
+
+
+def bm25_topk(
+    docs_tf: DataFrame,
+    query_terms: tuple = BM25_QUERY_TERMS,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """Top-``k`` documents for a fixed term query under Okapi BM25.
+
+    Engine-exact scoring. The Lucene idf variant
+    ``ln(1 + (N - df + 0.5)/(df + 0.5)) = ln((2N + 2)/(2df + 1))``
+    (always positive, unlike raw Robertson idf for stopword-frequent
+    terms) is quantized on the LN_SCALE grid over a ratio of identical
+    integers. The length normalization with k1=1.2, b=0.75 is rewritten
+    as an exact integer rational — multiply numerator and denominator of
+    ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` by ``10*T`` (T = corpus
+    tokens, avgdl = T/N):
+
+        num = 22*T*tf        den = 10*T*tf + 3*T + 9*N*dl
+
+    so the per-term contribution ``FLOOR(idf_q * num/den)`` is one IEEE
+    division of identical integers plus one multiply — deterministic
+    across Spark and DuckDB — and the per-document score is an integer
+    SUM of those contributions (order-free). Overflow bound:
+    22*T*tf < 2^63 needs T*tf < 4.2e17; beyond that pre-divide num/den
+    by gcd or compute dl/avgdl at reduced LN-grid precision.
+
+    Scale posture: ``hits`` is posting-list-sized (query terms only), so
+    every join here is small-vs-small except hits⋈dl, which co-partitions
+    on doc_id with the tf shuffle; (N, T) ride a broadcast singleton and
+    the final top-k is a distributed TakeOrdered (never a global sort).
+    """
+    dl = docs_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    hits = docs_tf.filter(F.col("term").isin(*query_terms))
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        hits.join(maybe_broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+    )
+    idf_q = F.floor(
+        F.log(
+            (F.lit(2) * F.col("n_docs") + F.lit(2)).cast("double")
+            / (F.lit(2) * F.col("df") + F.lit(1)).cast("double")
+        )
+        * LN_SCALE
+    )
+    num = (F.lit(22) * F.col("total_tokens") * F.col("tf")).cast("bigint")
+    den = (
+        F.lit(10) * F.col("total_tokens") * F.col("tf")
+        + F.lit(3) * F.col("total_tokens")
+        + F.lit(9) * F.col("n_docs") * F.col("dl")
+    ).cast("bigint")
+    contrib = F.floor(
+        idf_q.cast("double") * (num.cast("double") / den.cast("double"))
+    ).cast("bigint")
+
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum(contrib).alias("score_q"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.min("dl").alias("dl"),
+    )
+    top = per_doc.orderBy(F.col("score_q").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score_q").desc(), F.col("doc_id").asc())
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "score_q", "n_terms", "dl", "rk"
+    )
+
+
+def q_text_bm25_topk(spark, sf_dir):
+    return bm25_topk(_term_freq(spark, sf_dir))
+
+
+def _sql_bm25_topk() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return rf"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{_SQL_TF},
+dl AS (
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_tokens
+    FROM dl
+),
+hits AS (SELECT * FROM tf WHERE term IN ({terms})),
+dfreq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY term
+),
+scored AS (
+    SELECT h.doc_id,
+           CAST(FLOOR(LN(CAST(2 * t.n_docs + 2 AS DOUBLE)
+                         / CAST(2 * d.df + 1 AS DOUBLE)) * {LN_SCALE})
+                AS BIGINT) AS idf_q,
+           CAST(22 * t.total_tokens * h.tf AS BIGINT) AS num,
+           CAST(10 * t.total_tokens * h.tf + 3 * t.total_tokens
+                + 9 * t.n_docs * dl.dl AS BIGINT) AS den,
+           dl.dl
+    FROM hits h JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN tot t
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(SUM(CAST(FLOOR(CAST(idf_q AS DOUBLE)
+               * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)))
+               AS BIGINT)) AS BIGINT) AS score_q,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(MIN(dl) AS BIGINT) AS dl
+    FROM scored GROUP BY doc_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id ASC) AS rk
+    FROM per_doc
+)
+SELECT doc_id, score_q, n_terms, dl, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {BM25_TOPK}
+"""
+
+
 QUERIES = {
     "text_tfidf_topk": (q_text_tfidf_topk, _sql_tfidf_topk()),
+    "text_bm25_topk": (q_text_bm25_topk, _sql_bm25_topk()),
     "text_dup_spans": (q_text_dup_spans, _sql_dup_spans()),
     "text_hashed_bow": (q_text_hashed_bow, _sql_hashed_bow()),
     "text_chunk_dedup": (q_text_chunk_dedup, _sql_chunk_dedup()),

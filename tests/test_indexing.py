@@ -277,3 +277,42 @@ def test_duplicated_spans_merges_overlapping_windows(spark):
     # doc 2: run occupies tokens 3-12
     assert rows[2] == (3, 12, 3)
     assert 3 not in rows
+
+
+def test_bm25_rank_and_exact_scores(spark):
+    """BM25 on a hand corpus: tf-monotonicity, length normalization, and
+    bit-exact agreement with a Python mirror of the quantized formula."""
+    import math
+
+    from pandas_etl_framework_spark.llmops.indexing import bm25_topk
+
+    # doc 0: q=3 hits, len 10; doc 1: q=1 hit, len 10 (same length, less tf);
+    # doc 2: q=3 hits, len 40 (same tf, longer); doc 3: no query term.
+    rows = [
+        (0, "q", 3), (0, "pad", 7),
+        (1, "q", 1), (1, "pad", 9),
+        (2, "q", 3), (2, "pad", 37),
+        (3, "pad", 5),
+    ]
+    tf = spark.createDataFrame(rows, "doc_id long, term string, tf long")
+    out = {r["doc_id"]: r for r in
+           bm25_topk(tf, query_terms=("q",), k=10).collect()}
+
+    assert 3 not in out                       # no query term -> no row
+    assert out[0]["score_q"] > out[1]["score_q"]   # more tf wins
+    assert out[0]["score_q"] > out[2]["score_q"]   # shorter doc wins
+    assert sorted(out[d]["rk"] for d in out) == [1, 2, 3]
+
+    # exact mirror: N=4 docs, T=65 tokens, df(q)=3
+    N, T, df = 4, 65, 3
+    idf_q = math.floor(math.log((2 * N + 2) / (2 * df + 1)) * 1_000_000)
+    def contrib(tfv, dl):
+        num = 22 * T * tfv
+        den = 10 * T * tfv + 3 * T + 9 * N * dl
+        return math.floor(idf_q * (num / den))
+    assert out[0]["score_q"] == contrib(3, 10)
+    assert out[1]["score_q"] == contrib(1, 10)
+    assert out[2]["score_q"] == contrib(3, 40)
+    assert out[0]["dl"] == 10 and out[0]["n_terms"] == 1
+    # ranking is deterministic: score desc, doc_id asc
+    assert out[0]["rk"] == 1

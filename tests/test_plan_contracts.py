@@ -35,7 +35,10 @@ BNLJ_SINGLETON_OK = {
     "emb_topk", "emb_topk_batch", "emb_neardup_pairs",  # query-side broadcast
     "emb_ann_lsh", "emb_ivf_topk", "emb_pq_topk",       # probe/centroid rows
     "text_source_mixture",     # corpus token-total singleton
+    "text_temperature_mixture",  # 1-row min-source-tokens singleton
+    "text_dsir_select",        # 1-row target/raw hash-count totals singleton
     "text_tfidf_topk",         # corpus doc-count singleton
+    "text_bm25_topk",          # corpus (N, T) totals singleton
     "text_unigram_logprob", "text_bigram_logprob",      # LM totals
     "text_contamination",      # split-context singleton
     "curation_pipeline",
