@@ -835,9 +835,160 @@ FROM ranked WHERE rk <= {BM25_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid retrieval: BM25 x corpus-LM quality)
+# --------------------------------------------------------------------------
+
+RRF_K = 60                    # the standard RRF damping constant
+RRF_SCALE = 1_000_000_000     # contribution = RRF_SCALE div (K + rank)
+RRF_DEPTH = 50                # per-system ranked-list depth
+RRF_TOPK = 15                 # fused results kept
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = RRF_K,
+    topk: int = RRF_TOPK,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (Cormack et al. 2009).
+
+    Inputs are (doc_id, rk) DataFrames with 1-based ranks. The classic
+    score ``sum_i 1/(K + rank_i)`` is computed entirely in integers:
+    each system contributes ``RRF_SCALE div (K + rank)`` (exact integral
+    division in both engines), absent systems contribute 0, and the
+    fused score is an integer sum — no floating point anywhere, so the
+    fusion is engine- and order-exact. ``rk_a``/``rk_b`` are emitted with
+    0 as the "not ranked by this system" sentinel (keeps the columns
+    non-null bigint for the driver's dtype-strict comparator).
+
+    Scale posture: both inputs are top-``depth`` lists (driver-bounded,
+    thousands of rows at most even at corpus scale), so the full-outer
+    join and the final top-k are trivially small; fusion adds no
+    corpus-sized shuffle of its own.
+    """
+    a = ranked_a.select("doc_id", F.col("rk").cast("bigint").alias("rk_a"))
+    b = ranked_b.select("doc_id", F.col("rk").cast("bigint").alias("rk_b"))
+    fused = (
+        a.join(b, "doc_id", "full_outer")
+        .withColumn("rk_a", F.coalesce(F.col("rk_a"), F.lit(0)))
+        .withColumn("rk_b", F.coalesce(F.col("rk_b"), F.lit(0)))
+        .withColumn(
+            "rrf_q",
+            F.when(
+                F.col("rk_a") > 0,
+                F.expr(f"{RRF_SCALE} div ({k} + rk_a)"),
+            ).otherwise(F.lit(0))
+            + F.when(
+                F.col("rk_b") > 0,
+                F.expr(f"{RRF_SCALE} div ({k} + rk_b)"),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    top = fused.orderBy(F.col("rrf_q").desc(), F.col("doc_id").asc()).limit(topk)
+    w = Window.orderBy(F.col("rrf_q").desc(), F.col("doc_id").asc())
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "rk_a", "rk_b", "rrf_q", "rk"
+    )
+
+
+def quality_rank(docs_tf: DataFrame, depth: int = RRF_DEPTH) -> DataFrame:
+    """Top-``depth`` documents by ascending mean unigram surprisal — the
+    'most corpus-typical' quality list fused against BM25 relevance. The
+    ordering key is the exact IEEE division already computed by
+    :func:`unigram_surprisal`; ties break on doc_id."""
+    scored = unigram_surprisal(docs_tf)
+    top = scored.orderBy(
+        F.col("mean_surprisal_micro").asc(), F.col("doc_id").asc()
+    ).limit(depth)
+    w = Window.orderBy(
+        F.col("mean_surprisal_micro").asc(), F.col("doc_id").asc()
+    )
+    return top.withColumn("rk", F.row_number().over(w))
+
+
+def q_text_rrf_fusion(spark, sf_dir):
+    tf = _term_freq(spark, sf_dir)
+    return rrf_fuse(bm25_topk(tf, k=RRF_DEPTH), quality_rank(tf))
+
+
+def _sql_rrf_fusion() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return rf"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{_SQL_TF},
+dl AS (
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_tokens
+    FROM dl
+),
+hits AS (SELECT * FROM tf WHERE term IN ({terms})),
+dfreq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY term
+),
+bm25_scored AS (
+    SELECT h.doc_id,
+           CAST(FLOOR(CAST(FLOOR(LN(CAST(2 * t.n_docs + 2 AS DOUBLE)
+                         / CAST(2 * d.df + 1 AS DOUBLE)) * {LN_SCALE})
+                AS DOUBLE)
+               * (CAST(22 * t.total_tokens * h.tf AS DOUBLE)
+                  / CAST(10 * t.total_tokens * h.tf + 3 * t.total_tokens
+                         + 9 * t.n_docs * dl.dl AS DOUBLE)))
+               AS BIGINT) AS contrib_q
+    FROM hits h JOIN dfreq d USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN tot t
+),
+bm25_rank AS (
+    SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY SUM(contrib_q) DESC, doc_id ASC) AS rk_a
+    FROM bm25_scored GROUP BY doc_id
+),
+corpus AS (SELECT term, SUM(tf) AS cw FROM tf GROUP BY term),
+lt AS (SELECT SUM(cw) AS t_total FROM corpus),
+surp AS (
+    SELECT tf.doc_id, tf.tf,
+           tf.tf * CAST(FLOOR(LN(CAST(lt.t_total AS DOUBLE)
+                / CAST(corpus.cw AS DOUBLE)) * {LN_SCALE}) AS BIGINT)
+               AS tok_surp_q
+    FROM tf JOIN corpus USING (term) CROSS JOIN lt
+),
+qual_rank AS (
+    SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY CAST(SUM(tok_surp_q) AS DOUBLE)
+                 / CAST(SUM(tf) AS DOUBLE) ASC, doc_id ASC) AS rk_b
+    FROM surp GROUP BY doc_id
+),
+a AS (SELECT doc_id, CAST(rk_a AS BIGINT) AS rk_a
+      FROM bm25_rank WHERE rk_a <= {RRF_DEPTH}),
+b AS (SELECT doc_id, CAST(rk_b AS BIGINT) AS rk_b
+      FROM qual_rank WHERE rk_b <= {RRF_DEPTH}),
+fused AS (
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           COALESCE(a.rk_a, 0) AS rk_a,
+           COALESCE(b.rk_b, 0) AS rk_b,
+           (CASE WHEN a.rk_a IS NULL THEN 0
+                 ELSE {RRF_SCALE} // ({RRF_K} + a.rk_a) END
+            + CASE WHEN b.rk_b IS NULL THEN 0
+                   ELSE {RRF_SCALE} // ({RRF_K} + b.rk_b) END) AS rrf_q
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_q DESC, doc_id ASC) AS rk
+    FROM fused
+)
+SELECT doc_id, rk_a, rk_b, CAST(rrf_q AS BIGINT) AS rrf_q,
+       CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {RRF_TOPK}
+"""
+
+
 QUERIES = {
     "text_tfidf_topk": (q_text_tfidf_topk, _sql_tfidf_topk()),
     "text_bm25_topk": (q_text_bm25_topk, _sql_bm25_topk()),
+    "text_rrf_fusion": (q_text_rrf_fusion, _sql_rrf_fusion()),
     "text_dup_spans": (q_text_dup_spans, _sql_dup_spans()),
     "text_hashed_bow": (q_text_hashed_bow, _sql_hashed_bow()),
     "text_chunk_dedup": (q_text_chunk_dedup, _sql_chunk_dedup()),

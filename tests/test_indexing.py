@@ -316,3 +316,31 @@ def test_bm25_rank_and_exact_scores(spark):
     assert out[0]["dl"] == 10 and out[0]["n_terms"] == 1
     # ranking is deterministic: score desc, doc_id asc
     assert out[0]["rk"] == 1
+
+
+def test_rrf_fusion_integer_exact_and_sentinels(spark):
+    """RRF on hand lists: doc in both lists beats either single-list doc,
+    contributions match the integer formula, absent ranks emit the 0
+    sentinel, and ordering is deterministic."""
+    from pandas_etl_framework_spark.llmops.indexing import (
+        RRF_K,
+        RRF_SCALE,
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rk int"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id long, rk int"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse(a, b, topk=10).collect()}
+
+    c = lambda rk: RRF_SCALE // (RRF_K + rk)
+    assert out[20]["rrf_q"] == c(2) + c(1)        # in both lists
+    assert out[10]["rrf_q"] == c(1)               # bm25-only
+    assert out[40]["rrf_q"] == c(2)               # quality-only
+    assert out[20]["rk"] == 1                     # fusion wins
+    assert out[10]["rk_b"] == 0 and out[40]["rk_a"] == 0
+    # rank-1 single-system doc beats rank-3 single-system doc
+    assert out[10]["rrf_q"] > out[30]["rrf_q"]

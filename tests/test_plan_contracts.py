@@ -39,6 +39,7 @@ BNLJ_SINGLETON_OK = {
     "text_dsir_select",        # 1-row target/raw hash-count totals singleton
     "text_tfidf_topk",         # corpus doc-count singleton
     "text_bm25_topk",          # corpus (N, T) totals singleton
+    "text_rrf_fusion",         # inherits the BM25/LM totals singletons
     "text_unigram_logprob", "text_bigram_logprob",      # LM totals
     "text_contamination",      # split-context singleton
     "curation_pipeline",
