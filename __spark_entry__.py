@@ -130,14 +130,22 @@ DRIVER_PRIORITY = [
     #    broadcast-gating hardening with forced-fallback oracle-identical
     #    pytest coverage; it joins the r09 backlog ------------------------
     "text_temperature_mixture",
-    # -- changed this round: build = train + pure encode (new oracle) -----
-    "emb_ivfpq_topk",
+    # -- new this round: BM25 ranked retrieval + RRF hybrid fusion.
+    #    Two slots yield: emb_ivfpq_topk (its r08 encode-split oracle is
+    #    pinned by emb_ivfpq_persist_roundtrip — hash-equal search over
+    #    the persisted index — and emb_ivfpq_add_batch, both in this
+    #    window and running the same train/encode code) and cdc_inserts
+    #    (judge-re-verified against the DuckDB oracle with the
+    #    driver-faithful comparator in the r07 review itself — fresher
+    #    evidence than any driver row; code untouched since). Both join
+    #    the r09 backlog. -------------------------------------------------
+    "text_bm25_topk", "text_rrf_fusion",
     # -- changed this round: aqe_skew third leg ----------------------------
     "rel_auto_skew_join",
     # -- changed this round: banding refactor / dfreq 3-sigma pad /
     #    single-file assertion ---------------------------------------------
     # -- r03-era greens: the whole remaining backlog ------------------------
-    "cdc_deleted_by_full_load", "cdc_deletes_by_column", "cdc_inserts",
+    "cdc_deleted_by_full_load", "cdc_deletes_by_column",
     "cdc_updates", "curation_pipeline", "dedup_cross_source",
     "dedup_exact", "dedup_simhash", "emb_ann_lsh", "events_asof_join",
     "events_sessionize", "multimodal_decode_video", "rel_filter_project",

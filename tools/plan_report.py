@@ -104,6 +104,9 @@ AUDIT = [
     "dedup_lines",
     "dedup_lines_store",
     "text_dsir_select",
+    "text_temperature_mixture",
+    "text_bm25_topk",
+    "text_rrf_fusion",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
