@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     # r08 addition: corpus line-level dedup (explode + hash-keyed
     # first-occurrence policy + reassembly). Outside core20.
     "dedup_lines",
+    # r08 addition: hybrid retrieval — runs the BM25 ranking, the
+    # corpus-LM quality ranking, and the integer RRF fusion in one
+    # plan, so it tracks the whole retrieval stack. Outside core20.
+    "text_rrf_fusion",
 ]
 
 # the 20 queries (incl. streaming) benched since r01 — their sum is
