@@ -140,13 +140,18 @@ DRIVER_PRIORITY = [
     #    evidence than any driver row; code untouched since). Both join
     #    the r09 backlog. -------------------------------------------------
     "text_bm25_topk", "text_rrf_fusion",
+    # -- new this round: MMR diversity selection. cdc_updates yields its
+    #    slot with the same justification as cdc_inserts above (named in
+    #    the r07 review's independent 10-query oracle re-check; code
+    #    untouched since) — it joins the r09 backlog. ---------------------
+    "emb_mmr_select",
     # -- changed this round: aqe_skew third leg ----------------------------
     "rel_auto_skew_join",
     # -- changed this round: banding refactor / dfreq 3-sigma pad /
     #    single-file assertion ---------------------------------------------
     # -- r03-era greens: the whole remaining backlog ------------------------
     "cdc_deleted_by_full_load", "cdc_deletes_by_column",
-    "cdc_updates", "curation_pipeline", "dedup_cross_source",
+    "curation_pipeline", "dedup_cross_source",
     "dedup_exact", "dedup_simhash", "emb_ann_lsh", "events_asof_join",
     "events_sessionize", "multimodal_decode_video", "rel_filter_project",
     "schema_prepare", "sketch_bloom_prune", "sketch_hll_distinct",

@@ -555,8 +555,134 @@ SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= 3
 """
 
 
+# --------------------------------------------------------------------------
+# MMR diversity selection (maximal marginal relevance, Carbonell &
+# Goldstein 1998) — diverse top-k example selection for curation
+# --------------------------------------------------------------------------
+
+MMR_CAND = 48   # relevance window the greedy runs over (fixed, corpus-free)
+MMR_K = 8       # diverse items selected
+
+
+def mmr_select(
+    candidates: "list[tuple[int, list[int], int]]",
+    k: int = MMR_K,
+) -> "list[tuple[int, int, int, int, int]]":
+    """Greedy MMR over a driver-sized candidate window.
+
+    ``candidates`` = [(vec_id, quantized_vec, rel)] with integer
+    relevance (quantized dot to the query). With the standard
+    lambda = 1/2, argmax of ``lambda*rel - (1-lambda)*max_sim`` equals
+    argmax of ``rel - max_sim``, so the whole greedy is integer
+    arithmetic — Python ints here, BIGINT in the SQL twin — and the
+    selection is engine-exact. Ties break on vec_id ascending. The first
+    pick (empty selected set) is pure relevance with a 0 max-sim
+    sentinel. Returns [(vec_id, rel, maxsim, mmr_q, step)].
+    """
+    pool = sorted(candidates, key=lambda c: (-c[2], c[0]))
+    selected: list[tuple[int, list[int], int]] = []
+    out = []
+    for step in range(1, min(k, len(pool)) + 1):
+        best = None
+        for vid, qv, rel in pool:
+            if any(vid == s[0] for s in selected):
+                continue
+            maxsim = max(
+                (sum(x * y for x, y in zip(qv, s[1])) for s in selected),
+                default=0,
+            )
+            key = (-(rel - maxsim), vid)
+            if best is None or key < best[0]:
+                best = (key, (vid, qv, rel, maxsim))
+        vid, qv, rel, maxsim = best[1]
+        selected.append((vid, qv, rel))
+        out.append((vid, rel, maxsim, rel - maxsim, step))
+    return out
+
+
+def q_emb_mmr_select(spark, sf_dir):
+    """Diverse top-``MMR_K`` selection: distributed top-``MMR_CAND``
+    relevance cut (quantized dot to vec_id 0), then greedy MMR over that
+    fixed-size window.
+
+    Scale posture: the distributed stage is a broadcast-query scan +
+    TakeOrdered — the only part that grows with the corpus; the greedy
+    is inherently sequential (each pick conditions on the previous) and
+    runs over MMR_CAND rows collected to the driver, the same
+    driver-bounded-collect shape as the k-means centroid reads. At
+    billion-vector scale the relevance cut is where the work is, and it
+    stays one pruned scan.
+    """
+    emb = _emb(spark, sf_dir).withColumn("q", _quantized(F.col("embedding")))
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("query_q")
+    )
+    window = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id", "q", _qdot(F.col("q"), F.col("query_q")).alias("rel")
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(MMR_CAND)
+        .collect()
+    )
+    picked = mmr_select([(r["vec_id"], r["q"], r["rel"]) for r in window])
+    return spark.createDataFrame(
+        picked, "vec_id long, rel long, maxsim long, mmr_q long, step int"
+    )
+
+
+def _sql_mmr_select() -> str:
+    """Unrolled greedy: one CTE pair per step — the pool (max-sim against
+    everything selected so far, via a correlated MAX over a UNION of the
+    prior picks) and the argmax pick. MMR_CAND rows per stage, so the
+    unrolling is trivially cheap for the oracle engine."""
+    parts = [
+        f"q AS (SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings)",
+        "target AS (SELECT qv AS tq FROM q WHERE vec_id = 0)",
+        # every multiply-referenced CTE is MATERIALIZED: the a{{i}}
+        # accumulator chain is referenced twice per stage, and DuckDB's
+        # default inlining would re-evaluate it exponentially deep
+        f"""cand AS MATERIALIZED (
+    SELECT vec_id, qv,
+           CAST(list_dot_product(qv, tq) AS BIGINT) AS rel
+    FROM q, target WHERE vec_id <> 0
+    ORDER BY rel DESC, vec_id LIMIT {MMR_CAND}
+)""",
+        """s1 AS MATERIALIZED (
+    SELECT vec_id, qv, rel, CAST(0 AS BIGINT) AS maxsim, rel AS mmr_q
+    FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+)""",
+        "a1 AS MATERIALIZED (SELECT vec_id, qv FROM s1)",
+    ]
+    for i in range(2, MMR_K + 1):
+        parts.append(f"""p{i} AS (
+    SELECT c.vec_id, c.qv, c.rel,
+           (SELECT MAX(CAST(list_dot_product(c.qv, s.qv) AS BIGINT))
+            FROM a{i - 1} s) AS maxsim
+    FROM cand c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM a{i - 1})
+)""")
+        parts.append(f"""s{i} AS MATERIALIZED (
+    SELECT vec_id, qv, rel, maxsim, rel - maxsim AS mmr_q
+    FROM p{i} ORDER BY mmr_q DESC, vec_id LIMIT 1
+)""")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vec_id, qv FROM a{i - 1} "
+            f"UNION ALL SELECT vec_id, qv FROM s{i})"
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id, rel, maxsim, mmr_q, "
+        f"CAST({i} AS INTEGER) AS step FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
 QUERIES = {
     "emb_topk": (q_emb_topk, SQL_EMB_TOPK),
+    "emb_mmr_select": (q_emb_mmr_select, _sql_mmr_select()),
     "emb_topk_batch": (q_emb_topk_batch, SQL_EMB_TOPK_BATCH),
     "emb_norms": (q_emb_norms, SQL_EMB_NORMS),
     "emb_knn_per_label": (q_emb_knn_per_label, SQL_EMB_KNN_PER_LABEL),

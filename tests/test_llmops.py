@@ -889,3 +889,36 @@ def test_ivfpq_codes_are_m_small_ints(spark):
         )
     ).count()
     assert n_bad == 0
+
+
+def test_mmr_select_prefers_diversity_over_redundancy():
+    """Two near-identical high-relevance vectors: pure relevance would
+    pick both; MMR must pick one of them, then the orthogonal
+    lower-relevance vector. Pure-integer greedy, no Spark needed."""
+    from pandas_etl_framework_spark.llmops.similarity import mmr_select
+
+    # rel = dot with query [10, 0]; candidates quantized already
+    a = (1, [10, 0], 100)     # aligned with query
+    a2 = (2, [9, 0], 90)      # near-duplicate of a: sim(a2, a) = 90
+    b = (3, [0, 8], 20)       # orthogonal, lower relevance
+    out = mmr_select([a, a2, b], k=3)
+
+    # step 1: pure relevance (a), sentinel maxsim=0
+    assert out[0] == (1, 100, 0, 100, 1)
+    # step 2: mmr(a2) = 90 - 90 = 0 < mmr(b) = 20 - 0 = 20 → diversity
+    # beats the redundant near-duplicate despite 4.5x the relevance
+    assert out[1] == (3, 20, 0, 20, 2)
+    assert [r[0] for r in out] == [1, 3, 2]
+    # step 3: a2's maxsim is vs the CLOSEST selected (a), not b
+    assert out[2][:3] == (2, 90, 90)
+
+
+def test_mmr_select_deterministic_ties_and_bounds():
+    from pandas_etl_framework_spark.llmops.similarity import mmr_select
+
+    cands = [(i, [1, i], 5) for i in range(5)]
+    out = mmr_select(cands, k=10)          # k > pool → selects all
+    assert len(out) == 5
+    assert [r[4] for r in out] == [1, 2, 3, 4, 5]
+    # equal relevance at step 1 → lowest vec_id wins
+    assert out[0][0] == 0
