@@ -145,6 +145,11 @@ DRIVER_PRIORITY = [
     #    the r07 review's independent 10-query oracle re-check; code
     #    untouched since) — it joins the r09 backlog. ---------------------
     "emb_mmr_select",
+    # -- new this round: raw-binary ingestion via the binaryFile source.
+    #    dedup_exact yields its slot (also in the r07 review's
+    #    independent re-check; its md5 hash-groupBy path is further
+    #    pinned by the in-window dedup_lines family) — r09 backlog. ------
+    "io_binary_source",
     # -- changed this round: aqe_skew third leg ----------------------------
     "rel_auto_skew_join",
     # -- changed this round: banding refactor / dfreq 3-sigma pad /
@@ -152,7 +157,7 @@ DRIVER_PRIORITY = [
     # -- r03-era greens: the whole remaining backlog ------------------------
     "cdc_deleted_by_full_load", "cdc_deletes_by_column",
     "curation_pipeline", "dedup_cross_source",
-    "dedup_exact", "dedup_simhash", "emb_ann_lsh", "events_asof_join",
+    "dedup_simhash", "emb_ann_lsh", "events_asof_join",
     "events_sessionize", "multimodal_decode_video", "rel_filter_project",
     "schema_prepare", "sketch_bloom_prune", "sketch_hll_distinct",
     "sql_shared_delta", "sql_shared_lateral", "streaming_windowed_counts",

@@ -196,6 +196,81 @@ def q_io_json_roundtrip(spark, sf_dir):
 SQL_IO_FMT_ROUNDTRIP = "SELECT * FROM region"
 
 
+_BIN_MAGIC = "8942494E00"   # \x89 'BIN' \x00 header prepended to each blob
+_BIN_DOCS = 8               # documents materialized as raw .bin files
+
+
+def q_io_binary_source(spark, sf_dir):
+    """Raw-binary ingestion via Spark's ``binaryFile`` source — the entry
+    path for an image/audio/video corpus (one row per file: path, length,
+    content as an opaque binary column).
+
+    The fixture blobs are BUILT from the documents table (the multimodal
+    payload recipe: magic header + utf-8 text) and written as individual
+    ``.bin`` files from a ``mapInPandas`` pass — executors write the
+    shards, the distributed-ingest shape; no blob touches the driver.
+    Read-back reduces to (fname, n_bytes, content_md5) with
+    ``md5(hex(content))`` — DuckDB's md5 takes VARCHAR only, so both
+    engines hash the hex encoding (the multimodal family's established
+    binary-hash idiom).
+
+    Scale note: ``binaryFile`` parallelizes per file and prunes by path
+    glob; the 100-TB posture is millions of shard files listed by the
+    source, with per-task bytes bounded by ``maxPartitionBytes`` and the
+    scratch dir on shared storage (here a local tmpdir, single-JVM).
+    """
+    import os
+
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < _BIN_DOCS)
+        .select(
+            "doc_id",
+            F.concat(
+                F.unhex(F.lit(_BIN_MAGIC)), F.encode(F.col("text"), "UTF-8")
+            ).alias("blob"),
+        )
+    )
+    tmp = _scratch()
+    try:
+        blob_dir = f"{tmp}/blobs"
+        os.makedirs(blob_dir, exist_ok=True)
+
+        def write_blobs(batches):
+            for pdf in batches:
+                for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                    with open(f"{blob_dir}/blob_{doc_id}.bin", "wb") as f:
+                        f.write(bytes(blob))
+                yield pdf[["doc_id"]]
+
+        src.mapInPandas(write_blobs, "doc_id long").count()
+
+        out = (
+            spark.read.format("binaryFile")
+            .load(f"{blob_dir}/*.bin")
+            .select(
+                F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+                F.col("length").alias("n_bytes"),
+                F.md5(F.hex(F.col("content"))).alias("content_md5"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_IO_BINARY_SOURCE = f"""
+SELECT 'blob_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
+       CAST(octet_length(blob) AS BIGINT) AS n_bytes,
+       md5(hex(blob)) AS content_md5
+FROM (
+    SELECT doc_id, from_hex('{_BIN_MAGIC}') || encode(text) AS blob
+    FROM documents WHERE doc_id < {_BIN_DOCS}
+)
+"""
+
+
 def q_versioned_store_lifecycle(spark, sf_dir):
     """Transactional-store lifecycle through the REAL VersionedStore:
     write batch 1 (orders %10<8) as v0 → MERGE batch 2 (%10>=5, price+1
@@ -596,6 +671,9 @@ def register_all() -> None:
         "cdc_simulate_runs", q_cdc_simulate_runs, _sql_cdc_simulate_runs()
     )
     harness.register("io_orc_roundtrip", q_io_orc_roundtrip, SQL_IO_FMT_ROUNDTRIP)
+    harness.register(
+        "io_binary_source", q_io_binary_source, SQL_IO_BINARY_SOURCE
+    )
     harness.register(
         "io_json_roundtrip", q_io_json_roundtrip, SQL_IO_FMT_ROUNDTRIP
     )

@@ -95,3 +95,32 @@ def test_io_lifecycle_queries(spark):
     functional = q_cdc_historize_two_runs(spark, sf).select(*via_store.columns)
     assert via_store.exceptAll(functional).count() == 0
     assert functional.exceptAll(via_store).count() == 0
+
+
+def test_binary_source_roundtrips_bytes_exactly(spark):
+    """io_binary_source: the binaryFile read must surface the exact bytes
+    written (magic header intact, length = 5 + utf8 text length) for
+    every fixture doc."""
+    import hashlib
+
+    from pandas_etl_framework_spark.io_queries import (
+        _BIN_DOCS,
+        _BIN_MAGIC,
+        q_io_binary_source,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["fname"]: r for r in q_io_binary_source(spark, sf).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(f"doc_id < {_BIN_DOCS}")
+        .collect()
+    }
+    assert len(out) == _BIN_DOCS == len(docs)
+    for doc_id, text in docs.items():
+        row = out[f"blob_{doc_id}.bin"]
+        blob = bytes.fromhex(_BIN_MAGIC) + text.encode("utf-8")
+        assert row["n_bytes"] == len(blob)
+        expect = hashlib.md5(blob.hex().upper().encode()).hexdigest()
+        assert row["content_md5"] == expect, doc_id
