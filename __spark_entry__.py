@@ -150,6 +150,10 @@ DRIVER_PRIORITY = [
     #    independent re-check; its md5 hash-groupBy path is further
     #    pinned by the in-window dedup_lines family) — r09 backlog. ------
     "io_binary_source",
+    # -- new this round: k-core decomposition. dedup_simhash yields its
+    #    slot (also named in the r07 review's independent oracle
+    #    re-check; code untouched since) — r09 backlog. -------------------
+    "graph_kcore",
     # -- changed this round: aqe_skew third leg ----------------------------
     "rel_auto_skew_join",
     # -- changed this round: banding refactor / dfreq 3-sigma pad /
@@ -157,7 +161,7 @@ DRIVER_PRIORITY = [
     # -- r03-era greens: the whole remaining backlog ------------------------
     "cdc_deleted_by_full_load", "cdc_deletes_by_column",
     "curation_pipeline", "dedup_cross_source",
-    "dedup_simhash", "emb_ann_lsh", "events_asof_join",
+    "emb_ann_lsh", "events_asof_join",
     "events_sessionize", "multimodal_decode_video", "rel_filter_project",
     "schema_prepare", "sketch_bloom_prune", "sketch_hll_distinct",
     "sql_shared_delta", "sql_shared_lateral", "streaming_windowed_counts",

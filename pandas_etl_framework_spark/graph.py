@@ -660,6 +660,114 @@ SELECT node, label FROM l{rounds}
 SQL_GRAPH_LABEL_PROPAGATION = _sql_lpa(2)
 
 
+# --------------------------------------------------------------------------
+# k-core decomposition (iterative peel) over the co-supply backbone
+# --------------------------------------------------------------------------
+
+KCORE_K = 6        # minimum within-core degree
+KCORE_ROUNDS = 8   # fixed synchronous peel rounds (fixture converges in <=5)
+
+
+def kcore(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS):
+    """Nodes of the ``k``-core (maximal subgraph with all degrees >= k)
+    with their within-core degree, via synchronous peeling: each round
+    drops every node whose degree within the surviving subgraph is
+    below ``k``. The peel is idempotent once converged, so a FIXED round
+    count makes the result a well-defined deterministic quantity the
+    unrolled SQL twin reproduces round-for-round; pytest pins that the
+    fixture converges inside the budget (true fixpoint == round-``rounds``
+    result). At corpus scale run the same body to fixpoint with a
+    convergence check, like the LPA loop above.
+
+    Shape per round: one degree aggregate + two node-keyed semi-join
+    filters over the surviving edge set, localCheckpointed so the plan
+    stays constant-size across rounds (the LPA/pagerank idiom). Shuffles
+    are node/edge-keyed only — nothing quadratic; the k-core of a web
+    graph is the classic spam/quality subgraph extractor.
+
+    ``edges``: canonical undirected (u, v) pairs, e.g. cosupply_backbone.
+    """
+    sym = (
+        edges.selectExpr("u AS src", "v AS dst")
+        .unionByName(edges.selectExpr("v AS src", "u AS dst"))
+        .localCheckpoint(eager=True)
+    )
+    alive = sym
+    for _ in range(rounds):
+        keep = (
+            alive.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("src")
+        )
+        alive = (
+            alive.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return alive.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_deg")
+    )
+
+
+def q_graph_kcore(spark, sf_dir):
+    """KCORE_K-core of the co-supply backbone after KCORE_ROUNDS peel
+    rounds: (node, core_deg) for every surviving supplier."""
+    return kcore(cosupply_backbone(spark, sf_dir))
+
+
+def _sql_kcore(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    # same backbone + symmetric-edge head as the LPA oracle; every stage
+    # MATERIALIZED — each e{i} is referenced three times in stage i+1 and
+    # DuckDB's default inlining would re-evaluate the chain exponentially
+    head = """
+WITH ps AS (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+),
+pairs AS (
+    SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    GROUP BY a.s, b.s
+),
+stats AS (
+    SELECT CAST(SUM(shared) AS BIGINT) AS s_sum,
+           CAST(COUNT(*) AS BIGINT) AS p_cnt
+    FROM pairs
+),
+eb AS (
+    SELECT u, v FROM pairs, stats
+    WHERE shared * p_cnt > s_sum
+      AND 4 * (shared * p_cnt - s_sum) * (shared * p_cnt - s_sum)
+            > 9 * s_sum * p_cnt
+),
+e0 AS MATERIALIZED (
+    SELECT u AS src, v AS dst FROM eb
+    UNION ALL
+    SELECT v AS src, u AS dst FROM eb
+)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+n{i} AS MATERIALIZED (
+    SELECT src AS node FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+    SELECT e.src, e.dst
+    FROM e{i - 1} e
+    JOIN n{i} a ON e.src = a.node
+    JOIN n{i} b ON e.dst = b.node
+)""")
+    tail = f"""
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM e{rounds} GROUP BY src
+"""
+    return head + "".join(steps) + tail
+
+
+SQL_GRAPH_KCORE = _sql_kcore()
+
+
 QUERIES = {
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
@@ -668,6 +776,7 @@ QUERIES = {
         q_graph_label_propagation,
         SQL_GRAPH_LABEL_PROPAGATION,
     ),
+    "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
 }
 
 

@@ -112,3 +112,52 @@ def test_label_propagation_deterministic_communities(spark):
             nxt[n] = best[0]
         labels = nxt
     assert out1 == labels
+
+
+def test_kcore_peels_tails_and_keeps_clique(spark):
+    """Hand graph: K4 clique (nodes 0-3) with a pendant chain 3-4-5 and a
+    tail 0-6. The 3-core is exactly the clique; the chain/tail nodes must
+    peel (node 4 only after its neighbor 5 goes, exercising a genuinely
+    multi-round peel)."""
+    from pandas_etl_framework_spark.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+         (3, 4), (4, 5), (0, 6)],
+        "u long, v long",
+    )
+    out = {r["node"]: r["core_deg"] for r in kcore(edges, k=3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_fixed_rounds_equal_fixpoint(spark):
+    """The gate row runs a FIXED KCORE_ROUNDS peel; the fixture must
+    converge inside that budget — compare against a pure-Python
+    peel-to-fixpoint over the same backbone edges."""
+    import collections
+
+    from pandas_etl_framework_spark.graph import (
+        KCORE_K,
+        cosupply_backbone,
+        q_graph_kcore,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    raw = cosupply_backbone(spark, sf).collect()
+    adj = collections.defaultdict(set)
+    for r in raw:
+        adj[r["u"]].add(r["v"])
+        adj[r["v"]].add(r["u"])
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive
+                if sum(1 for m in adj[n] if m in alive) < KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    expect = {
+        n: sum(1 for m in adj[n] if m in alive) for n in alive
+    }
+    got = {r["node"]: r["core_deg"]
+           for r in q_graph_kcore(spark, sf).collect()}
+    assert got == expect and got
