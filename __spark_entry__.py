@@ -154,6 +154,11 @@ DRIVER_PRIORITY = [
     #    slot (also named in the r07 review's independent oracle
     #    re-check; code untouched since) — r09 backlog. -------------------
     "graph_kcore",
+    # -- new this round: incremental BM25 index maintenance (persisted
+    #    posting partials + batch fold == full recompute). emb_ann_lsh
+    #    yields its slot (also named in the r07 review's independent
+    #    oracle re-check; code untouched since) — r09 backlog. ------------
+    "text_bm25_incremental",
     # -- changed this round: aqe_skew third leg ----------------------------
     "rel_auto_skew_join",
     # -- changed this round: banding refactor / dfreq 3-sigma pad /
@@ -161,7 +166,7 @@ DRIVER_PRIORITY = [
     # -- r03-era greens: the whole remaining backlog ------------------------
     "cdc_deleted_by_full_load", "cdc_deletes_by_column",
     "curation_pipeline", "dedup_cross_source",
-    "emb_ann_lsh", "events_asof_join",
+    "events_asof_join",
     "events_sessionize", "multimodal_decode_video", "rel_filter_project",
     "schema_prepare", "sketch_bloom_prune", "sketch_hll_distinct",
     "sql_shared_delta", "sql_shared_lateral", "streaming_windowed_counts",

@@ -836,6 +836,59 @@ FROM ranked WHERE rk <= {BM25_TOPK}
 
 
 # --------------------------------------------------------------------------
+# Incremental BM25 index maintenance (posting-partial store + batch fold)
+# --------------------------------------------------------------------------
+
+BM25_BATCH_SOURCE = "src0"   # the fixture slice that arrives as a new batch
+
+
+def _term_freq_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) for an arbitrary docs slice — the posting
+    partials an index store holds per ingest batch."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def q_text_bm25_incremental(spark, sf_dir):
+    """Incremental index maintenance, executed end-to-end: the corpus
+    history's posting partials (doc_id, term, tf) are WRITTEN to a
+    parquet store and READ BACK; the '{src0}' docs arrive as a new batch
+    whose partials are unioned in (doc ids are disjoint across batches,
+    so tf needs no merge — df, dl and the (N, T) totals are re-derived
+    from the combined partials, all associative aggregates); the BM25
+    search runs over the folded index.
+
+    The oracle is the FULL-RECOMPUTE BM25 SQL verbatim: the incremental
+    path must reproduce the from-scratch ranking hash-for-hash, which
+    gates the store round-trip (count widening, dtype drift), the union
+    fold, and the doc-disjointness assumption in one row. This is the
+    100-TB shape: history is only ever touched at (doc, term)
+    granularity — the tokenize/explode/aggregate of old batches is never
+    redone — and per-term/per-corpus statistics fold at probe time.
+    """
+    import shutil
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    hist_tf = _term_freq_of(docs.filter(F.col("source") != BM25_BATCH_SOURCE))
+    batch_tf = _term_freq_of(docs.filter(F.col("source") == BM25_BATCH_SOURCE))
+    tmp = tempfile.mkdtemp(prefix="etl_bm25_store_")
+    try:
+        hist_tf.write.mode("overwrite").parquet(tmp)
+        combined = spark.read.parquet(tmp).unionByName(batch_tf)
+        out = bm25_topk(combined).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# --------------------------------------------------------------------------
 # Reciprocal-rank fusion (hybrid retrieval: BM25 x corpus-LM quality)
 # --------------------------------------------------------------------------
 
@@ -988,6 +1041,8 @@ FROM ranked WHERE rk <= {RRF_TOPK}
 QUERIES = {
     "text_tfidf_topk": (q_text_tfidf_topk, _sql_tfidf_topk()),
     "text_bm25_topk": (q_text_bm25_topk, _sql_bm25_topk()),
+    # incremental fold must equal the full recompute — same oracle
+    "text_bm25_incremental": (q_text_bm25_incremental, _sql_bm25_topk()),
     "text_rrf_fusion": (q_text_rrf_fusion, _sql_rrf_fusion()),
     "text_dup_spans": (q_text_dup_spans, _sql_dup_spans()),
     "text_hashed_bow": (q_text_hashed_bow, _sql_hashed_bow()),

@@ -344,3 +344,25 @@ def test_rrf_fusion_integer_exact_and_sentinels(spark):
     assert out[10]["rk_b"] == 0 and out[40]["rk_a"] == 0
     # rank-1 single-system doc beats rank-3 single-system doc
     assert out[10]["rrf_q"] > out[30]["rrf_q"]
+
+
+def test_bm25_incremental_fold_is_split_invariant(spark):
+    """Folding posting partials from ANY history/batch split must equal
+    the from-scratch ranking — associativity of the index statistics."""
+    from pandas_etl_framework_spark.llmops.indexing import (
+        _term_freq,
+        _term_freq_of,
+        bm25_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    full = bm25_topk(_term_freq(spark, sf)).collect()
+    folded = bm25_topk(
+        _term_freq_of(docs.filter("doc_id % 2 = 0")).unionByName(
+            _term_freq_of(docs.filter("doc_id % 2 = 1"))
+        )
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, folded))
