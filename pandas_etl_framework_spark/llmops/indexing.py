@@ -40,15 +40,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, term, tf): one shuffle, map-side combined."""
+def _term_freq_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) for an arbitrary docs slice — one shuffle,
+    map-side combined; also the posting partials an incremental index
+    store holds per ingest batch. The single tokenization definition:
+    every consumer (full recompute AND incremental fold) goes through
+    here, so the two paths cannot silently diverge."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     return (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(toks).alias("term"))
+        docs.select("doc_id", F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def _term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _term_freq_of(_docs(spark, sf_dir))
 
 
 _SQL_TF = r"""
@@ -840,17 +847,6 @@ FROM ranked WHERE rk <= {BM25_TOPK}
 # --------------------------------------------------------------------------
 
 BM25_BATCH_SOURCE = "src0"   # the fixture slice that arrives as a new batch
-
-
-def _term_freq_of(docs: DataFrame) -> DataFrame:
-    """(doc_id, term, tf) for an arbitrary docs slice — the posting
-    partials an index store holds per ingest batch."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    return (
-        docs.select("doc_id", F.explode(toks).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
 
 
 def q_text_bm25_incremental(spark, sf_dir):

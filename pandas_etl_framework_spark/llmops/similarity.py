@@ -579,7 +579,9 @@ def mmr_select(
     pick (empty selected set) is pure relevance with a 0 max-sim
     sentinel. Returns [(vec_id, rel, maxsim, mmr_q, step)].
     """
-    pool = sorted(candidates, key=lambda c: (-c[2], c[0]))
+    # no pre-sort: each step scans the whole pool with a unique
+    # total-order key, so input order never influences the argmax
+    pool = list(candidates)
     selected: list[tuple[int, list[int], int]] = []
     out = []
     for step in range(1, min(k, len(pool)) + 1):

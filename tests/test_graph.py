@@ -116,9 +116,10 @@ def test_label_propagation_deterministic_communities(spark):
 
 def test_kcore_peels_tails_and_keeps_clique(spark):
     """Hand graph: K4 clique (nodes 0-3) with a pendant chain 3-4-5 and a
-    tail 0-6. The 3-core is exactly the clique; the chain/tail nodes must
-    peel (node 4 only after its neighbor 5 goes, exercising a genuinely
-    multi-round peel)."""
+    tail 0-6. With k=2 the peel is genuinely multi-round: 5 and 6 drop in
+    round 1 (degree 1), node 4 only in round 2 (degree 2 until its
+    neighbor 5 goes) — a degree-once non-iterating implementation would
+    wrongly keep node 4."""
     from pandas_etl_framework_spark.graph import kcore
 
     edges = spark.createDataFrame(
@@ -126,7 +127,7 @@ def test_kcore_peels_tails_and_keeps_clique(spark):
          (3, 4), (4, 5), (0, 6)],
         "u long, v long",
     )
-    out = {r["node"]: r["core_deg"] for r in kcore(edges, k=3).collect()}
+    out = {r["node"]: r["core_deg"] for r in kcore(edges, k=2).collect()}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3}
 
 

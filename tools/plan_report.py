@@ -107,6 +107,7 @@ AUDIT = [
     "text_temperature_mixture",
     "text_bm25_topk",
     "text_rrf_fusion",
+    "graph_kcore",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
