@@ -159,6 +159,10 @@ DRIVER_PRIORITY = [
     #    yields its slot (also named in the r07 review's independent
     #    oracle re-check; code untouched since) — r09 backlog. ------------
     "text_bm25_incremental",
+    # -- new this round: mergeSchema epoch-drift read. tpch_q1 yields its
+    #    slot (also named in the r07 review's independent oracle
+    #    re-check; code untouched since) — r09 backlog. -------------------
+    "io_schema_evolution",
     # -- changed this round: aqe_skew third leg ----------------------------
     "rel_auto_skew_join",
     # -- changed this round: banding refactor / dfreq 3-sigma pad /
@@ -171,7 +175,7 @@ DRIVER_PRIORITY = [
     "schema_prepare", "sketch_bloom_prune", "sketch_hll_distinct",
     "sql_shared_delta", "sql_shared_lateral", "streaming_windowed_counts",
     "text_contamination", "text_langid", "text_quality", "text_tfidf_topk",
-    "tpch_q1", "tpch_q13", "tpch_q17", "tpch_q2", "tpch_q20", "tpch_q21",
+    "tpch_q13", "tpch_q17", "tpch_q2", "tpch_q20", "tpch_q21",
     "tpch_q7", "tpch_q9",
 ]
 

@@ -196,6 +196,61 @@ def q_io_json_roundtrip(spark, sf_dir):
 SQL_IO_FMT_ROUNDTRIP = "SELECT * FROM region"
 
 
+def q_io_schema_evolution(spark, sf_dir):
+    """Schema drift across ingest epochs, executed: epoch-1 shards are
+    written WITHOUT ``o_orderstatus``, epoch-2 shards WITH it, into one
+    hive-partitioned store; a single ``mergeSchema`` read reconciles the
+    layouts — epoch-1 rows surface the new column as NULL, and the
+    partition directory key comes back as the ``epoch`` column.
+
+    This is the 100-TB reality check for long-lived stores: producers
+    add columns over months, and the reader must union heterogeneous
+    footers without a rewrite. The oracle recomputes the expected
+    union-with-NULLs from the source table, so a dropped column, a
+    widened dtype, or a lost partition key is a hash mismatch.
+    """
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        "o_orderstatus",
+    )
+    tmp = _scratch()
+    try:
+        store = f"{tmp}/orders_epochs"
+        src.filter("o_orderkey % 2 = 0").drop("o_orderstatus").write.parquet(
+            f"{store}/epoch=1"
+        )
+        src.filter("o_orderkey % 2 = 1").write.parquet(f"{store}/epoch=2")
+        out = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(store)
+            .select(
+                "o_orderkey", "o_custkey", "price_cents",
+                "o_orderstatus", "epoch",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+SQL_IO_SCHEMA_EVOLUTION = """
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(NULL AS VARCHAR) AS o_orderstatus,
+       CAST(1 AS INTEGER) AS epoch
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       o_orderstatus,
+       CAST(2 AS INTEGER) AS epoch
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
 _BIN_MAGIC = "8942494E00"   # \x89 'BIN' \x00 header prepended to each blob
 _BIN_DOCS = 8               # documents materialized as raw .bin files
 
@@ -673,6 +728,9 @@ def register_all() -> None:
     harness.register("io_orc_roundtrip", q_io_orc_roundtrip, SQL_IO_FMT_ROUNDTRIP)
     harness.register(
         "io_binary_source", q_io_binary_source, SQL_IO_BINARY_SOURCE
+    )
+    harness.register(
+        "io_schema_evolution", q_io_schema_evolution, SQL_IO_SCHEMA_EVOLUTION
     )
     harness.register(
         "io_json_roundtrip", q_io_json_roundtrip, SQL_IO_FMT_ROUNDTRIP

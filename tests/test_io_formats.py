@@ -124,3 +124,16 @@ def test_binary_source_roundtrips_bytes_exactly(spark):
         assert row["n_bytes"] == len(blob)
         expect = hashlib.md5(blob.hex().upper().encode()).hexdigest()
         assert row["content_md5"] == expect, doc_id
+
+
+def test_schema_evolution_merges_epochs_with_nulls(spark):
+    from pandas_etl_framework_spark.io_queries import q_io_schema_evolution
+
+    out = q_io_schema_evolution(spark, "/root/testdata/sf0.001")
+    assert dict(out.dtypes)["epoch"] == "int"
+    e1 = out.filter("epoch = 1")
+    e2 = out.filter("epoch = 2")
+    # epoch-1 shards predate the column: all NULL; epoch-2 all populated
+    assert e1.filter("o_orderstatus IS NOT NULL").count() == 0
+    assert e2.filter("o_orderstatus IS NULL").count() == 0
+    assert e1.count() > 0 and e2.count() > 0
