@@ -163,6 +163,11 @@ DRIVER_PRIORITY = [
     #    slot (also named in the r07 review's independent oracle
     #    re-check; code untouched since) — r09 backlog. -------------------
     "io_schema_evolution",
+    # -- new this round: PERMISSIVE corrupt-record quarantine read.
+    #    text_langid yields its slot (also named in the r07 review's
+    #    independent oracle re-check; untouched zero-shuffle scan
+    #    projection) — r09 backlog. ---------------------------------------
+    "io_corrupt_records",
     # -- changed this round: aqe_skew third leg ----------------------------
     "rel_auto_skew_join",
     # -- changed this round: banding refactor / dfreq 3-sigma pad /
@@ -174,7 +179,7 @@ DRIVER_PRIORITY = [
     "events_sessionize", "multimodal_decode_video", "rel_filter_project",
     "schema_prepare", "sketch_bloom_prune", "sketch_hll_distinct",
     "sql_shared_delta", "sql_shared_lateral", "streaming_windowed_counts",
-    "text_contamination", "text_langid", "text_quality", "text_tfidf_topk",
+    "text_contamination", "text_quality", "text_tfidf_topk",
     "tpch_q13", "tpch_q17", "tpch_q2", "tpch_q20", "tpch_q21",
     "tpch_q7", "tpch_q9",
 ]

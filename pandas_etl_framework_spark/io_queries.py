@@ -251,6 +251,85 @@ FROM orders WHERE o_orderkey % 2 = 1
 """
 
 
+# deliberately malformed JSON lines injected among the valid records
+_BAD_LINES = (
+    "garbage not json at all",
+    '{"r_regionkey": "oops", "r_name": 7}',
+    '{"r_regionkey": 1, "r_name": "truncated',
+)
+
+
+def q_io_corrupt_records(spark, sf_dir):
+    """Fault-tolerant ingestion, executed: region rows serialized to
+    JSON-lines with three deliberately malformed lines mixed in, read
+    back in PERMISSIVE mode with an explicit schema and a declared
+    corrupt-record column — good rows parse, bad rows surface as
+    (NULL fields, raw line) instead of failing the job.
+
+    At 100 TB this is the difference between a 40-hour ingest dying at
+    hour 39 on one mangled record and a complete run with a quarantine
+    table to triage; the corrupt column routes to dq.quarantine in
+    production. The oracle recomputes both populations (clean parse +
+    the known bad lines) so a swallowed record, a wrongly-parsed bad
+    line, or a dtype widening is a hash mismatch. PERMISSIVE's exact
+    semantics are pinned deliberately: a lexically broken line parses
+    to all-NULL fields + raw line, while {"r_regionkey": "oops",
+    "r_name": 7} PARTIALLY parses — the un-coercible long is NULL, the
+    coercible 7 becomes "7", AND the raw line is still recorded — so a
+    consumer must filter on the corrupt column, never on field
+    nullness.
+    """
+    src = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        "r_regionkey", "r_name"
+    )
+    tmp = _scratch()
+    try:
+        path = f"{tmp}/region_jsonl"
+        lines = src.select(
+            F.to_json(F.struct("r_regionkey", "r_name")).alias("value")
+        ).unionByName(
+            spark.createDataFrame(
+                [(b,) for b in _BAD_LINES], "value string"
+            )
+        )
+        lines.write.text(path)
+        out = (
+            spark.read.schema(
+                "r_regionkey long, r_name string, corrupt string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "corrupt")
+            .json(path)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _sql_io_corrupt_records() -> str:
+    # per-line expected parse under PERMISSIVE (see docstring): the
+    # partially-coercible line keeps its coercible field
+    expected = {
+        _BAD_LINES[0]: ("CAST(NULL AS BIGINT)", "CAST(NULL AS VARCHAR)"),
+        _BAD_LINES[1]: ("CAST(NULL AS BIGINT)", "'7'"),
+        _BAD_LINES[2]: ("CAST(NULL AS BIGINT)", "CAST(NULL AS VARCHAR)"),
+    }
+    bad = "\nUNION ALL\n".join(
+        f"SELECT {key} AS r_regionkey, {name} AS r_name,"
+        f" '{b.replace(chr(39), chr(39) * 2)}' AS corrupt"
+        for b, (key, name) in expected.items()
+    )
+    return f"""
+SELECT r_regionkey, r_name, CAST(NULL AS VARCHAR) AS corrupt FROM region
+UNION ALL
+{bad}
+"""
+
+
+SQL_IO_CORRUPT_RECORDS = _sql_io_corrupt_records()
+
+
 _BIN_MAGIC = "8942494E00"   # \x89 'BIN' \x00 header prepended to each blob
 _BIN_DOCS = 8               # documents materialized as raw .bin files
 
@@ -731,6 +810,9 @@ def register_all() -> None:
     )
     harness.register(
         "io_schema_evolution", q_io_schema_evolution, SQL_IO_SCHEMA_EVOLUTION
+    )
+    harness.register(
+        "io_corrupt_records", q_io_corrupt_records, SQL_IO_CORRUPT_RECORDS
     )
     harness.register(
         "io_json_roundtrip", q_io_json_roundtrip, SQL_IO_FMT_ROUNDTRIP

@@ -137,3 +137,23 @@ def test_schema_evolution_merges_epochs_with_nulls(spark):
     assert e1.filter("o_orderstatus IS NOT NULL").count() == 0
     assert e2.filter("o_orderstatus IS NULL").count() == 0
     assert e1.count() > 0 and e2.count() > 0
+
+
+def test_corrupt_records_quarantine_not_field_nullness(spark):
+    """PERMISSIVE JSON read: every injected bad line lands in the corrupt
+    column; the partially-coercible line keeps its coercible field, so
+    quarantine routing MUST key on the corrupt column."""
+    from pandas_etl_framework_spark.io_queries import (
+        _BAD_LINES,
+        q_io_corrupt_records,
+    )
+
+    out = q_io_corrupt_records(spark, "/root/testdata/sf0.001")
+    bad = {r["corrupt"]: r for r in out.filter("corrupt IS NOT NULL").collect()}
+    assert set(bad) == set(_BAD_LINES)
+    partial = bad['{"r_regionkey": "oops", "r_name": 7}']
+    assert partial["r_regionkey"] is None and partial["r_name"] == "7"
+    # clean rows parse fully and carry no corrupt payload
+    clean = out.filter("corrupt IS NULL")
+    assert clean.filter("r_regionkey IS NULL").count() == 0
+    assert clean.count() == out.count() - len(_BAD_LINES)
