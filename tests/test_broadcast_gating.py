@@ -222,3 +222,21 @@ def test_broadcast_threshold_parsing(spark):
         assert broadcast_threshold_bytes(spark) <= 0
     with _threshold(spark, "1048576b"):
         assert broadcast_threshold_bytes(spark) == 1 << 20
+
+
+def test_bm25_identical_with_broadcast_disabled(spark):
+    """bm25_topk's dfreq/totals broadcasts are size-gated hints: with
+    auto-broadcast disabled the query must still execute (shuffled
+    joins) and return the identical ranking."""
+    from pandas_etl_framework_spark.llmops.indexing import (
+        _term_freq,
+        bm25_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    baseline = sorted(map(tuple, bm25_topk(_term_freq(spark, sf)).collect()))
+    with _threshold(spark, -1):
+        fallback = sorted(
+            map(tuple, bm25_topk(_term_freq(spark, sf)).collect())
+        )
+    assert baseline == fallback and baseline
