@@ -93,6 +93,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # q8/q11/q12/q15/q16/q19/q22, and streaming_cdc_historize + emb_pq_topk + multimodal_phash_dedup — evicted from
 # this window to fit the minhash-incremental family) are the r09 rotation's
 # backlog.
+# R09 BACKLOG CONSOLIDATED (late-r08 additions): the r04-era rows above,
+# PLUS the justified late-session evictions (each reason inline below):
+# emb_ivfpq_recall_at_k, dedup_minhash_pairs, dedup_containment,
+# emb_ivf_topk, multimodal_dhash_neardup, cdc_source_file_meta,
+# dedup_jaccard_prefix, emb_ivfpq_topk, cdc_inserts, cdc_updates,
+# dedup_exact, dedup_simhash, emb_ann_lsh, tpch_q1, text_langid.
+# Staleness-order these in r09; the judge's r07 independent re-check
+# (the 10-query cohort) counts as fresh evidence for those named rows.
 DRIVER_PRIORITY = [
     # -- new this round: banded-join hot-bucket caps + drop accounting ----
     "dedup_minhash_pairs_capped", "dedup_minhash_bucket_report",
