@@ -5,6 +5,8 @@ hardening (banded-join bucket caps, IVF-PQ persistence/add-batch)."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from pandas_etl_framework_spark import add_meta_columns, create_currents
@@ -249,3 +251,70 @@ def test_incremental_minhash_candidates_match_full_join_restriction(spark):
         elif b in new_ids:
             want.add((b, a, "corpus"))
     assert got == want and got
+
+
+# --------------------------------------------------------------------------
+# BM25 differential: Spark vs an independent pure-Python mirror over
+# randomized tiny corpora (ties, absent query terms, single-doc corpora,
+# stopword-frequent terms all fall out of the strategy)
+# --------------------------------------------------------------------------
+
+_bm25_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["q", "z", "common", "pad"]),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _bm25_python_mirror(tf_rows, query_terms, k):
+    """Independent replication of the quantized BM25 (floats via the same
+    IEEE ops; ints exact)."""
+    import collections
+    import math
+
+    dl = collections.Counter()
+    for d, _t, c in tf_rows:
+        dl[d] += c
+    n_docs, total = len(dl), sum(dl.values())
+    hits = [(d, t, c) for d, t, c in tf_rows if t in query_terms]
+    df = collections.Counter(t for _d, t, _c in hits)
+    per_doc = collections.defaultdict(lambda: [0, 0])
+    for d, t, c in hits:
+        idf_q = math.floor(
+            math.log((2 * n_docs + 2) / (2 * df[t] + 1)) * 1_000_000
+        )
+        num = 22 * total * c
+        den = 10 * total * c + 3 * total + 9 * n_docs * dl[d]
+        per_doc[d][0] += math.floor(idf_q * (num / den))
+        per_doc[d][1] += 1
+    ranked = sorted(per_doc.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+    return {
+        d: (score, n, dl[d]) for d, (score, n) in ranked
+    }
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_bm25_corpus)
+def test_bm25_matches_python_mirror_on_random_corpora(spark, corpus):
+    from pandas_etl_framework_spark.llmops.indexing import bm25_topk
+
+    tf_rows = []
+    for doc_id, words in enumerate(corpus):
+        import collections
+
+        for term, c in collections.Counter(words).items():
+            tf_rows.append((doc_id, term, c))
+    tf = spark.createDataFrame(tf_rows, "doc_id long, term string, tf long")
+    got = {
+        r["doc_id"]: (r["score_q"], r["n_terms"], r["dl"])
+        for r in bm25_topk(tf, query_terms=("q", "z"), k=10).collect()
+    }
+    assert got == _bm25_python_mirror(tf_rows, ("q", "z"), 10)
