@@ -176,6 +176,11 @@ DRIVER_PRIORITY = [
     #    independent oracle re-check; untouched zero-shuffle scan
     #    projection) — r09 backlog. ---------------------------------------
     "io_corrupt_records",
+    # -- new this round: per-source quality rank calibration.
+    #    sketch_hll_distinct yields its slot (also named in the r07
+    #    review's independent oracle re-check; register-merge properties
+    #    further pinned in test_sketch_properties) — r09 backlog. ---------
+    "text_quality_calibrated",
     # -- changed this round: aqe_skew third leg ----------------------------
     "rel_auto_skew_join",
     # -- changed this round: banding refactor / dfreq 3-sigma pad /
@@ -185,7 +190,7 @@ DRIVER_PRIORITY = [
     "curation_pipeline", "dedup_cross_source",
     "events_asof_join",
     "events_sessionize", "multimodal_decode_video", "rel_filter_project",
-    "schema_prepare", "sketch_bloom_prune", "sketch_hll_distinct",
+    "schema_prepare", "sketch_bloom_prune",
     "sql_shared_delta", "sql_shared_lateral", "streaming_windowed_counts",
     "text_contamination", "text_quality", "text_tfidf_topk",
     "tpch_q13", "tpch_q17", "tpch_q2", "tpch_q20", "tpch_q21",

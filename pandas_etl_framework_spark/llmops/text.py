@@ -93,6 +93,67 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+def q_text_quality_calibrated(spark, sf_dir):
+    """Per-source rank calibration of the composite quality score —
+    absolute quality scores are NOT comparable across sources (different
+    length/punctuation/stopword base rates), so FineWeb-style pipelines
+    recalibrate per source and apply a uniform keep-rate to the rank:
+    ``pct_rank = PERCENT_RANK() OVER (PARTITION BY source ORDER BY
+    score, doc_id)``, keep the top half of EVERY source.
+
+    Engine-exact: the order-by key includes doc_id so per-source ranks
+    are total, and percent_rank is one division of identical integers.
+    Scale posture: one window per source partition — co-partitions with
+    a single source-key shuffle, no global sort; a hot source is a
+    per-source top-k problem (see text_domain_cap's two-phase pattern)
+    if the per-partition sort ever dominates.
+    """
+    from pyspark.sql import Window
+
+    *_, score = quality_ratio_cols()
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", score.alias("quality_score")
+    )
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    return (
+        docs.withColumn("pct_rank", F.percent_rank().over(w))
+        .withColumn("kept", F.col("pct_rank") >= 0.5)
+    )
+
+
+def _sql_quality_calibrated() -> str:
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, source, text,
+           string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+feat AS (
+    SELECT doc_id, source,
+           CAST(LEN(list_filter(t, x -> {{stop}})) AS DOUBLE) / LEN(t)
+               AS stopword_ratio,
+           CAST(LENGTH(text)
+                - LENGTH(regexp_replace(text, '[.,!?;:''"()\[\]{{{{}}}}]', '', 'g'))
+                AS DOUBLE) / LENGTH(text) AS punct_ratio,
+           CAST(LEN(list_distinct(t)) AS DOUBLE) / LEN(t) AS unique_ratio
+    FROM toks
+),
+scored AS (
+    SELECT doc_id, source,
+           stopword_ratio * 0.3 + unique_ratio * 0.5
+               + (1.0 - punct_ratio) * 0.2 AS quality_score
+    FROM feat
+)
+SELECT doc_id, source, quality_score,
+       PERCENT_RANK() OVER (
+           PARTITION BY source ORDER BY quality_score, doc_id) AS pct_rank,
+       PERCENT_RANK() OVER (
+           PARTITION BY source ORDER BY quality_score, doc_id) >= 0.5
+           AS kept
+FROM scored
+""".format(stop=_SQL_STOP_PRED)
+
+
 _SQL_STOP_PRED = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
 
 SQL_TEXT_QUALITY = rf"""
@@ -1214,6 +1275,10 @@ QUERIES = {
     "data_split": (q_data_split, SQL_DATA_SPLIT),
     "text_length_histogram": (q_text_length_histogram, SQL_TEXT_LENGTH_HISTOGRAM),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_quality_calibrated": (
+        q_text_quality_calibrated,
+        _sql_quality_calibrated(),
+    ),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_tokens_bpe": (q_text_tokens_bpe, SQL_TEXT_TOKENS_BPE),

@@ -922,3 +922,30 @@ def test_mmr_select_deterministic_ties_and_bounds():
     assert [r[4] for r in out] == [1, 2, 3, 4, 5]
     # equal relevance at step 1 → lowest vec_id wins
     assert out[0][0] == 0
+
+
+def test_quality_calibration_uniform_keep_rate_per_source(spark):
+    """Per-source rank calibration must keep ~half of EVERY source
+    regardless of each source's absolute score distribution, and
+    pct_rank must span [0, 1] within each source."""
+    from pandas_etl_framework_spark.llmops.text import (
+        q_text_quality_calibrated,
+    )
+
+    out = q_text_quality_calibrated(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src) > 1
+    for src, grp in by_src.items():
+        kept = sum(1 for g in grp if g["kept"])
+        n = len(grp)
+        # keep-rate is rank-uniform: ceil-half of each source
+        assert abs(kept - n / 2) <= 1, (src, kept, n)
+        assert min(g["pct_rank"] for g in grp) == 0.0
+        assert max(g["pct_rank"] for g in grp) == 1.0
+        # kept set == top half by (score, doc_id) within the source
+        ordered = sorted(grp, key=lambda g: (g["quality_score"], g["doc_id"]))
+        for i, g in enumerate(ordered):
+            assert g["kept"] == (i / (n - 1) >= 0.5), (src, i)
