@@ -98,7 +98,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # emb_ivfpq_recall_at_k, dedup_minhash_pairs, dedup_containment,
 # emb_ivf_topk, multimodal_dhash_neardup, cdc_source_file_meta,
 # dedup_jaccard_prefix, emb_ivfpq_topk, cdc_inserts, cdc_updates,
-# dedup_exact, dedup_simhash, emb_ann_lsh, tpch_q1, text_langid.
+# dedup_exact, dedup_simhash, emb_ann_lsh, tpch_q1, text_langid,
+# sketch_hll_distinct.
 # Staleness-order these in r09; the judge's r07 independent re-check
 # (the 10-query cohort) counts as fresh evidence for those named rows.
 DRIVER_PRIORITY = [

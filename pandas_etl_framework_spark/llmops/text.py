@@ -93,13 +93,17 @@ def q_text_quality(spark, sf_dir):
     )
 
 
-def q_text_quality_calibrated(spark, sf_dir):
+def quality_calibrated(docs: "DataFrame") -> "DataFrame":
     """Per-source rank calibration of the composite quality score —
     absolute quality scores are NOT comparable across sources (different
     length/punctuation/stopword base rates), so FineWeb-style pipelines
     recalibrate per source and apply a uniform keep-rate to the rank:
     ``pct_rank = PERCENT_RANK() OVER (PARTITION BY source ORDER BY
-    score, doc_id)``, keep the top half of EVERY source.
+    score, doc_id)``, keep the top half of EVERY source. A
+    single-document source has pct_rank 0.0 by definition; it is its
+    source's best document, so the keep rule is
+    ``pct_rank >= 0.5 OR n_src = 1`` — long-tail sources are half-kept,
+    never silently discarded.
 
     Engine-exact: the order-by key includes doc_id so per-source ranks
     are total, and percent_rank is one division of identical integers.
@@ -111,58 +115,33 @@ def q_text_quality_calibrated(spark, sf_dir):
     from pyspark.sql import Window
 
     *_, score = quality_ratio_cols()
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", "source", score.alias("quality_score")
-    )
+    scored = docs.select("doc_id", "source", score.alias("quality_score"))
     w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    wc = Window.partitionBy("source")
     return (
-        docs.withColumn("pct_rank", F.percent_rank().over(w))
-        .withColumn("kept", F.col("pct_rank") >= 0.5)
+        scored.withColumn("pct_rank", F.percent_rank().over(w))
+        .withColumn("n_src", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "kept", (F.col("pct_rank") >= 0.5) | (F.col("n_src") == 1)
+        )
     )
 
 
-def _sql_quality_calibrated() -> str:
-    return rf"""
-WITH toks AS (
-    SELECT doc_id, source, text,
-           string_split_regex(trim(text), '\s+') AS t
-    FROM documents
-),
-feat AS (
-    SELECT doc_id, source,
-           CAST(LEN(list_filter(t, x -> {{stop}})) AS DOUBLE) / LEN(t)
-               AS stopword_ratio,
-           CAST(LENGTH(text)
-                - LENGTH(regexp_replace(text, '[.,!?;:''"()\[\]{{{{}}}}]', '', 'g'))
-                AS DOUBLE) / LENGTH(text) AS punct_ratio,
-           CAST(LEN(list_distinct(t)) AS DOUBLE) / LEN(t) AS unique_ratio
-    FROM toks
-),
-scored AS (
-    SELECT doc_id, source,
-           stopword_ratio * 0.3 + unique_ratio * 0.5
-               + (1.0 - punct_ratio) * 0.2 AS quality_score
-    FROM feat
-)
-SELECT doc_id, source, quality_score,
-       PERCENT_RANK() OVER (
-           PARTITION BY source ORDER BY quality_score, doc_id) AS pct_rank,
-       PERCENT_RANK() OVER (
-           PARTITION BY source ORDER BY quality_score, doc_id) >= 0.5
-           AS kept
-FROM scored
-""".format(stop=_SQL_STOP_PRED)
+def q_text_quality_calibrated(spark, sf_dir):
+    return quality_calibrated(_docs(spark, sf_dir))
 
 
 _SQL_STOP_PRED = " OR ".join(f"x = '{w}'" for w in STOPWORDS)
 
-SQL_TEXT_QUALITY = rf"""
-WITH toks AS (
-    SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+# single feature/score pipeline shared by BOTH quality oracles — the
+# stopword predicate, punct class, and 0.3/0.5/0.2 weights exist once
+_SQL_QUALITY_SCORED = rf"""
+toks AS (
+    SELECT doc_id, source, text, string_split_regex(trim(text), '\s+') AS t
     FROM documents
 ),
 feat AS (
-    SELECT doc_id,
+    SELECT doc_id, source,
            LEN(t) AS n_tokens,
            CAST(LEN(list_filter(t, x -> {_SQL_STOP_PRED})) AS DOUBLE) / LEN(t)
                AS stopword_ratio,
@@ -171,11 +150,30 @@ feat AS (
                 AS DOUBLE) / LENGTH(text) AS punct_ratio,
            CAST(LEN(list_distinct(t)) AS DOUBLE) / LEN(t) AS unique_ratio
     FROM toks
-)
+),
+scored AS (
+    SELECT *, stopword_ratio * 0.3 + unique_ratio * 0.5
+              + (1.0 - punct_ratio) * 0.2 AS quality_score
+    FROM feat
+)"""
+
+SQL_TEXT_QUALITY = f"""
+WITH {_SQL_QUALITY_SCORED}
 SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, unique_ratio,
-       stopword_ratio * 0.3 + unique_ratio * 0.5 + (1.0 - punct_ratio) * 0.2
-           AS quality_score
-FROM feat
+       quality_score
+FROM scored
+"""
+
+SQL_TEXT_QUALITY_CALIBRATED = f"""
+WITH {_SQL_QUALITY_SCORED}
+SELECT doc_id, source, quality_score,
+       PERCENT_RANK() OVER (
+           PARTITION BY source ORDER BY quality_score, doc_id) AS pct_rank,
+       CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src,
+       (PERCENT_RANK() OVER (
+            PARTITION BY source ORDER BY quality_score, doc_id) >= 0.5
+        OR COUNT(*) OVER (PARTITION BY source) = 1) AS kept
+FROM scored
 """
 
 
@@ -1277,7 +1275,7 @@ QUERIES = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_quality_calibrated": (
         q_text_quality_calibrated,
-        _sql_quality_calibrated(),
+        SQL_TEXT_QUALITY_CALIBRATED,
     ),
     "text_langid": (q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),

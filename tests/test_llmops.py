@@ -926,10 +926,12 @@ def test_mmr_select_deterministic_ties_and_bounds():
 
 def test_quality_calibration_uniform_keep_rate_per_source(spark):
     """Per-source rank calibration must keep ~half of EVERY source
-    regardless of each source's absolute score distribution, and
-    pct_rank must span [0, 1] within each source."""
+    regardless of each source's absolute score distribution; a
+    single-document source must be KEPT (it is its source's best doc),
+    never silently discarded."""
     from pandas_etl_framework_spark.llmops.text import (
         q_text_quality_calibrated,
+        quality_calibrated,
     )
 
     out = q_text_quality_calibrated(spark, "/root/testdata/sf0.001")
@@ -941,11 +943,27 @@ def test_quality_calibration_uniform_keep_rate_per_source(spark):
     for src, grp in by_src.items():
         kept = sum(1 for g in grp if g["kept"])
         n = len(grp)
-        # keep-rate is rank-uniform: ceil-half of each source
+        # keep-rate is rank-uniform: ~half of each source (exact for n>1)
         assert abs(kept - n / 2) <= 1, (src, kept, n)
-        assert min(g["pct_rank"] for g in grp) == 0.0
-        assert max(g["pct_rank"] for g in grp) == 1.0
-        # kept set == top half by (score, doc_id) within the source
-        ordered = sorted(grp, key=lambda g: (g["quality_score"], g["doc_id"]))
-        for i, g in enumerate(ordered):
-            assert g["kept"] == (i / (n - 1) >= 0.5), (src, i)
+        if n > 1:
+            assert min(g["pct_rank"] for g in grp) == 0.0
+            assert max(g["pct_rank"] for g in grp) == 1.0
+            # kept set == top half by (score, doc_id) within the source
+            ordered = sorted(
+                grp, key=lambda g: (g["quality_score"], g["doc_id"])
+            )
+            for i, g in enumerate(ordered):
+                assert g["kept"] == (i / (n - 1) >= 0.5), (src, i)
+
+    # singleton-source edge: pct_rank is 0.0 by definition, kept anyway
+    docs = spark.createDataFrame(
+        [(0, "a b c d e the of", "solo"),
+         (1, "a a a a a a a", "pair"),
+         (2, "the of and to in a b", "pair")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["doc_id"]: r for r in quality_calibrated(docs).collect()}
+    assert got[0]["n_src"] == 1 and got[0]["pct_rank"] == 0.0
+    assert got[0]["kept"] is True
+    kept_pair = [d for d in (1, 2) if got[d]["kept"]]
+    assert len(kept_pair) == 1  # exactly the top half of the 2-doc source
