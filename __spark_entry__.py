@@ -99,7 +99,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # emb_ivf_topk, multimodal_dhash_neardup, cdc_source_file_meta,
 # dedup_jaccard_prefix, emb_ivfpq_topk, cdc_inserts, cdc_updates,
 # dedup_exact, dedup_simhash, emb_ann_lsh, tpch_q1, text_langid,
-# sketch_hll_distinct.
+# sketch_hll_distinct, events_asof_join.
 # Staleness-order these in r09; the judge's r07 independent re-check
 # (the 10-query cohort) counts as fresh evidence for those named rows.
 DRIVER_PRIORITY = [
@@ -182,6 +182,11 @@ DRIVER_PRIORITY = [
     #    review's independent oracle re-check; register-merge properties
     #    further pinned in test_sketch_properties) — r09 backlog. ---------
     "text_quality_calibrated",
+    # -- new this round: z-order layout key + bucket-span report.
+    #    events_asof_join yields its slot (also named in the r07 review's
+    #    independent oracle re-check; code untouched since) — r09
+    #    backlog. ----------------------------------------------------------
+    "rel_zorder_layout",
     # -- changed this round: aqe_skew third leg ----------------------------
     "rel_auto_skew_join",
     # -- changed this round: banding refactor / dfreq 3-sigma pad /
@@ -189,7 +194,6 @@ DRIVER_PRIORITY = [
     # -- r03-era greens: the whole remaining backlog ------------------------
     "cdc_deleted_by_full_load", "cdc_deletes_by_column",
     "curation_pipeline", "dedup_cross_source",
-    "events_asof_join",
     "events_sessionize", "multimodal_decode_video", "rel_filter_project",
     "schema_prepare", "sketch_bloom_prune",
     "sql_shared_delta", "sql_shared_lateral", "streaming_windowed_counts",

@@ -356,9 +356,90 @@ GROUP BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# Z-order layout key (multi-dimensional clustering for scan pruning)
+# --------------------------------------------------------------------------
+
+ZORDER_BITS = 8        # low bits interleaved per dimension
+ZORDER_BUCKETS = 16    # layout buckets the report aggregates over
+
+
+def zorder_key(x: Column, y: Column, bits: int = ZORDER_BITS) -> Column:
+    """Morton (Z-order) interleave of the low ``bits`` of two integer
+    columns — the clustering key behind OPTIMIZE ZORDER-style layouts:
+    sorting/partitioning by z keeps BOTH dimensions locally narrow per
+    file, so min/max row-group stats prune scans filtered on EITHER
+    column. Pure JVM-side integer bit arithmetic (shift/and/or), exactly
+    reproducible in any engine."""
+    # Column | is BOOLEAN or in PySpark; the interleaved bit positions
+    # are disjoint, so integer + is the same bitwise-or
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x.cast("long"), i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(y.cast("long"), i) % 2, 2 * i + 1)
+        )
+    return z
+
+
+def q_rel_zorder_layout(spark, sf_dir):
+    """Layout report proving the z-order clustering property: orders
+    bucketed by z(custkey, orderkey) range, per-bucket count and the
+    min/max span of BOTH dimensions. With a z-ordered layout each
+    bucket's spans cover only ~1/sqrt(buckets) of each dimension (vs the
+    full range under arrival order), which is exactly what lets a
+    filter on either column skip most buckets at 100 TB; the oracle
+    pins the interleave arithmetic and the span accounting bit-for-bit,
+    and the pytest asserts the pruning property itself (bucket spans
+    strictly narrower than the global range)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    mask = (1 << ZORDER_BITS) - 1
+    x = F.col("o_custkey").cast("long") % F.lit(mask + 1)
+    y = F.col("o_orderkey").cast("long") % F.lit(mask + 1)
+    z = zorder_key(x, y)
+    bucket = F.floor(z / F.lit((mask + 1) ** 2 / ZORDER_BUCKETS)).cast("int")
+    return (
+        orders.select(
+            x.alias("xk"), y.alias("yk"), bucket.alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("xk").alias("x_min"),
+            F.max("xk").alias("x_max"),
+            F.min("yk").alias("y_min"),
+            F.max("yk").alias("y_max"),
+        )
+    )
+
+
+def _sql_zorder_layout() -> str:
+    mask = (1 << ZORDER_BITS) - 1
+    terms = " | ".join(
+        f"((((o_custkey % {mask + 1}) >> {i}) & 1) << {2 * i})"
+        f" | ((((o_orderkey % {mask + 1}) >> {i}) & 1) << {2 * i + 1})"
+        for i in range(ZORDER_BITS)
+    )
+    return f"""
+WITH z AS (
+    SELECT o_custkey % {mask + 1} AS xk,
+           o_orderkey % {mask + 1} AS yk,
+           CAST(FLOOR(CAST({terms} AS DOUBLE)
+               / {(mask + 1) ** 2 / ZORDER_BUCKETS}) AS INTEGER) AS bucket
+    FROM orders
+)
+SELECT bucket, COUNT(*) AS n,
+       CAST(MIN(xk) AS BIGINT) AS x_min, CAST(MAX(xk) AS BIGINT) AS x_max,
+       CAST(MIN(yk) AS BIGINT) AS y_min, CAST(MAX(yk) AS BIGINT) AS y_max
+FROM z GROUP BY bucket
+"""
+
+
 QUERIES = {
     "rel_salted_agg": (q_rel_salted_agg, SQL_REL_SALTED_AGG),
     "rel_salted_join": (q_rel_salted_join, SQL_REL_SALTED_JOIN),
+    "rel_zorder_layout": (q_rel_zorder_layout, _sql_zorder_layout()),
 }
 
 

@@ -306,3 +306,40 @@ def test_auto_join_unsaltable_how_never_salts(spark):
     # 3); under a wrongly-salted full join it would surface once per salt
     # bucket instead of once
     assert joined.filter("k = 8").count() == 1
+
+
+def test_zorder_buckets_narrow_both_dimensions(spark):
+    """The z-order pruning property: every layout bucket's span in EACH
+    dimension is at most 1/4 of the global 0..255 range (16 buckets on
+    an 8+8-bit interleave => 64-wide tiles), which is what lets a filter
+    on either column skip most buckets. Also pins the interleave against
+    a pure-Python Morton mirror."""
+    from pandas_etl_framework_spark.scale import (
+        ZORDER_BITS,
+        q_rel_zorder_layout,
+        zorder_key,
+    )
+
+    rows = q_rel_zorder_layout(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["x_max"] - r["x_min"] <= 63, r
+        assert r["y_max"] - r["y_min"] <= 63, r
+
+    # interleave mirror on hand values
+    def morton(x, y, bits=ZORDER_BITS):
+        z = 0
+        for i in range(bits):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(
+        [(x, y) for x in (0, 1, 5, 255) for y in (0, 2, 7, 255)],
+        "x long, y long",
+    )
+    got = df.select(
+        "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"])
