@@ -108,6 +108,8 @@ AUDIT = [
     "text_bm25_topk",
     "text_rrf_fusion",
     "graph_kcore",
+    "text_quality_calibrated",
+    "rel_zorder_layout",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
