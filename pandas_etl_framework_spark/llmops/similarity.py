@@ -567,18 +567,25 @@ MMR_K = 8       # diverse items selected
 def mmr_select(
     candidates: "list[tuple[int, list[int], int]]",
     k: int = MMR_K,
+    lam: "tuple[int, int]" = (1, 2),
 ) -> "list[tuple[int, int, int, int, int]]":
     """Greedy MMR over a driver-sized candidate window.
 
     ``candidates`` = [(vec_id, quantized_vec, rel)] with integer
-    relevance (quantized dot to the query). With the standard
-    lambda = 1/2, argmax of ``lambda*rel - (1-lambda)*max_sim`` equals
-    argmax of ``rel - max_sim``, so the whole greedy is integer
-    arithmetic — Python ints here, BIGINT in the SQL twin — and the
-    selection is engine-exact. Ties break on vec_id ascending. The first
-    pick (empty selected set) is pure relevance with a 0 max-sim
-    sentinel. Returns [(vec_id, rel, maxsim, mmr_q, step)].
+    relevance (quantized dot to the query). The trade-off is an exact
+    rational ``lam = (num, den)`` (lambda = num/den): argmax of
+    ``lambda*rel - (1-lambda)*max_sim`` equals argmax of
+    ``num*rel - (den-num)*max_sim``, so the whole greedy stays integer
+    arithmetic for ANY lambda — Python ints here, BIGINT in the SQL
+    twin — and the selection is engine-exact. The default (1, 2) makes
+    the reported ``mmr_q`` the familiar ``rel - max_sim``. Ties break on
+    vec_id ascending. The first pick (empty selected set) is pure
+    relevance with a 0 max-sim sentinel.
+    Returns [(vec_id, rel, maxsim, mmr_q, step)].
     """
+    num, den = lam
+    if not (0 < num <= den):
+        raise ValueError(f"lam must satisfy 0 < num <= den, got {lam}")
     # no pre-sort: each step scans the whole pool with a unique
     # total-order key, so input order never influences the argmax
     pool = list(candidates)
@@ -593,12 +600,13 @@ def mmr_select(
                 (sum(x * y for x, y in zip(qv, s[1])) for s in selected),
                 default=0,
             )
-            key = (-(rel - maxsim), vid)
+            mmr_q = num * rel - (den - num) * maxsim
+            key = (-mmr_q, vid)
             if best is None or key < best[0]:
-                best = (key, (vid, qv, rel, maxsim))
-        vid, qv, rel, maxsim = best[1]
+                best = (key, (vid, qv, rel, maxsim, mmr_q))
+        vid, qv, rel, maxsim, mmr_q = best[1]
         selected.append((vid, qv, rel))
-        out.append((vid, rel, maxsim, rel - maxsim, step))
+        out.append((vid, rel, maxsim, mmr_q, step))
     return out
 
 

@@ -967,3 +967,23 @@ def test_quality_calibration_uniform_keep_rate_per_source(spark):
     assert got[0]["kept"] is True
     kept_pair = [d for d in (1, 2) if got[d]["kept"]]
     assert len(kept_pair) == 1  # exactly the top half of the 2-doc source
+
+
+def test_mmr_lambda_extremes_change_selection():
+    """lam=(1,1) is pure relevance (diversity term vanishes); a
+    diversity-heavy lam picks the orthogonal candidate earlier; the
+    default (1,2) reports mmr_q = rel - maxsim unchanged."""
+    from pandas_etl_framework_spark.llmops.similarity import mmr_select
+
+    cands = [(1, [10, 0], 100), (2, [9, 0], 90), (3, [0, 8], 40)]
+    pure_rel = mmr_select(cands, k=3, lam=(1, 1))
+    assert [r[0] for r in pure_rel] == [1, 2, 3]      # relevance order
+    diverse = mmr_select(cands, k=3, lam=(1, 4))      # lambda = 1/4
+    # step 2: num*rel - (den-num)*maxsim → 2: 90-3*90=-180; 3: 40-0=40
+    assert [r[0] for r in diverse] == [1, 3, 2]
+    default = mmr_select(cands, k=2)
+    assert default[1][3] == default[1][1] - default[1][2]
+    import pytest
+
+    with pytest.raises(ValueError):
+        mmr_select(cands, lam=(0, 2))
