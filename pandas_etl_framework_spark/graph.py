@@ -718,14 +718,19 @@ def q_graph_kcore(spark, sf_dir):
 
 
 def _sql_kcore(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
-    # same backbone + symmetric-edge head as the LPA oracle; every stage
-    # MATERIALIZED — each e{i} is referenced three times in stage i+1 and
-    # DuckDB's default inlining would re-evaluate the chain exponentially
+    # same backbone + symmetric-edge head as the LPA oracle; EVERY
+    # multiply-referenced stage MATERIALIZED — each e{i} is referenced
+    # three times in stage i+1 and DuckDB's default inlining would
+    # re-evaluate the chain exponentially; the head CTEs are
+    # multiply-referenced too (ps twice by pairs' self-join, pairs by
+    # stats + eb, eb twice by e0's symmetric union), so without the
+    # keyword the quadratic ps self-join could run twice per oracle
+    # evaluation (ADVICE r08)
     head = """
-WITH ps AS (
+WITH ps AS MATERIALIZED (
     SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
 ),
-pairs AS (
+pairs AS MATERIALIZED (
     SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
     FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
     GROUP BY a.s, b.s
@@ -735,7 +740,7 @@ stats AS (
            CAST(COUNT(*) AS BIGINT) AS p_cnt
     FROM pairs
 ),
-eb AS (
+eb AS MATERIALIZED (
     SELECT u, v FROM pairs, stats
     WHERE shared * p_cnt > s_sum
       AND 4 * (shared * p_cnt - s_sum) * (shared * p_cnt - s_sum)
