@@ -1245,6 +1245,56 @@ def incremental_minhash_candidates(
     return corpus_leg.unionByName(batch_leg).distinct()
 
 
+def resolve_incremental_pair_labels(
+    pairs: DataFrame, batch_ids: DataFrame
+) -> DataFrame:
+    """Merge-on-read labeling for streamed candidate pairs: given
+    CANONICAL unordered pairs (``doc_lo < doc_hi``, however the engine's
+    micro-batch chopping discovered them) and the new-batch membership
+    relation (one ``doc_id`` column), reconstruct the
+    ``(doc_new, doc_other, leg)`` contract of
+    :func:`incremental_minhash_candidates`: both sides in the batch →
+    leg='batch' with the LATER doc as ``doc_new``; exactly one side in
+    the batch → leg='corpus' with the batch doc as ``doc_new``; neither
+    side in the batch (corpus-bootstrap self pairs) → dropped. The
+    canonical pair SET is chop-invariant (a cross-micro-batch batch
+    pair is found exactly once, when the later chunk probes the store
+    holding the earlier chunk's bands), but which LEG a per-batch probe
+    sees it on is not — membership, not discovery order, is the truth,
+    so the label is resolved here at read time."""
+    lo_in = batch_ids.select(F.col("doc_id").alias("doc_lo")).withColumn(
+        "lo_new", F.lit(True)
+    )
+    hi_in = batch_ids.select(F.col("doc_id").alias("doc_hi")).withColumn(
+        "hi_new", F.lit(True)
+    )
+    return (
+        pairs.join(lo_in, "doc_lo", "left")
+        .join(hi_in, "doc_hi", "left")
+        .select(
+            "doc_lo",
+            "doc_hi",
+            F.coalesce("lo_new", F.lit(False)).alias("lo_new"),
+            F.coalesce("hi_new", F.lit(False)).alias("hi_new"),
+        )
+        .filter(F.col("lo_new") | F.col("hi_new"))
+        .select(
+            F.when(F.col("lo_new") & F.col("hi_new"), F.col("doc_hi"))
+            .when(F.col("lo_new"), F.col("doc_lo"))
+            .otherwise(F.col("doc_hi"))
+            .alias("doc_new"),
+            F.when(F.col("lo_new") & F.col("hi_new"), F.col("doc_lo"))
+            .when(F.col("lo_new"), F.col("doc_hi"))
+            .otherwise(F.col("doc_lo"))
+            .alias("doc_other"),
+            F.when(F.col("lo_new") & F.col("hi_new"), F.lit("batch"))
+            .otherwise(F.lit("corpus"))
+            .alias("leg"),
+        )
+        .distinct()
+    )
+
+
 INCR_BATCH_SOURCE = "src0"   # harness split: src0 is the "new" ingest
 
 
@@ -1346,18 +1396,30 @@ def q_dedup_minhash_band_store(spark, sf_dir):
     return out
 
 
-def q_streaming_minhash_incremental(spark, sf_dir):
+def q_streaming_minhash_incremental(
+    spark, sf_dir, *, max_files_per_trigger=None, src_files=None
+):
     """The incremental near-dup pipeline THROUGH the real micro-batch
-    engine: documents stream in (availableNow, file source), and each
-    micro-batch's foreachBatch (a) bands the batch, (b) probes the
-    persisted band STORE for candidates, (c) appends the candidates to a
-    sink, (d) appends the batch's bands to the store — the steady-state
-    crawl-ingest loop where history is only ever touched through its
-    band store. Two runs: the corpus bootstraps the store, then the
-    'src0' batch streams in; the returned rows are the src0 batch's
-    candidates and must hash-match the BATCH oracle
-    (SQL_DEDUP_MINHASH_INCREMENTAL) — so state ordering, store
-    append semantics, and the banded probe all sit behind one gate."""
+    engine, merge-on-read: documents stream in (availableNow, file
+    source), and each micro-batch's foreachBatch (a) bands the batch,
+    (b) probes the persisted band STORE plus itself for candidates,
+    (c) appends the candidates to the sink as CANONICAL unordered pairs
+    (doc_lo < doc_hi), (d) appends the batch's bands to the store — the
+    steady-state crawl-ingest loop where history is only ever touched
+    through its band store. The canonical pair set is chop-invariant
+    (see :func:`resolve_incremental_pair_labels`); the leg label and
+    doc_new/doc_other direction are NOT per-batch decidable under
+    chopping (a same-run pair straddling two micro-batches surfaces on
+    the corpus leg of the later one), so they are resolved at read time
+    from batch MEMBERSHIP — the earlier design kept per-batch labels
+    and silently assumed one micro-batch per run; the chopped-run
+    pytest (maxFilesPerTrigger=1) now pins the invariance. Two runs:
+    the corpus bootstraps the store, then 'src0' streams in; the
+    returned rows must hash-match the BATCH oracle
+    (SQL_DEDUP_MINHASH_INCREMENTAL).
+
+    ``max_files_per_trigger``/``src_files`` exist for the chopping test
+    only; the driver path leaves them unset."""
     import shutil
     import tempfile
 
@@ -1381,16 +1443,26 @@ def q_streaming_minhash_incremental(spark, sf_dir):
         except Exception:
             stored = s.createDataFrame([], empty_bands)
         cands = incremental_minhash_candidates(bands_new, stored)
-        cands.write.mode("append").parquet(sink)
+        # canonicalize: the pair IDENTITY is chop-invariant, the
+        # per-batch leg/direction is not — labels are re-derived from
+        # batch membership at read time
+        cands.select(
+            F.least("doc_new", "doc_other").alias("doc_lo"),
+            F.greatest("doc_new", "doc_other").alias("doc_hi"),
+        ).distinct().write.mode("append").parquet(sink)
         # append AFTER probing: a batch must not see its own bands as
         # corpus (bands_new was checkpointed inside the probe, so this
         # append cannot double-run the banding pipeline either)
         bands_new.write.mode("append").partitionBy("band").parquet(store)
 
     def run_once(schema):
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
         q = (
-            spark.readStream.schema(schema)
-            .parquet(src)
+            reader.parquet(src)
             .writeStream.foreachBatch(process_batch)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -1398,22 +1470,23 @@ def q_streaming_minhash_incremental(spark, sf_dir):
         )
         q.awaitTermination()
 
+    def write_src(df, first=False):
+        w = df.repartition(src_files) if src_files else df
+        w.write.mode("overwrite" if first else "append").parquet(src)
+
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        corpus.write.parquet(src)
+        write_src(corpus, first=True)
         run_once(corpus.schema)          # run 1: corpus bootstraps the store
-        batch2.write.mode("append").parquet(src)
+        write_src(batch2)
         run_once(corpus.schema)          # run 2: src0 probes the store
-        batch_ids = batch2.select(F.col("doc_id").alias("doc_new"))
-        out = (
-            spark.read.parquet(sink)
-            # keep only the src0 batch's candidates: run 1 also emitted
-            # the corpus's own within-batch pairs, which the batch
-            # oracle deliberately excludes
-            .join(batch_ids, "doc_new", "left_semi")
-            .localCheckpoint(eager=True)
-        )
+        out = resolve_incremental_pair_labels(
+            # run 1 also emitted the corpus's own within-batch pairs;
+            # membership labeling drops them (neither side is new)
+            spark.read.parquet(sink).distinct(),
+            batch2.select("doc_id"),
+        ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1922,6 +1995,65 @@ def merge_line_store(store: DataFrame, other: DataFrame) -> DataFrame:
     )
 
 
+def resolve_line_dedup_from_store(
+    lines: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    delim: str = "\n",
+    max_count: int = 1,
+) -> DataFrame:
+    """Merge-on-read owner resolution: given exploded lines (``doc_id,
+    line_no, line, line_hash`` — :func:`_exploded_lines` shape) and a
+    FINAL folded line store whose counts already INCLUDE these lines'
+    own occurrences, apply the global keep-first policy and reassemble.
+
+    This is the read-side half of the streaming ingest loop
+    (``q_streaming_lines_incremental``): micro-batches only ever append
+    associative store partials and raw staged lines, and keep/drop is
+    decided here against the fold of everything — so the resolved
+    output is invariant to how the engine chopped ingestion into
+    micro-batches (the store fold is associative/commutative and the
+    staged line set is a plain union). A line absent from the store
+    (shorter than ``min_chars`` at stat time) or at-or-under
+    ``max_count`` total occurrences is kept; otherwise only the
+    globally-first position survives. Output schema matches
+    :func:`line_dedup`."""
+    dup_owners = store.filter(F.col("n_occ") > max_count).select(
+        "line_hash",
+        F.struct(
+            F.col("owner_doc_id").alias("doc_id"),
+            F.col("owner_line_no").alias("line_no"),
+        ).alias("owner"),
+    )
+    flagged = lines.join(dup_owners, "line_hash", "left").select(
+        "doc_id",
+        "line_no",
+        "line",
+        (
+            F.col("owner").isNull()
+            | (
+                (F.col("owner.doc_id") == F.col("doc_id"))
+                & (F.col("owner.line_no") == F.col("line_no"))
+            )
+        ).alias("keep"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("line_no", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias(text_col),
+        F.count("*").alias("n_lines"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    )
+
+
 def incremental_line_dedup(
     batch_docs: DataFrame,
     store: DataFrame,
@@ -2111,19 +2243,30 @@ def q_dedup_lines_store(spark, sf_dir):
     return out
 
 
-def q_streaming_lines_incremental(spark, sf_dir):
-    """The line-dedup ingest loop THROUGH the real micro-batch engine:
-    documents stream in (availableNow, file source) and each
-    micro-batch's foreachBatch (a) probes the APPENDED line-stat store
-    (folding the per-batch partials at probe time,
-    ``store_preaggregated=False``), (b) appends the cleaned batch to a
-    sink, (c) appends the batch's own raw-text line stats to the store.
-    Stats always come from RAW batch text, so the store is
-    chop-invariant whatever the engine's batching. Two runs: the corpus
-    bootstraps the store, then 'src0' streams in; the returned rows are
-    the src0 batch's cleaned docs and must hash-match the full-recompute
-    oracle restricted to the batch — store append semantics, the
-    probe-time fold, and the owner resolution all behind one gate."""
+def q_streaming_lines_incremental(
+    spark, sf_dir, *, max_files_per_trigger=None, src_files=None
+):
+    """The line-dedup ingest loop THROUGH the real micro-batch engine,
+    merge-on-read: documents stream in (availableNow, file source) and
+    each micro-batch's foreachBatch appends exactly two chop-invariant
+    artifacts — (a) the batch's raw-text line-stat partials to the
+    store (:func:`line_count_store`; the fold is associative and
+    commutative, proven in tests), and (b) the batch's raw exploded
+    lines to a staged sink (a plain set union). Keep/drop is NOT
+    decided per micro-batch: it is resolved at read time against the
+    FINAL folded store (:func:`resolve_line_dedup_from_store`), so the
+    result is identical however the engine chops ingestion — the
+    earlier design resolved owners per-batch and silently assumed one
+    micro-batch per run (a lower-doc_id copy arriving in a later
+    micro-batch could not evict an already-emitted duplicate); the
+    chopped-run pytest (maxFilesPerTrigger=1) now pins the invariance.
+    Two runs: the corpus bootstraps the store, then 'src0' streams in;
+    the returned rows are the src0 batch's resolved cleaned docs and
+    must hash-match the full-recompute oracle restricted to the batch.
+
+    ``max_files_per_trigger``/``src_files`` exist for the chopping test
+    only (N source files, one per micro-batch); the driver path leaves
+    them unset."""
     import shutil
     import tempfile
 
@@ -2133,32 +2276,26 @@ def q_streaming_lines_incremental(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="etl_stream_lines_")
     src = f"{tmp}/src"
     store = f"{tmp}/line_store"
-    sink = f"{tmp}/clean"
+    sink = f"{tmp}/staged_lines"
     ckpt = f"{tmp}/ckpt"
-    empty_store = (
-        "line_hash string, n_occ bigint, owner_doc_id bigint,"
-        " owner_line_no int"
-    )
 
     def process_batch(batch_df, _batch_id):
-        s = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)
-        try:
-            stored = s.read.parquet(store)
-        except Exception:
-            stored = s.createDataFrame([], empty_store)
-        cleaned = incremental_line_dedup(
-            batch_df, stored, store_preaggregated=False
-        )
-        cleaned.write.mode("append").parquet(sink)
-        # append AFTER probing: a batch must not see its own stats as
-        # corpus; stats come from the raw batch text, never the cleaned
+        # stats from RAW batch text; order vs the sink append is
+        # irrelevant because nothing is resolved until read time
         line_count_store(batch_df).write.mode("append").parquet(store)
+        _exploded_lines(batch_df, "text", "doc_id", "\n").write.mode(
+            "append"
+        ).parquet(sink)
 
     def run_once(schema):
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
         q = (
-            spark.readStream.schema(schema)
-            .parquet(src)
+            reader.parquet(src)
             .writeStream.foreachBatch(process_batch)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -2166,21 +2303,28 @@ def q_streaming_lines_incremental(spark, sf_dir):
         )
         q.awaitTermination()
 
+    def write_src(df, first=False):
+        w = df.repartition(src_files) if src_files else df
+        w.write.mode("overwrite" if first else "append").parquet(src)
+
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        corpus.write.parquet(src)
+        write_src(corpus, first=True)
         run_once(corpus.schema)          # run 1: corpus bootstraps the store
-        batch2.write.mode("append").parquet(src)
-        run_once(corpus.schema)          # run 2: src0 probes the store
-        batch_ids = batch2.select("doc_id")
-        out = (
-            spark.read.parquet(sink)
-            # run 1 also wrote the corpus's own cleaned docs, which the
-            # batch-restricted oracle deliberately excludes
-            .join(batch_ids, "doc_id", "left_semi")
-            .localCheckpoint(eager=True)
+        write_src(batch2)
+        run_once(corpus.schema)          # run 2: src0 streams in
+        final_store = merge_line_store(
+            spark.read.parquet(store),
+            spark.read.parquet(store).limit(0),
         )
+        batch_ids = batch2.select("doc_id")
+        out = resolve_line_dedup_from_store(
+            # run 1 also staged the corpus's lines; the batch-restricted
+            # oracle deliberately excludes them
+            spark.read.parquet(sink).join(batch_ids, "doc_id", "left_semi"),
+            final_store,
+        ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         shutil.rmtree(tmp, ignore_errors=True)
