@@ -741,26 +741,51 @@ def bm25_topk(
     division of identical integers plus one multiply — deterministic
     across Spark and DuckDB — and the per-document score is an integer
     SUM of those contributions (order-free). Overflow bound:
-    22*T*tf < 2^63 needs T*tf < 4.2e17; beyond that pre-divide num/den
-    by gcd or compute dl/avgdl at reduced LN-grid precision.
+    22*T*tf < 2^63 needs T*tf < 4.2e17 (and den's 10*T*tf + 3*T +
+    9*N*dl likewise) — ENFORCED below: the corpus totals are collected
+    driver-side (one row) and the worst-case term is checked in
+    arbitrary-precision Python before the scoring plan ever runs;
+    past the bound the function raises instead of letting scores
+    silently wrap. Remedies at that scale: pre-divide num/den by their
+    gcd, or compute dl/avgdl at reduced LN-grid precision.
 
     Scale posture: ``hits`` is posting-list-sized (query terms only), so
     every join here is small-vs-small except hits⋈dl, which co-partitions
-    on doc_id with the tf shuffle; (N, T) ride a broadcast singleton and
-    the final top-k is a distributed TakeOrdered (never a global sort).
+    on doc_id with the tf shuffle; (N, T) are a driver-collected one-row
+    aggregate injected as literals (this is also what the overflow guard
+    reads) and the final top-k is a distributed TakeOrdered (never a
+    global sort).
     """
     dl = docs_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    totals = dl.agg(
+    tot = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
+        F.max("dl").alias("max_dl"),
+    ).collect()[0]
+    n_docs = tot["n_docs"] or 0
+    total_tokens = int(tot["total_tokens"] or 0)
+    max_dl = int(tot["max_dl"] or 0)
+    # tf <= dl <= max_dl for every posting, so these bound every bigint
+    # the rational rewrite materializes (num and den respectively)
+    worst = max(
+        22 * total_tokens * max_dl,
+        10 * total_tokens * max_dl + 3 * total_tokens + 9 * n_docs * max_dl,
     )
+    if worst >= 2**63:
+        raise OverflowError(
+            "bm25_topk int64 rational-score overflow: corpus tokens "
+            f"T={total_tokens}, N={n_docs}, max doc length {max_dl} give a "
+            f"worst-case intermediate of {worst} >= 2^63; pre-divide "
+            "num/den by their gcd or reduce the LN-grid precision"
+        )
     hits = docs_tf.filter(F.col("term").isin(*query_terms))
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (
         hits.join(maybe_broadcast(dfreq), "term")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(totals))
+        .withColumn("n_docs", F.lit(n_docs).cast("bigint"))
+        .withColumn("total_tokens", F.lit(total_tokens).cast("bigint"))
     )
     idf_q = F.floor(
         F.log(

@@ -318,6 +318,20 @@ def test_bm25_rank_and_exact_scores(spark):
     assert out[0]["rk"] == 1
 
 
+def test_bm25_overflow_guard_trips(spark):
+    """Past the documented int64 bound (22*T*tf < 2^63) the rational
+    rewrite would silently wrap; the guard must raise instead. Totals
+    here: T = 2^31 + 10 tokens, max_dl = 2^31 -> 22*T*max_dl ~ 2^67."""
+    import pytest
+
+    from pandas_etl_framework_spark.llmops.indexing import bm25_topk
+
+    rows = [(0, "q", 1 << 31), (1, "q", 10)]
+    tf = spark.createDataFrame(rows, "doc_id long, term string, tf long")
+    with pytest.raises(OverflowError, match="2\\^63"):
+        bm25_topk(tf, query_terms=("q",), k=10)
+
+
 def test_rrf_fusion_integer_exact_and_sentinels(spark):
     """RRF on hand lists: doc in both lists beats either single-list doc,
     contributions match the integer formula, absent ranks emit the 0
