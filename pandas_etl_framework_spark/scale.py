@@ -494,6 +494,7 @@ def auto_join_strategy(
     skew_share_threshold: float = 0.2,
     moderate_share_threshold: float = 0.05,
     profile_fraction: float = 1.0,
+    min_hot_rows: int = 1000,
 ) -> str:
     """Decide 'plain' / 'aqe_skew' / 'salted' for a join whose probe side
     is ``left``: profile the key distribution and return 'salted' iff the
@@ -504,6 +505,22 @@ def auto_join_strategy(
     AQE's runtime skew-join split handles the imbalance without paying
     salting's small-side replication (VERDICT r07 item 6), and 'plain'
     below that.
+
+    Share alone over-triggers (VERDICT r09 item 6), so two more
+    conditions gate the overrides:
+
+    - ``min_hot_rows`` — an absolute floor on the hottest key's row
+      count: under it no key can make a straggler task whatever its
+      share, so tiny relations always stay 'plain' (and keep Catalyst's
+      broadcast freedom).
+    - the 'aqe_skew' override additionally requires MORE distinct key
+      tuples than ``1/moderate_share_threshold``: a UNIFORM
+      ``<= 1/threshold``-key distribution trivially has a >=threshold
+      max share with zero actual skew, and pinning sort-merge there
+      only suppresses a broadcast. 'salted' is deliberately NOT
+      cardinality-gated — a genuinely dominant key on a low-cardinality
+      column is still a straggler, and low-cardinality joins cap
+      parallelism at n_keys without salting anyway.
 
     Cost: one eager aggregated pass over ``left[keys]`` (map-side
     combined groupBy + a 2-value final agg; nothing key-cardinality-sized
@@ -520,14 +537,22 @@ def auto_join_strategy(
         probe = probe.filter(F.rand(seed=42) < profile_fraction)
     counts = probe.groupBy(*keys).agg(F.count("*").alias("__n"))
     row = counts.agg(
-        F.max("__n").alias("mx"), F.sum("__n").alias("total")
+        F.max("__n").alias("mx"),
+        F.sum("__n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
     ).first()
     if row is None or not row["total"]:
+        return "plain"
+    if row["mx"] < min_hot_rows:
         return "plain"
     share = row["mx"] / row["total"]
     if share >= skew_share_threshold:
         return "salted"
-    if share >= moderate_share_threshold:
+    # n_keys > 1/threshold (not n_keys*threshold > 1: 20*0.05 rounds to
+    # 1.0000000000000002 in binary and would let the uniform case through)
+    if share >= moderate_share_threshold and (
+        row["n_keys"] > 1.0 / moderate_share_threshold
+    ):
         return "aqe_skew"
     return "plain"
 
@@ -550,6 +575,7 @@ def auto_join(
     skew_share_threshold: float = 0.2,
     moderate_share_threshold: float = 0.05,
     profile_fraction: float = 1.0,
+    min_hot_rows: int = 1000,
     strategy: str | None = None,
 ) -> DataFrame:
     """Skew-aware join: wires the diagnostic (``key_skew_profile`` /
@@ -596,6 +622,7 @@ def auto_join(
             skew_share_threshold=skew_share_threshold,
             moderate_share_threshold=moderate_share_threshold,
             profile_fraction=profile_fraction,
+            min_hot_rows=min_hot_rows,
         )
         if how.lower() in _SALTABLE_HOW
         else "plain"

@@ -149,13 +149,25 @@ def test_auto_join_decision_and_value_identity(
     mx = max(counts.values())
     share = mx / n_left
     # r08: three regimes — salting at >=0.2, AQE skew split in
-    # [0.05, 0.2), plain below
+    # [0.05, 0.2), plain below. r09 item 6: the AQE override further
+    # requires > 1/0.05 distinct keys (mirrored here; with n_keys <= 12
+    # the generator can never produce it, so moderate shares fall
+    # through to 'plain' — the dedicated round-8 test covers the AQE
+    # branch at realistic cardinality). min_hot_rows=1 disables the
+    # absolute floor so 150-row fixtures still exercise the branches;
+    # the floor itself is covered in test_scale.py.
     expected = (
-        "salted" if share >= 0.2 else "aqe_skew" if share >= 0.05 else "plain"
+        "salted"
+        if share >= 0.2
+        else "aqe_skew"
+        if share >= 0.05 and len(counts) > 1.0 / 0.05
+        else "plain"
     )
-    assert auto_join_strategy(left, ["k"]) == expected
+    assert auto_join_strategy(left, ["k"], min_hot_rows=1) == expected
 
-    got = auto_join(left, right, ["k"], how=how, salt_buckets=4)
+    got = auto_join(
+        left, right, ["k"], how=how, salt_buckets=4, min_hot_rows=1
+    )
     plain = left.join(right, on=["k"], how=how)
     canon = lambda df: sorted(  # noqa: E731
         tuple(r) for r in df.select(*sorted(df.columns)).collect()

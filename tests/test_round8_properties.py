@@ -144,11 +144,15 @@ def test_auto_join_aqe_skew_middle_regime(spark):
     OptimizeSkewedJoin rewrites), and value identity with a plain join."""
     from pandas_etl_framework_spark.scale import auto_join, auto_join_strategy
 
-    # 1000 rows, 100 of them (10%) on key 0, the rest spread over 900 keys
-    left = spark.range(1000).select(
-        F.when(F.col("id") < 100, F.lit(0)).otherwise(F.col("id")).alias("k")
+    # 10000 rows, 1000 of them (10%) on key 0, the rest spread over 9000
+    # keys — above the r09 min_hot_rows floor and the 1/threshold
+    # distinct-key gate, so the default profile still picks 'aqe_skew'
+    left = spark.range(10000).select(
+        F.when(F.col("id") < 1000, F.lit(0)).otherwise(F.col("id")).alias("k")
     )
-    right = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    right = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
     assert auto_join_strategy(left, ["k"]) == "aqe_skew"
 
     joined = auto_join(left, right, ["k"], strategy="aqe_skew")

@@ -248,6 +248,26 @@ def test_auto_join_strategy_decisions(spark):
     assert (
         auto_join_strategy(hot, ["k"], profile_fraction=0.5) == "salted"
     )
+    # r09 item 6: a UNIFORM low-cardinality key (10 keys -> 10% max
+    # share) is not skew — pinning sort-merge there would only suppress
+    # a broadcast; must stay 'plain' despite clearing the share bar
+    uniform_lowcard = spark.range(0, 4000).select(
+        (F.col("id") % 10).alias("k")
+    )
+    assert auto_join_strategy(uniform_lowcard, ["k"]) == "plain"
+    # ...but a genuinely dominant key on a low-cardinality column is
+    # still a straggler: salting is not cardinality-gated
+    hot_lowcard = spark.range(0, 4000).select(
+        F.when(F.col("id") % 3 != 0, F.lit(0)).otherwise(
+            F.col("id") % 4
+        ).alias("k")
+    )
+    assert auto_join_strategy(hot_lowcard, ["k"]) == "salted"
+    # absolute hot-row floor: under min_hot_rows no key can make a
+    # straggler task whatever its share — tiny relations stay 'plain'
+    tiny_hot = spark.range(0, 100).select(F.lit(7).alias("k"))
+    assert auto_join_strategy(tiny_hot, ["k"]) == "plain"
+    assert auto_join_strategy(tiny_hot, ["k"], min_hot_rows=50) == "salted"
 
 
 def test_auto_join_hot_fixture_takes_salted_path_and_matches_plain(spark):
