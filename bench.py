@@ -7,6 +7,19 @@ collect cost). One warm-up of a trivial job absorbs JVM/codegen startup;
 each query then runs three times (one untimed warm-up pass + two timed
 passes) and reports the per-query minimum — the noise-damped steady-state
 cost.
+
+Contention sentinel (VERDICT r09 item 3): three straight rounds shipped
+timings silently inflated ~30-100% by co-tenant host load that only a
+judge's idle re-run exposed. The JSON now carries loadavg_start /
+loadavg_end (os.getloadavg 1/5/15-min triples) and TWO calibration
+timings — cpu_calib_mid_sec, measured between the two timed passes, and
+cpu_calib_sec, the round-comparable post-suite number. If the host looks
+contended (loadavg already high at entry, or the two calibs diverge
+>25%) the harness warns on stderr and re-runs the timed passes ONCE,
+folding per-query minima across both runs; contended/contention_rerun
+record that this happened. Interpretation rule: see SCALING.md — a
+round-over-round comparison is only meaningful between runs whose
+cpu_calib_sec agree within ~15%.
 """
 
 from __future__ import annotations
@@ -159,6 +172,10 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # sampled before Spark spins up a single thread: any load visible here
+    # is co-tenant, not ours
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+
     from pandas_etl_framework_spark.harness import REGISTRY
     from pandas_etl_framework_spark.session import get_spark
 
@@ -169,6 +186,19 @@ def main() -> None:
         t0 = time.time()
         thunk()
         return round(time.time() - t0, 3)
+
+    def _calib() -> float:
+        # CPU calibration: a fixed data-independent JVM workload (codegen'd
+        # arithmetic over range()), min of two runs. Identical code across
+        # rounds, so cross-round total ratios can be read against box-speed
+        # drift: one session measured the same suite at 19-25 s on the same
+        # commit purely from host variance, which the calibration tracks.
+        return min(
+            _timed(lambda: spark.range(2_000_000_000).selectExpr(
+                "sum(id * 2 + (id & 7))"
+            ).collect())
+            for _ in range(2)
+        )
 
     # warm-up: JVM + whole-stage codegen (incl. the md5/join/agg paths every
     # query uses) + parquet footers, so timings reflect steady-state engine
@@ -185,42 +215,67 @@ def main() -> None:
     for t in ("orders", "lineitem", "customer", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
 
-    # three passes: the first (untimed) absorbs query-specific codegen and
-    # shuffle-file warmth; the reported number is the per-query MIN of the
-    # two timed passes. Min-of-N is the standard steady-state estimator
-    # under co-tenant noise (any single pass can be inflated by scheduler
-    # contention, never deflated below the query's true cost) and matches
-    # the regime a long-running cluster actually operates in.
-    timings: dict[str, float] = {}
-    for timed_pass in range(3):
-        # drop warm-up-pass .cache() blocks — identical logical plans would
-        # otherwise read them and under-report the cached queries
-        spark.catalog.clearCache()
-        for name in BENCH_QUERIES:
-            fn, _sql = REGISTRY[name]
-            t0 = time.time()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = round(time.time() - t0, 3)
-            timings[name] = dt if timed_pass < 2 else min(timings[name], dt)
-        s = bench_streaming(spark, sf_dir)
-        timings["streaming_windowed_counts"] = (
-            s
-            if timed_pass < 2
-            else min(timings["streaming_windowed_counts"], s)
-        )
+    def run_suite() -> tuple[dict[str, float], float]:
+        """Three passes: the first (untimed) absorbs query-specific codegen
+        and shuffle-file warmth; the reported number is the per-query MIN of
+        the two timed passes. Min-of-N is the standard steady-state estimator
+        under co-tenant noise (any single pass can be inflated by scheduler
+        contention, never deflated below the query's true cost) and matches
+        the regime a long-running cluster actually operates in. Returns
+        (timings, mid-suite calibration measured between the timed passes).
+        """
+        timings: dict[str, float] = {}
+        calib_mid = -1.0
+        for timed_pass in range(3):
+            # drop warm-up-pass .cache() blocks — identical logical plans
+            # would otherwise read them and under-report the cached queries
+            spark.catalog.clearCache()
+            for name in BENCH_QUERIES:
+                fn, _sql = REGISTRY[name]
+                t0 = time.time()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                dt = round(time.time() - t0, 3)
+                timings[name] = (
+                    dt if timed_pass < 2 else min(timings[name], dt)
+                )
+            s = bench_streaming(spark, sf_dir)
+            timings["streaming_windowed_counts"] = (
+                s
+                if timed_pass < 2
+                else min(timings["streaming_windowed_counts"], s)
+            )
+            if timed_pass == 1:
+                calib_mid = _calib()
+        return timings, calib_mid
 
-    # CPU calibration: a fixed data-independent JVM workload (codegen'd
-    # arithmetic over range()), min of two runs. Identical code across
-    # rounds, so cross-round total ratios can be read against box-speed
-    # drift: this session measured the same suite at 19-25 s on the same
-    # commit purely from host variance, which the calibration tracks.
-    calib = min(
-        _timed(lambda: spark.range(2_000_000_000).selectExpr(
-            "sum(id * 2 + (id & 7))"
-        ).collect())
-        for _ in range(2)
+    timings, calib_mid = run_suite()
+    calib = _calib()
+
+    # contention sentinel: the host was already loaded before we started,
+    # or the two in-run calibrations disagree (a co-tenant came or went
+    # mid-suite). One re-run, then per-query minima across both runs —
+    # still min-based, so re-running can only remove inflation.
+    ncpu = os.cpu_count() or 1
+    contended = (
+        loadavg_start[0] > ncpu / 4
+        or max(calib, calib_mid) > 1.25 * min(calib, calib_mid)
     )
+    rerun = False
+    if contended:
+        print(
+            "bench: host contention detected "
+            f"(loadavg_start={loadavg_start}, calib_mid={calib_mid}, "
+            f"calib_post={calib}); re-running timed passes once",
+            file=sys.stderr,
+        )
+        rerun = True
+        timings2, calib_mid2 = run_suite()
+        calib2 = _calib()
+        timings = {k: min(v, timings2[k]) for k, v in timings.items()}
+        calib_mid = min(calib_mid, calib_mid2)
+        calib = min(calib, calib2)
 
+    loadavg_end = [round(x, 2) for x in os.getloadavg()]
     total = round(sum(timings.values()), 3)
     core20 = round(sum(v for k, v in timings.items() if k in CORE20), 3)
     print(
@@ -232,6 +287,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpu_calib_sec": calib,
+                "cpu_calib_mid_sec": calib_mid,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": loadavg_end,
+                "contended": contended,
+                "contention_rerun": rerun,
                 "core20_sec": core20,
             }
         )
