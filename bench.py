@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     # corpus-LM quality ranking, and the integer RRF fusion in one
     # plan, so it tracks the whole retrieval stack. Outside core20.
     "text_rrf_fusion",
+    # r10 addition: bounded exact substring dedup (the ExactSubstr
+    # removal stage — window hash + keep-first + owner protection +
+    # reassembly). Outside core20.
+    "dedup_substrings",
 ]
 
 # the 20 queries (incl. streaming) benched since r01 — their sum is

@@ -1,0 +1,95 @@
+"""Bounded exact substring dedup (round 10, VERDICT r09 item 4) — the
+Spark-expressible variant of Lee et al. 2022's ExactSubstr stage: every
+duplicated w-token substring is removed from every occurrence except
+the globally-first one, with owner protection so the surviving
+occurrence stays intact, plus the span-accounting report twin.
+"""
+
+from __future__ import annotations
+
+from pandas_etl_framework_spark.llmops.dedup import (
+    substring_dedup,
+    substring_dedup_report,
+)
+
+W = 4  # small window so hand corpora stay readable
+
+
+def _doc(spark, *texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _by_id(df):
+    return {r["doc_id"]: r for r in df.collect()}
+
+
+def test_cross_doc_keep_first(spark):
+    """A 4-token substring shared by two docs survives in the lower
+    doc_id and is cut from the higher one; surrounding text is kept."""
+    shared = "alpha beta gamma delta"
+    docs = _doc(spark, f"start {shared} end", f"pre {shared} post")
+    out = _by_id(substring_dedup(docs, window=W))
+    assert out[0]["text"] == f"start {shared} end"
+    assert out[0]["n_dropped"] == 0
+    assert out[1]["text"] == "pre post"
+    assert out[1]["n_dropped"] == 4
+    rep = _by_id(substring_dedup_report(docs, window=W))
+    # doc 1 positions: pre=1, shared=2..5, post=6
+    assert (rep[1]["span_start"], rep[1]["span_end"], rep[1]["n_removed"]) \
+        == (2, 5, 4)
+    assert 0 not in rep
+
+
+def test_owner_protection_self_overlap(spark):
+    """A self-overlapping repeat ('x'*10, w=4): non-owner windows cover
+    positions 2-10, but owner coverage (1-4) is protected, so the first
+    occurrence survives intact rather than being gutted to one token."""
+    docs = _doc(spark, " ".join(["x"] * 10))
+    out = _by_id(substring_dedup(docs, window=W))
+    assert out[0]["text"] == "x x x x"
+    assert out[0]["n_tokens"] == 10 and out[0]["n_dropped"] == 6
+    rep = _by_id(substring_dedup_report(docs, window=W))
+    assert (rep[0]["span_start"], rep[0]["span_end"]) == (5, 10)
+
+
+def test_short_and_unique_docs_untouched(spark):
+    """Docs shorter than the window have no windows; unique docs have no
+    duplicated windows — both pass through byte-identical."""
+    docs = _doc(spark, "a b c", "one two three four five six")
+    out = _by_id(substring_dedup(docs, window=W))
+    assert out[0]["text"] == "a b c" and out[0]["n_dropped"] == 0
+    assert out[1]["text"] == "one two three four five six"
+    assert out[1]["n_dropped"] == 0
+    assert substring_dedup_report(docs, window=W).count() == 0
+
+
+def test_fully_dropped_doc_survives_as_empty_row(spark):
+    """A doc that is entirely one duplicated window keeps its row with
+    empty text (the report accounts for the removal) — it must not
+    silently vanish from the output."""
+    shared = "p q r s"
+    docs = _doc(spark, shared, shared)
+    out = _by_id(substring_dedup(docs, window=W))
+    assert out[0]["text"] == shared
+    assert out[1]["text"] == "" and out[1]["n_dropped"] == 4
+    assert set(out) == {0, 1}
+
+
+def test_report_totals_match_dedup_accounting(spark):
+    """On real data: sum(n_removed) per doc == n_dropped per doc, kept
+    token count == n_tokens - n_dropped, and reassembled text token
+    count agrees."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = _by_id(substring_dedup(docs))
+    rep = substring_dedup_report(docs).collect()
+    removed = {}
+    for r in rep:
+        removed[r["doc_id"]] = removed.get(r["doc_id"], 0) + r["n_removed"]
+        assert r["span_end"] - r["span_start"] + 1 == r["n_removed"]
+    assert any(v > 0 for v in removed.values())
+    for doc_id, row in out.items():
+        assert removed.get(doc_id, 0) == row["n_dropped"]
+        n_text_tokens = len(row["text"].split()) if row["text"] else 0
+        assert n_text_tokens == row["n_tokens"] - row["n_dropped"]
