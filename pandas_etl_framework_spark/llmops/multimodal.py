@@ -1199,7 +1199,17 @@ def q_multimodal_dhash_neardup(spark, sf_dir):
     the rasters closed-form and BRUTE-FORCES all pairs with
     bit_count(xor), so the banded join's pigeonhole recall guarantee
     (distance < bands ⇒ a shared band) is hash-checked, not assumed:
-    one lost pair flips the row red."""
+    one lost pair flips the row red.
+
+    The raster additionally mixes in shard = doc_id // 10^9 (the +7·shard
+    term inside the mod): zero at every correctness scale (doc_ids are
+    < 10^9 in all driver testdata, so values and hashes are untouched),
+    but tools/make_sf1.py's --pair-budget replica mode offsets doc_ids by
+    10^9 per replica, giving each replica its own raster family — dup
+    groups stay replica-local and the sf1 pair count grows ~linearly
+    with data instead of quadratically (VERDICT r09 item 8; the default
+    100M-offset sf1 keeps shard = 0 everywhere and remains the
+    cap-saturation stress)."""
     import numpy as np
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1213,7 +1223,8 @@ def q_multimodal_dhash_neardup(spark, sf_dir):
             for doc_id in pdf["doc_id"]:
                 g = int(doc_id) % 40
                 s = int(doc_id) % 3
-                px = ((g + 1) * (xs * xs + 3 * ys)) % 97 + 40
+                shard = int(doc_id) // 1_000_000_000
+                px = ((g + 1) * (xs * xs + 3 * ys) + 7 * shard) % 97 + 40
                 if s >= 1:
                     px[2, 4] += 60
                 if s == 2:
@@ -1236,12 +1247,14 @@ def q_multimodal_dhash_neardup(spark, sf_dir):
 
 SQL_MULTIMODAL_DHASH_NEARDUP = f"""
 WITH params AS (
-    SELECT doc_id, doc_id % 40 AS g, doc_id % 3 AS s FROM documents
+    SELECT doc_id, doc_id % 40 AS g, doc_id % 3 AS s,
+           doc_id // 1000000000 AS shard
+    FROM documents
 ),
 px AS (
     SELECT doc_id,
            gx.x AS x, gy.y AS y,
-           ((g + 1) * (gx.x * gx.x + 3 * gy.y)) % 97 + 40
+           ((g + 1) * (gx.x * gx.x + 3 * gy.y) + 7 * shard) % 97 + 40
            + CASE WHEN s >= 1 AND gx.x = 4 AND gy.y = 2 THEN 60 ELSE 0 END
            + CASE WHEN s = 2 AND ((gx.x = 10 AND gy.y = 6)
                                   OR (gx.x = 16 AND gy.y = 10))

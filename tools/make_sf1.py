@@ -48,8 +48,19 @@ KEYS = {
 COPY_ONCE = ["nation", "region"]
 
 
-def _replica(table: pa.Table, name: str, i: int) -> pa.Table:
-    off = i * OFFSET
+# --pair-budget replica offset for the documents table: doc_id // 10^9 is
+# the raster SHARD term in the dhash near-dup fixture (multimodal.py), so
+# a 10^9-per-replica offset gives every replica its own raster family —
+# dup groups stay replica-local and the near-dup PAIR count grows
+# ~linearly with data (the default 100M offset keeps shard = 0 everywhere,
+# which is the deliberate cap-saturation stress; VERDICT r09 item 8).
+PAIR_BUDGET_OFFSET = 1_000_000_000
+
+
+def _replica(
+    table: pa.Table, name: str, i: int, offset: int = OFFSET
+) -> pa.Table:
+    off = i * offset
     for col in KEYS[name]:
         idx = table.schema.get_field_index(col)
         table = table.set_column(
@@ -95,10 +106,27 @@ def _replica(table: pa.Table, name: str, i: int) -> pa.Table:
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    args = [a for a in sys.argv[1:] if a != "--pair-budget"]
+    pair_budget = "--pair-budget" in sys.argv[1:]
+    default = "sf1pb" if pair_budget else "sf1"
+    out = args[0] if args else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "scratch", "sf1",
+        "scratch", default,
     )
+    if pair_budget:
+        # documents only: the pair-budgeted fixture exists for the dhash
+        # near-dup slope row, whose sole input is the documents table
+        src = pq.read_table(f"{SRC}/documents.parquet")
+        os.makedirs(f"{out}/documents.parquet", exist_ok=True)
+        for i in range(REPLICAS):
+            pq.write_table(
+                _replica(src, "documents", i, offset=PAIR_BUDGET_OFFSET),
+                f"{out}/documents.parquet/part-{i}.parquet",
+            )
+        print(f"documents: {src.num_rows} x {REPLICAS} rows "
+              f"(pair-budget offsets) -> {out}")
+        print("done:", out)
+        return
     for name in COPY_ONCE:
         os.makedirs(f"{out}/{name}.parquet", exist_ok=True)
         pq.write_table(

@@ -17,7 +17,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF01 = "/root/testdata/sf0.1"
-SF1 = os.path.join(
+# SPARK_GRAFT_SF1_DIR points the 10x leg at an alternative replica set,
+# e.g. scratch/sf1pb (make_sf1.py --pair-budget) for the linear-pair
+# dhash row
+SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR") or os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "scratch", "sf1",
 )
