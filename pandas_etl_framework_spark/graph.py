@@ -368,10 +368,10 @@ def q_graph_triangles(spark, sf_dir):
 # the raw-id orientation — the census is orientation-invariant, so the
 # degree-ordered Spark plan and the id-ordered SQL must agree exactly.
 SQL_GRAPH_TRIANGLES = """
-WITH ps AS (
+WITH ps AS MATERIALIZED (
     SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
 ),
-pairs AS (
+pairs AS MATERIALIZED (
     SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
     FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
     GROUP BY a.s, b.s
@@ -381,7 +381,7 @@ stats AS (
            CAST(COUNT(*) AS BIGINT) AS p_cnt
     FROM pairs
 ),
-e AS (
+e AS MATERIALIZED (
     SELECT u, v FROM pairs, stats
     WHERE shared * p_cnt > s_sum
       AND 4 * (shared * p_cnt - s_sum) * (shared * p_cnt - s_sum)
@@ -603,10 +603,10 @@ def _sql_lpa(rounds: int = 2) -> str:
     # same backbone CTE as graph_triangles, then the rounds unrolled;
     # RANK/ROW_NUMBER with (c DESC, label) picks the min-label mode
     head = """
-WITH ps AS (
+WITH ps AS MATERIALIZED (
     SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
 ),
-pairs AS (
+pairs AS MATERIALIZED (
     SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
     FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
     GROUP BY a.s, b.s
@@ -616,13 +616,13 @@ stats AS (
            CAST(COUNT(*) AS BIGINT) AS p_cnt
     FROM pairs
 ),
-eb AS (
+eb AS MATERIALIZED (
     SELECT u, v FROM pairs, stats
     WHERE shared * p_cnt > s_sum
       AND 4 * (shared * p_cnt - s_sum) * (shared * p_cnt - s_sum)
             > 9 * s_sum * p_cnt
 ),
-e AS (
+e AS MATERIALIZED (
     SELECT u AS src, v AS dst FROM eb
     UNION ALL
     SELECT v AS src, u AS dst FROM eb
