@@ -2491,6 +2491,18 @@ def _covered_positions(win_starts: DataFrame, window: int) -> DataFrame:
     )
 
 
+def _dropped_from_dup(dup: DataFrame, window: int) -> DataFrame:
+    """(doc_id, p, is_owner) duplicated-window starts → the dropped
+    token-position set: non-owner coverage minus owner protection."""
+    drop_cover = _covered_positions(
+        dup.filter(~F.col("is_owner")).select("doc_id", "p"), window
+    )
+    keep_cover = _covered_positions(
+        dup.filter(F.col("is_owner")).select("doc_id", "p"), window
+    )
+    return drop_cover.join(keep_cover, ["doc_id", "q"], "left_anti")
+
+
 def _substring_dropped_positions(
     docs: DataFrame, window: int
 ) -> DataFrame:
@@ -2518,13 +2530,7 @@ def _substring_dropped_positions(
             & (F.col("owner.p") == F.col("p"))
         ).alias("is_owner"),
     )
-    drop_cover = _covered_positions(
-        dup.filter(~F.col("is_owner")).select("doc_id", "p"), window
-    )
-    keep_cover = _covered_positions(
-        dup.filter(F.col("is_owner")).select("doc_id", "p"), window
-    )
-    return drop_cover.join(keep_cover, ["doc_id", "q"], "left_anti")
+    return _dropped_from_dup(dup, window)
 
 
 def substring_dedup(
@@ -2552,13 +2558,19 @@ def substring_dedup(
     ``window`` tokens pass through untouched, a fully-dropped document
     survives as an empty-text row (the account of WHAT was removed is
     ``substring_dedup_report``)."""
+    return _reassemble_tokens(docs, _substring_dropped_positions(docs, window))
+
+
+def _reassemble_tokens(docs: DataFrame, dropped: DataFrame) -> DataFrame:
+    """Rebuild each doc's text from the tokens NOT in the dropped
+    (doc_id, q) position set — the shared tail of every substring-dedup
+    leg. Output: (doc_id, text, n_tokens, n_dropped)."""
     toks_arr = _split_docs(docs).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
     )
     tokens = toks_arr.select(
         "doc_id", F.posexplode("t").alias("q0", "token")
     ).select("doc_id", (F.col("q0") + 1).alias("q"), "token")
-    dropped = _substring_dropped_positions(docs, window)
     kept = tokens.join(dropped, ["doc_id", "q"], "left_anti")
     kept_agg = kept.groupBy("doc_id").agg(
         F.array_join(
@@ -2618,6 +2630,261 @@ def q_dedup_substrings(spark, sf_dir):
 
 def q_dedup_substrings_report(spark, sf_dir):
     return substring_dedup_report(_docs(spark, sf_dir))
+
+
+def substring_window_store(
+    docs: DataFrame, window: int = SUBSTR_WINDOW
+) -> DataFrame:
+    """Persisted side of incremental substring dedup: one row per
+    distinct window hash — ``(h, n_occ, owner_doc_id, owner_p)``.
+    Singletons are kept (a future batch copy turns them into duplicates
+    and the store must know who came first). Constant-width hash-keyed
+    rows, O(corpus windows) however wide the documents are — the same
+    store contract as :func:`line_count_store`."""
+    return (
+        _token_window_hashes(docs, window)
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "p")).alias("__owner"),
+        )
+        .select(
+            "h",
+            "n_occ",
+            F.col("__owner.doc_id").alias("owner_doc_id"),
+            F.col("__owner.p").alias("owner_p"),
+        )
+    )
+
+
+def merge_substring_store(store: DataFrame, other: DataFrame) -> DataFrame:
+    """Fold window-stat partials: counts add, the owner is the
+    lexicographic-min position. Associative and commutative, so
+    build(corpus) == fold of any batch partitioning of it (pinned by
+    pytest, like :func:`merge_line_store`)."""
+    return (
+        store.unionByName(other)
+        .groupBy("h")
+        .agg(
+            F.sum("n_occ").alias("n_occ"),
+            F.min(F.struct("owner_doc_id", "owner_p")).alias("__owner"),
+        )
+        .select(
+            "h",
+            "n_occ",
+            F.col("__owner.owner_doc_id").alias("owner_doc_id"),
+            F.col("__owner.owner_p").alias("owner_p"),
+        )
+    )
+
+
+def incremental_substring_dedup(
+    batch_docs: DataFrame,
+    store: DataFrame,
+    window: int = SUBSTR_WINDOW,
+    store_preaggregated: bool = True,
+) -> DataFrame:
+    """Substring-dedup ONE new ingest batch against the persisted corpus
+    window store plus itself — the steady-state crawl shape: history is
+    only ever touched through its constant-width store, never
+    re-tokenized, and already-written corpus text is immutable. A batch
+    window is duplicated when corpus+batch occurrences total >= 2; the
+    owner is the lexicographic-min position across both (so the result
+    equals full-corpus :func:`substring_dedup` restricted to the batch
+    docs, whatever the id interleaving — the oracle pins exactly that).
+
+    Scale: the store side is pre-aggregated (one row per distinct
+    window, however many copies exist), and every shuffle is batch-sized
+    except the store-side probe join read.
+    ``store_preaggregated=False`` accepts appended per-batch partials
+    (the streaming ingest shape) and folds them at probe time."""
+    if not store_preaggregated:
+        store = merge_substring_store(store, store.limit(0))
+    wins = _token_window_hashes(batch_docs, window)
+    batch_stats = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("b_occ"),
+        F.min(F.struct("doc_id", "p")).alias("b_owner"),
+    )
+    combined = (
+        batch_stats.join(store, "h", "left")
+        .select(
+            "h",
+            (F.col("b_occ") + F.coalesce(F.col("n_occ"), F.lit(0))).alias(
+                "total"
+            ),
+            F.when(
+                F.col("n_occ").isNotNull(),
+                F.least(
+                    F.col("b_owner"),
+                    F.struct(
+                        F.col("owner_doc_id").alias("doc_id"),
+                        F.col("owner_p").alias("p"),
+                    ),
+                ),
+            )
+            .otherwise(F.col("b_owner"))
+            .alias("owner"),
+        )
+        .filter(F.col("total") >= 2)
+        .select("h", "owner")
+    )
+    dup = wins.join(combined, "h").select(
+        "doc_id",
+        "p",
+        (
+            (F.col("owner.doc_id") == F.col("doc_id"))
+            & (F.col("owner.p") == F.col("p"))
+        ).alias("is_owner"),
+    )
+    return _reassemble_tokens(batch_docs, _dropped_from_dup(dup, window))
+
+
+def resolve_substring_dedup_from_store(
+    batch_docs: DataFrame,
+    store: DataFrame,
+    window: int = SUBSTR_WINDOW,
+) -> DataFrame:
+    """Merge-on-read resolution for the streaming ingest loop: given
+    batch docs and a FINAL folded window store whose counts already
+    INCLUDE these docs' own windows, apply the global keep-first policy
+    and reassemble. Micro-batches only ever append associative store
+    partials and raw staged docs, so the resolved output is invariant
+    to how the engine chopped ingestion — the same read-side design as
+    :func:`resolve_line_dedup_from_store`."""
+    wins = _token_window_hashes(batch_docs, window)
+    dup_owners = store.filter(F.col("n_occ") >= 2).select(
+        "h",
+        F.struct(
+            F.col("owner_doc_id").alias("doc_id"),
+            F.col("owner_p").alias("p"),
+        ).alias("owner"),
+    )
+    dup = wins.join(dup_owners, "h").select(
+        "doc_id",
+        "p",
+        (
+            (F.col("owner.doc_id") == F.col("doc_id"))
+            & (F.col("owner.p") == F.col("p"))
+        ).alias("is_owner"),
+    )
+    return _reassemble_tokens(batch_docs, _dropped_from_dup(dup, window))
+
+
+def q_dedup_substrings_incremental(spark, sf_dir):
+    """Incremental leg: the 'src0' docs arrive as one new ingest batch
+    and are substring-deduped against the window STORE of the rest of
+    the corpus plus themselves. The oracle is the full-corpus recompute
+    restricted to the batch docs — so the lexicographic owner resolution
+    (store owner vs batch first, ids interleaved across sources) must
+    agree exactly with global keep-first."""
+    docs = _docs(spark, sf_dir)
+    return incremental_substring_dedup(
+        docs.filter(F.col("source") == INCR_BATCH_SOURCE),
+        substring_window_store(
+            docs.filter(F.col("source") != INCR_BATCH_SOURCE)
+        ),
+    )
+
+
+def q_dedup_substrings_store(spark, sf_dir):
+    """The persisted-store leg, executed: corpus window stats WRITTEN to
+    parquet, READ BACK, probed by the batch — same oracle as the
+    recompute, so round-trip mangling (count widening, owner column
+    drift) is a hash mismatch."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    store = substring_window_store(
+        docs.filter(F.col("source") != INCR_BATCH_SOURCE)
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_substr_store_")
+    try:
+        store.write.mode("overwrite").parquet(tmp)
+        out = incremental_substring_dedup(
+            docs.filter(F.col("source") == INCR_BATCH_SOURCE),
+            spark.read.parquet(tmp),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def q_streaming_substrings_incremental(
+    spark, sf_dir, *, max_files_per_trigger=None, src_files=None
+):
+    """The substring-dedup ingest loop THROUGH the real micro-batch
+    engine, merge-on-read (chop-invariant by the same construction as
+    the lines twin): each micro-batch's foreachBatch appends exactly two
+    chop-invariant artifacts — (a) the batch's window-stat partials
+    (:func:`substring_window_store`; the fold is associative and
+    commutative) and (b) the raw batch docs to a staged sink (a plain
+    set union). Keep/drop is resolved at read time against the FINAL
+    folded store (:func:`resolve_substring_dedup_from_store`). Two runs:
+    the corpus bootstraps the store, then 'src0' streams in; the
+    returned rows are the batch's resolved cleaned docs and must
+    hash-match the full-recompute oracle restricted to the batch.
+
+    ``max_files_per_trigger``/``src_files`` exist for the chopping test
+    only; the driver path leaves them unset."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    corpus = docs.filter(F.col("source") != INCR_BATCH_SOURCE)
+    batch2 = docs.filter(F.col("source") == INCR_BATCH_SOURCE)
+    tmp = tempfile.mkdtemp(prefix="etl_stream_substr_")
+    src = f"{tmp}/src"
+    store = f"{tmp}/window_store"
+    sink = f"{tmp}/staged_docs"
+    ckpt = f"{tmp}/ckpt"
+
+    def process_batch(batch_df, _batch_id):
+        batch_df = batch_df.localCheckpoint(eager=True)
+        substring_window_store(batch_df).write.mode("append").parquet(store)
+        batch_df.select("doc_id", "text").write.mode("append").parquet(sink)
+
+    def run_once(schema):
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+        q = (
+            reader.parquet(src)
+            .writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def write_src(df, first=False):
+        w = df.repartition(src_files) if src_files else df
+        w.write.mode("overwrite" if first else "append").parquet(src)
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_src(corpus, first=True)
+        run_once(corpus.schema)          # run 1: corpus bootstraps the store
+        write_src(batch2)
+        run_once(corpus.schema)          # run 2: src0 streams in
+        final_store = merge_substring_store(
+            spark.read.parquet(store),
+            spark.read.parquet(store).limit(0),
+        )
+        batch_ids = batch2.select("doc_id")
+        out = resolve_substring_dedup_from_store(
+            # run 1 also staged the corpus docs; the batch-restricted
+            # oracle deliberately excludes them
+            spark.read.parquet(sink).join(batch_ids, "doc_id", "left_semi"),
+            final_store,
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def _substr_dropped_sql(wdw: int) -> str:
@@ -2683,9 +2950,10 @@ dropped AS (
 )"""
 
 
-SQL_DEDUP_SUBSTRINGS = (
-    _substr_dropped_sql(SUBSTR_WINDOW)
-    + rf"""
+def _sql_substr_dedup(where: str = "") -> str:
+    return (
+        _substr_dropped_sql(SUBSTR_WINDOW)
+        + rf"""
 , all_tokens AS (
     SELECT doc_id, t, unnest(range(1, LEN(t) + 1)) AS q FROM toks
 ),
@@ -2704,7 +2972,21 @@ SELECT b.doc_id,
        CAST(LEN(b.t) AS BIGINT) AS n_tokens,
        CAST(LEN(b.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped
 FROM toks b LEFT JOIN kept_agg k USING (doc_id)
+{where}
 """
+    )
+
+
+SQL_DEDUP_SUBSTRINGS = _sql_substr_dedup()
+
+# the incremental/store/streaming legs share one oracle: the FULL-corpus
+# recompute restricted to the batch docs — global keep-first must agree
+# with the store-probe owner resolution exactly
+SQL_DEDUP_SUBSTRINGS_INCR = _sql_substr_dedup(
+    where=(
+        "WHERE b.doc_id IN "
+        "(SELECT doc_id FROM documents WHERE source = 'src0')"
+    )
 )
 
 
@@ -2780,5 +3062,17 @@ QUERIES = {
     "dedup_substrings_report": (
         q_dedup_substrings_report,
         SQL_DEDUP_SUBSTRINGS_REPORT,
+    ),
+    "dedup_substrings_incremental": (
+        q_dedup_substrings_incremental,
+        SQL_DEDUP_SUBSTRINGS_INCR,
+    ),
+    "dedup_substrings_store": (
+        q_dedup_substrings_store,
+        SQL_DEDUP_SUBSTRINGS_INCR,
+    ),
+    "streaming_substrings_incremental": (
+        q_streaming_substrings_incremental,
+        SQL_DEDUP_SUBSTRINGS_INCR,
     ),
 }

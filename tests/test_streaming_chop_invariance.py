@@ -21,8 +21,10 @@ from __future__ import annotations
 from pandas_etl_framework_spark.llmops.dedup import (
     q_dedup_lines_incremental,
     q_dedup_minhash_incremental,
+    q_dedup_substrings_incremental,
     q_streaming_lines_incremental,
     q_streaming_minhash_incremental,
+    q_streaming_substrings_incremental,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -53,3 +55,13 @@ def test_unchopped_lines_stream_matches_batch(spark):
     streamed = q_streaming_lines_incremental(spark, SF_DIR)
     batch = q_dedup_lines_incremental(spark, SF_DIR)
     assert _rows(streamed) == _rows(batch)
+
+
+def test_chopped_substrings_stream_matches_batch(spark):
+    # the substring twin is merge-on-read by construction (round 10);
+    # this pins the invariance the same way as the other two twins
+    chopped = q_streaming_substrings_incremental(
+        spark, SF_DIR, max_files_per_trigger=1, src_files=3
+    )
+    batch = q_dedup_substrings_incremental(spark, SF_DIR)
+    assert _rows(chopped) == _rows(batch)

@@ -7,6 +7,8 @@ occurrence stays intact, plus the span-accounting report twin.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pandas_etl_framework_spark.llmops.dedup import (
     substring_dedup,
     substring_dedup_report,
@@ -93,3 +95,46 @@ def test_report_totals_match_dedup_accounting(spark):
         assert removed.get(doc_id, 0) == row["n_dropped"]
         n_text_tokens = len(row["text"].split()) if row["text"] else 0
         assert n_text_tokens == row["n_tokens"] - row["n_dropped"]
+
+
+def test_window_store_fold_is_associative(spark):
+    """build(corpus) == fold of any batch partitioning: counts add and
+    the lexicographic-min owner survives whichever side it came from —
+    the property the streaming twin's chop-invariance rests on."""
+    from pandas_etl_framework_spark.llmops.dedup import (
+        merge_substring_store,
+        substring_window_store,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = substring_window_store(docs)
+    parts = [
+        substring_window_store(docs.filter(F.col("doc_id") % 3 == r))
+        for r in range(3)
+    ]
+    folded = merge_substring_store(
+        merge_substring_store(parts[0], parts[1]), parts[2]
+    )
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert rows(folded) == rows(full)
+
+
+def test_incremental_matches_full_recompute_restricted(spark):
+    """incremental(batch, store(corpus)) == substring_dedup(all docs)
+    restricted to the batch — global keep-first must survive the
+    store-probe owner resolution with ids interleaved across sources."""
+    from pandas_etl_framework_spark.llmops.dedup import (
+        INCR_BATCH_SOURCE,
+        incremental_substring_dedup,
+        substring_window_store,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch = docs.filter(F.col("source") == INCR_BATCH_SOURCE)
+    corpus = docs.filter(F.col("source") != INCR_BATCH_SOURCE)
+    got = incremental_substring_dedup(batch, substring_window_store(corpus))
+    want = substring_dedup(docs).join(
+        batch.select("doc_id"), "doc_id", "left_semi"
+    )
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert rows(got) == rows(want) and got.count() > 0
