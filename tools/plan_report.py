@@ -110,6 +110,8 @@ AUDIT = [
     "graph_kcore",
     "text_quality_calibrated",
     "rel_zorder_layout",
+    "dedup_substrings",
+    "dedup_substrings_report",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
