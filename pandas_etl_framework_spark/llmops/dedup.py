@@ -2461,16 +2461,22 @@ def _token_window_hashes(docs: DataFrame, window: int) -> DataFrame:
     )
 
 
-def _covered_positions(win_starts: DataFrame, window: int) -> DataFrame:
-    """Union of token positions covered by windows starting at
-    ``win_starts`` (doc_id, p), each position emitted exactly once:
-    gaps-and-islands merges overlapping/adjacent windows into disjoint
-    maximal spans (new island when the start jumps by more than
-    ``window`` — i.e. coverage would break), then each span explodes to
-    its positions. The explode is bounded by covered-token count, never
-    n_windows * window."""
-    w = Window.partitionBy("doc_id").orderBy("p")
-    isl = win_starts.withColumn(
+def _dropped_from_dup(dup: DataFrame, window: int) -> DataFrame:
+    """(doc_id, p, is_owner) duplicated-window starts → the dropped
+    token-position set: non-owner coverage minus owner protection.
+
+    Both coverage sets come out of ONE windowed pass partitioned by
+    (doc_id, is_owner) — gaps-and-islands merges overlapping/adjacent
+    windows into disjoint maximal spans (new island when the start
+    jumps by more than ``window``, i.e. coverage would break), each
+    span explodes to its positions (bounded by covered-token count,
+    never n_windows * window), and only the post-aggregation cover
+    relation branches into the drop/keep legs — computing the two legs
+    as separate per-leg passes would evaluate the corpus-sized
+    wins/stats subtree twice (measured ~9% slower end-to-end at
+    sf0.1, and 2x the corpus shuffle at scale)."""
+    w = Window.partitionBy("doc_id", "is_owner").orderBy("p")
+    isl = dup.withColumn(
         "brk",
         F.when(
             F.lag("p").over(w).isNull()
@@ -2483,23 +2489,14 @@ def _covered_positions(win_starts: DataFrame, window: int) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    spans = isl.groupBy("doc_id", "island").agg(
+    spans = isl.groupBy("doc_id", "is_owner", "island").agg(
         F.min("p").alias("s"), (F.max("p") + window - 1).alias("e")
     )
-    return spans.select(
-        "doc_id", F.explode(F.sequence("s", "e")).alias("q")
+    cover = spans.select(
+        "doc_id", "is_owner", F.explode(F.sequence("s", "e")).alias("q")
     )
-
-
-def _dropped_from_dup(dup: DataFrame, window: int) -> DataFrame:
-    """(doc_id, p, is_owner) duplicated-window starts → the dropped
-    token-position set: non-owner coverage minus owner protection."""
-    drop_cover = _covered_positions(
-        dup.filter(~F.col("is_owner")).select("doc_id", "p"), window
-    )
-    keep_cover = _covered_positions(
-        dup.filter(F.col("is_owner")).select("doc_id", "p"), window
-    )
+    drop_cover = cover.filter(~F.col("is_owner")).select("doc_id", "q")
+    keep_cover = cover.filter(F.col("is_owner")).select("doc_id", "q")
     return drop_cover.join(keep_cover, ["doc_id", "q"], "left_anti")
 
 
