@@ -896,15 +896,9 @@ def token_sets_df(docs: DataFrame, n: int = 3) -> DataFrame:
     )
     # Parallelize the tokenize stage ONLY when the source under-splits
     # (the fixture is one parquet row group → one task for the whole
-    # corpus). At real corpus scale the scan already yields >= cores
-    # input splits and an unconditional repartition here would be a full
-    # shuffle of the raw text — the exact corpus-sized exchange this
-    # projection exists to avoid.
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism // 2:
-        docs = docs.repartition(parallelism)
+    # corpus) — see _split_docs for why it must stay conditional.
     return (
-        docs.select("doc_id", tok_ids.alias("toks"))
+        _split_docs(docs).select("doc_id", tok_ids.alias("toks"))
         .withColumn("set_size", F.size("toks"))
     )
 
@@ -1298,6 +1292,76 @@ def resolve_incremental_pair_labels(
 INCR_BATCH_SOURCE = "src0"   # harness split: src0 is the "new" ingest
 
 
+def _run_incremental_stream(
+    spark,
+    corpus: DataFrame,
+    batch: DataFrame,
+    process_batch,
+    resolve,
+    *,
+    prefix: str,
+    max_files_per_trigger=None,
+    src_files=None,
+):
+    """Shared micro-batch ingest harness for the streaming dedup twins
+    (minhash / lines / substrings): two availableNow runs over a file
+    source — the corpus bootstraps the persisted state, then the batch
+    streams in — with every micro-batch handled by
+    ``process_batch(batch_df, store_path, sink_path)``, which must
+    append ONLY chop-invariant artifacts (associative store partials,
+    canonical rows); the result is ``resolve(store_path, sink_path)``
+    at read time, so the output is invariant to how the engine chops
+    ingestion. One definition of the chopping knobs, checkpoint wiring
+    and shuffle-partition save/restore, so the three twins cannot
+    silently diverge.
+
+    ``max_files_per_trigger``/``src_files`` exist for the chopping
+    tests only (N source files, one per micro-batch); driver paths
+    leave them unset."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    src = f"{tmp}/src"
+    store = f"{tmp}/store"
+    sink = f"{tmp}/sink"
+    ckpt = f"{tmp}/ckpt"
+
+    def run_once(schema):
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+        q = (
+            reader.parquet(src)
+            .writeStream.foreachBatch(
+                lambda df, _bid: process_batch(df, store, sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def write_src(df, first=False):
+        w = df.repartition(src_files) if src_files else df
+        w.write.mode("overwrite" if first else "append").parquet(src)
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        write_src(corpus, first=True)
+        run_once(corpus.schema)        # run 1: corpus bootstraps the store
+        write_src(batch)
+        run_once(corpus.schema)        # run 2: the new batch streams in
+        out = resolve(store, sink).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_dedup_incremental(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return incremental_dedup(
@@ -1420,20 +1484,12 @@ def q_streaming_minhash_incremental(
 
     ``max_files_per_trigger``/``src_files`` exist for the chopping test
     only; the driver path leaves them unset."""
-    import shutil
-    import tempfile
-
     docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("source") != INCR_BATCH_SOURCE)
     batch2 = docs.filter(F.col("source") == INCR_BATCH_SOURCE)
-    tmp = tempfile.mkdtemp(prefix="etl_stream_minhash_")
-    src = f"{tmp}/src"
-    store = f"{tmp}/band_store"
-    sink = f"{tmp}/cands"
-    ckpt = f"{tmp}/ckpt"
     empty_bands = "doc_id long, band long, band_key string"
 
-    def process_batch(batch_df, _batch_id):
+    def process_batch(batch_df, store, sink):
         s = batch_df.sparkSession
         bands_new = minhash_bands(batch_df)
         try:
@@ -1455,42 +1511,24 @@ def q_streaming_minhash_incremental(
         # append cannot double-run the banding pipeline either)
         bands_new.write.mode("append").partitionBy("band").parquet(store)
 
-    def run_once(schema):
-        reader = spark.readStream.schema(schema)
-        if max_files_per_trigger is not None:
-            reader = reader.option(
-                "maxFilesPerTrigger", str(max_files_per_trigger)
-            )
-        q = (
-            reader.parquet(src)
-            .writeStream.foreachBatch(process_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    def write_src(df, first=False):
-        w = df.repartition(src_files) if src_files else df
-        w.write.mode("overwrite" if first else "append").parquet(src)
-
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        write_src(corpus, first=True)
-        run_once(corpus.schema)          # run 1: corpus bootstraps the store
-        write_src(batch2)
-        run_once(corpus.schema)          # run 2: src0 probes the store
-        out = resolve_incremental_pair_labels(
+    def resolve(store, sink):
+        return resolve_incremental_pair_labels(
             # run 1 also emitted the corpus's own within-batch pairs;
             # membership labeling drops them (neither side is new)
             spark.read.parquet(sink).distinct(),
             batch2.select("doc_id"),
-        ).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+        )
+
+    return _run_incremental_stream(
+        spark,
+        corpus,
+        batch2,
+        process_batch,
+        resolve,
+        prefix="etl_stream_minhash_",
+        max_files_per_trigger=max_files_per_trigger,
+        src_files=src_files,
+    )
 
 
 SQL_DEDUP_INCREMENTAL = f"""
@@ -2267,19 +2305,11 @@ def q_streaming_lines_incremental(
     ``max_files_per_trigger``/``src_files`` exist for the chopping test
     only (N source files, one per micro-batch); the driver path leaves
     them unset."""
-    import shutil
-    import tempfile
-
     all_docs = _line_corpus(spark, sf_dir)
     corpus = all_docs.filter(F.col("source") != INCR_BATCH_SOURCE)
     batch2 = all_docs.filter(F.col("source") == INCR_BATCH_SOURCE)
-    tmp = tempfile.mkdtemp(prefix="etl_stream_lines_")
-    src = f"{tmp}/src"
-    store = f"{tmp}/line_store"
-    sink = f"{tmp}/staged_lines"
-    ckpt = f"{tmp}/ckpt"
 
-    def process_batch(batch_df, _batch_id):
+    def process_batch(batch_df, store, sink):
         batch_df = batch_df.localCheckpoint(eager=True)
         # stats from RAW batch text; order vs the sink append is
         # irrelevant because nothing is resolved until read time
@@ -2288,47 +2318,29 @@ def q_streaming_lines_incremental(
             "append"
         ).parquet(sink)
 
-    def run_once(schema):
-        reader = spark.readStream.schema(schema)
-        if max_files_per_trigger is not None:
-            reader = reader.option(
-                "maxFilesPerTrigger", str(max_files_per_trigger)
-            )
-        q = (
-            reader.parquet(src)
-            .writeStream.foreachBatch(process_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    def write_src(df, first=False):
-        w = df.repartition(src_files) if src_files else df
-        w.write.mode("overwrite" if first else "append").parquet(src)
-
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        write_src(corpus, first=True)
-        run_once(corpus.schema)          # run 1: corpus bootstraps the store
-        write_src(batch2)
-        run_once(corpus.schema)          # run 2: src0 streams in
+    def resolve(store, sink):
         final_store = merge_line_store(
             spark.read.parquet(store),
             spark.read.parquet(store).limit(0),
         )
         batch_ids = batch2.select("doc_id")
-        out = resolve_line_dedup_from_store(
+        return resolve_line_dedup_from_store(
             # run 1 also staged the corpus's lines; the batch-restricted
             # oracle deliberately excludes them
             spark.read.parquet(sink).join(batch_ids, "doc_id", "left_semi"),
             final_store,
-        ).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+        )
+
+    return _run_incremental_stream(
+        spark,
+        corpus,
+        batch2,
+        process_batch,
+        resolve,
+        prefix="etl_stream_lines_",
+        max_files_per_trigger=max_files_per_trigger,
+        src_files=src_files,
+    )
 
 
 SQL_LINE_CORPUS = rf"""
@@ -2432,9 +2444,12 @@ SUBSTR_WINDOW = 8  # tokens per stride-1 rolling window
 def _split_docs(docs: DataFrame) -> DataFrame:
     """Spread docs across cores ONLY when the source under-splits (the
     fixture is one parquet row group → one task would pin the whole
-    window explosion + hashing). At corpus scale the scan already
-    yields >= cores input splits and this is a no-op — the same
-    conditional as the shingle tokenizer (line ~900)."""
+    tokenize/window explosion + hashing). At corpus scale the scan
+    already yields >= cores input splits and this is a no-op — an
+    UNCONDITIONAL repartition here would be a full shuffle of the raw
+    text, the exact corpus-sized exchange these projections exist to
+    avoid. Single source of the heuristic (shingle tokenizer +
+    substring family both route through it)."""
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < parallelism // 2:
         return docs.repartition(parallelism)
@@ -2824,64 +2839,38 @@ def q_streaming_substrings_incremental(
 
     ``max_files_per_trigger``/``src_files`` exist for the chopping test
     only; the driver path leaves them unset."""
-    import shutil
-    import tempfile
-
     docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
     corpus = docs.filter(F.col("source") != INCR_BATCH_SOURCE)
     batch2 = docs.filter(F.col("source") == INCR_BATCH_SOURCE)
-    tmp = tempfile.mkdtemp(prefix="etl_stream_substr_")
-    src = f"{tmp}/src"
-    store = f"{tmp}/window_store"
-    sink = f"{tmp}/staged_docs"
-    ckpt = f"{tmp}/ckpt"
 
-    def process_batch(batch_df, _batch_id):
+    def process_batch(batch_df, store, sink):
         batch_df = batch_df.localCheckpoint(eager=True)
         substring_window_store(batch_df).write.mode("append").parquet(store)
         batch_df.select("doc_id", "text").write.mode("append").parquet(sink)
 
-    def run_once(schema):
-        reader = spark.readStream.schema(schema)
-        if max_files_per_trigger is not None:
-            reader = reader.option(
-                "maxFilesPerTrigger", str(max_files_per_trigger)
-            )
-        q = (
-            reader.parquet(src)
-            .writeStream.foreachBatch(process_batch)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    def write_src(df, first=False):
-        w = df.repartition(src_files) if src_files else df
-        w.write.mode("overwrite" if first else "append").parquet(src)
-
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        write_src(corpus, first=True)
-        run_once(corpus.schema)          # run 1: corpus bootstraps the store
-        write_src(batch2)
-        run_once(corpus.schema)          # run 2: src0 streams in
+    def resolve(store, sink):
         final_store = merge_substring_store(
             spark.read.parquet(store),
             spark.read.parquet(store).limit(0),
         )
         batch_ids = batch2.select("doc_id")
-        out = resolve_substring_dedup_from_store(
+        return resolve_substring_dedup_from_store(
             # run 1 also staged the corpus docs; the batch-restricted
             # oracle deliberately excludes them
             spark.read.parquet(sink).join(batch_ids, "doc_id", "left_semi"),
             final_store,
-        ).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+        )
+
+    return _run_incremental_stream(
+        spark,
+        corpus,
+        batch2,
+        process_batch,
+        resolve,
+        prefix="etl_stream_substr_",
+        max_files_per_trigger=max_files_per_trigger,
+        src_files=src_files,
+    )
 
 
 def _substr_dropped_sql(wdw: int) -> str:

@@ -756,27 +756,34 @@ def bm25_topk(
     reads) and the final top-k is a distributed TakeOrdered (never a
     global sort).
     """
-    dl = docs_tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dl = docs_tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("dl"), F.max("tf").alias("__mtf")
+    )
     tot = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
         F.max("dl").alias("max_dl"),
+        F.max("__mtf").alias("max_tf"),
     ).collect()[0]
+    dl = dl.drop("__mtf")
     n_docs = tot["n_docs"] or 0
     total_tokens = int(tot["total_tokens"] or 0)
     max_dl = int(tot["max_dl"] or 0)
-    # tf <= dl <= max_dl for every posting, so these bound every bigint
-    # the rational rewrite materializes (num and den respectively)
+    max_tf = int(tot["max_tf"] or 0)
+    # num = 22*T*tf is bounded by the real max POSTING tf, not max_dl —
+    # a corpus whose longest doc dwarfs its largest single-term count
+    # (every real corpus) must not be rejected on a bound it can't hit
     worst = max(
-        22 * total_tokens * max_dl,
-        10 * total_tokens * max_dl + 3 * total_tokens + 9 * n_docs * max_dl,
+        22 * total_tokens * max_tf,
+        10 * total_tokens * max_tf + 3 * total_tokens + 9 * n_docs * max_dl,
     )
     if worst >= 2**63:
         raise OverflowError(
             "bm25_topk int64 rational-score overflow: corpus tokens "
-            f"T={total_tokens}, N={n_docs}, max doc length {max_dl} give a "
-            f"worst-case intermediate of {worst} >= 2^63; pre-divide "
-            "num/den by their gcd or reduce the LN-grid precision"
+            f"T={total_tokens}, N={n_docs}, max posting tf {max_tf}, max "
+            f"doc length {max_dl} give a worst-case intermediate of "
+            f"{worst} >= 2^63; pre-divide num/den by their gcd or reduce "
+            "the LN-grid precision"
         )
     hits = docs_tf.filter(F.col("term").isin(*query_terms))
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

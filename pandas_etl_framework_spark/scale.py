@@ -510,9 +510,10 @@ def auto_join_strategy(
     conditions gate the overrides:
 
     - ``min_hot_rows`` — an absolute floor on the hottest key's row
-      count: under it no key can make a straggler task whatever its
-      share, so tiny relations always stay 'plain' (and keep Catalyst's
-      broadcast freedom).
+      count (scaled by ``profile_fraction`` when profiling a sample):
+      under it no key can make a straggler task whatever its share, so
+      tiny relations always stay 'plain' (and keep Catalyst's broadcast
+      freedom).
     - the 'aqe_skew' override additionally requires MORE distinct key
       tuples than ``1/moderate_share_threshold``: a UNIFORM
       ``<= 1/threshold``-key distribution trivially has a >=threshold
@@ -543,13 +544,21 @@ def auto_join_strategy(
     ).first()
     if row is None or not row["total"]:
         return "plain"
-    if row["mx"] < min_hot_rows:
+    # the floor is an ABSOLUTE row count but mx here is a SAMPLED count —
+    # scale the floor by the sampled fraction, or a 1% profile of a
+    # 90k-row hot key (9x over the floor) would read mx~900 and
+    # misclassify a guaranteed straggler as 'plain'
+    if row["mx"] < min_hot_rows * profile_fraction:
         return "plain"
     share = row["mx"] / row["total"]
     if share >= skew_share_threshold:
         return "salted"
-    # n_keys > 1/threshold (not n_keys*threshold > 1: 20*0.05 rounds to
-    # 1.0000000000000002 in binary and would let the uniform case through)
+    # n_keys > 1/threshold: a uniform <=1/threshold-key distribution
+    # trivially clears the share bar with zero actual skew. (Under
+    # sampling n_keys can only shrink — rare keys drop out — so this
+    # gate UNDER-triggers the override there, which is the safe
+    # direction: 'plain' + AQE still splits a skewed sort-merge join at
+    # runtime; it just loses the pinned-merge guarantee.)
     if share >= moderate_share_threshold and (
         row["n_keys"] > 1.0 / moderate_share_threshold
     ):

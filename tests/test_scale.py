@@ -250,11 +250,20 @@ def test_auto_join_strategy_decisions(spark):
     )
     # r09 item 6: a UNIFORM low-cardinality key (10 keys -> 10% max
     # share) is not skew — pinning sort-merge there would only suppress
-    # a broadcast; must stay 'plain' despite clearing the share bar
-    uniform_lowcard = spark.range(0, 4000).select(
+    # a broadcast; must stay 'plain' despite clearing the share bar.
+    # 40k rows so mx = 4000 CLEARS the min_hot_rows floor: this is the
+    # case only the cardinality gate can catch (a 4k-row fixture would
+    # pass via the floor and leave the gate untested)
+    uniform_lowcard = spark.range(0, 40000).select(
         (F.col("id") % 10).alias("k")
     )
     assert auto_join_strategy(uniform_lowcard, ["k"]) == "plain"
+    # same distribution but genuinely skewed at high cardinality takes
+    # the aqe branch — pins that the gate, not the share test, decided
+    skewed_highcard = spark.range(0, 40000).select(
+        F.when(F.col("id") < 4000, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    assert auto_join_strategy(skewed_highcard, ["k"]) == "aqe_skew"
     # ...but a genuinely dominant key on a low-cardinality column is
     # still a straggler: salting is not cardinality-gated
     hot_lowcard = spark.range(0, 4000).select(
@@ -268,6 +277,15 @@ def test_auto_join_strategy_decisions(spark):
     tiny_hot = spark.range(0, 100).select(F.lit(7).alias("k"))
     assert auto_join_strategy(tiny_hot, ["k"]) == "plain"
     assert auto_join_strategy(tiny_hot, ["k"], min_hot_rows=50) == "salted"
+    # the floor scales with profile_fraction: a sampled profile of a
+    # hot key well over the ABSOLUTE floor must still salt, even though
+    # the sampled count lands under the unscaled floor
+    # 2400 true hot rows (over the 1000 floor); the 25% sample sees
+    # ~600 — under the UNSCALED floor, over the scaled one (250)
+    big_hot = spark.range(0, 2400).select(F.lit(7).alias("k"))
+    assert (
+        auto_join_strategy(big_hot, ["k"], profile_fraction=0.25) == "salted"
+    )
 
 
 def test_auto_join_hot_fixture_takes_salted_path_and_matches_plain(spark):
