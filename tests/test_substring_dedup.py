@@ -97,6 +97,62 @@ def test_report_totals_match_dedup_accounting(spark):
         assert n_text_tokens == row["n_tokens"] - row["n_dropped"]
 
 
+def _python_substring_dedup(texts, w):
+    """Independent pure-Python reference: brute-force window ownership,
+    owner-protected coverage subtraction, reassembly. Deliberately NOT
+    the islands/anti-join design — a design-level misconception shared
+    by the Spark code and its CTE-mirrored DuckDB oracle would pass the
+    hash gate; this differential is structured differently on purpose."""
+    toks = {i: t.strip().split() for i, t in enumerate(texts)}
+    # re-split with the \s+ semantics (split() collapses, same for our
+    # fixtures which never have exotic whitespace)
+    occ = {}
+    for d, ts in toks.items():
+        for p in range(len(ts) - w + 1):
+            occ.setdefault(tuple(ts[p:p + w]), []).append((d, p))
+    dropped = {d: set() for d in toks}
+    protected = {d: set() for d in toks}
+    for sites in occ.values():
+        if len(sites) < 2:
+            continue
+        owner = min(sites)
+        for (d, p) in sites:
+            target = protected if (d, p) == owner else dropped
+            target[d].update(range(p, p + w))
+    out = {}
+    for d, ts in toks.items():
+        cut = dropped[d] - protected[d]
+        kept = [t for i, t in enumerate(ts) if i not in cut]
+        out[d] = (" ".join(kept), len(ts), len(cut))
+    return out
+
+
+def test_differential_vs_python_reference(spark):
+    """Randomized small-vocab corpora (heavy window collisions by
+    construction) must agree exactly with the brute-force reference."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c"]
+    for trial in range(5):
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+            for _ in range(8)
+        ]
+        docs = _doc(spark, *texts)
+        got = {
+            r["doc_id"]: (r["text"], r["n_tokens"], r["n_dropped"])
+            for r in substring_dedup(docs, window=W).collect()
+        }
+        want = _python_substring_dedup(texts, W)
+        # empty text splits to 1 empty token under split(trim, \s+) but
+        # 0 under Python .split(); normalize that single edge
+        want = {
+            d: (t, max(n, 1), drp) for d, (t, n, drp) in want.items()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
 def test_window_store_fold_is_associative(spark):
     """build(corpus) == fold of any batch partitioning: counts add and
     the lexicographic-min owner survives whichever side it came from —
