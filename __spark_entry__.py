@@ -115,9 +115,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # window, zero registry queries' latest driver row predates r04.
 # R11 BACKLOG (the r04-era rows left out, 18 unchecked + 9
 # judge-covered; sketch_histogram_quantiles / sketch_theta_kmv /
-# streaming_cdc_historize yielded their fill slots to the three
-# late-landing substring legs — standing rule, new rows window in their
-# landing round): sketch_histogram_quantiles, sketch_theta_kmv,
+# streaming_cdc_historize / sketch_countmin yielded their fill slots to
+# the late-landing substring legs + text_bm25_batch — standing rule, new
+# rows window in their landing round): sketch_countmin,
+# sketch_histogram_quantiles, sketch_theta_kmv,
 # streaming_cdc_historize, text_chunk_dedup,
 # text_chunks_udtf, text_gopher_rules, text_hashed_bow,
 # text_inverted_index, text_pack_sequences, text_pii_redact,
@@ -139,8 +140,10 @@ DRIVER_PRIORITY = [
     #    absolute hot-row floor (decision column pinned by the oracle) ---
     "rel_auto_skew_join",
     # -- (a) changed this round: BM25 overflow guard + totals collected to
-    #    literals (plan change) — and both consumers of bm25_topk --------
+    #    literals (plan change) — both consumers of bm25_topk, and the
+    #    new multi-query batch scorer (grouped top-k per qid) ------------
     "text_bm25_topk", "text_bm25_incremental", "text_rrf_fusion",
+    "text_bm25_batch",
     # -- (a) changed this round: dhash raster synth gained the shard term
     #    (zero at correctness scales; oracle updated in lockstep) --------
     "multimodal_dhash_neardup",
@@ -163,7 +166,7 @@ DRIVER_PRIORITY = [
     "events_transition_matrix", "events_udaf_pandas",
     "io_partitioned_sink", "io_store_reset", "multimodal_metadata",
     "rel_array_agg", "rel_dq_constraints", "rel_higher_order",
-    "rel_profile_orders", "sketch_countmin",
+    "rel_profile_orders",
 ]
 
 

@@ -719,6 +719,43 @@ BM25_TOPK = 10
 # through the exact rational rewrite below, never as float literals.
 
 
+def _bm25_totals_guarded(docs_tf: DataFrame):
+    """Doc lengths + the driver-collected corpus totals the BM25 scorer
+    injects as literals, with the int64 overflow guard: num = 22*T*tf is
+    bounded by the real max POSTING tf, not max doc length — a corpus
+    whose longest doc dwarfs its largest single-term count (every real
+    corpus) must not be rejected on a bound it can't hit. Returns
+    (dl_df, n_docs, total_tokens); raises OverflowError past the bound
+    BEFORE the scoring plan ever runs."""
+    dl = docs_tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("dl"), F.max("tf").alias("__mtf")
+    )
+    tot = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        F.max("dl").alias("max_dl"),
+        F.max("__mtf").alias("max_tf"),
+    ).collect()[0]
+    dl = dl.drop("__mtf")
+    n_docs = tot["n_docs"] or 0
+    total_tokens = int(tot["total_tokens"] or 0)
+    max_dl = int(tot["max_dl"] or 0)
+    max_tf = int(tot["max_tf"] or 0)
+    worst = max(
+        22 * total_tokens * max_tf,
+        10 * total_tokens * max_tf + 3 * total_tokens + 9 * n_docs * max_dl,
+    )
+    if worst >= 2**63:
+        raise OverflowError(
+            "bm25 int64 rational-score overflow: corpus tokens "
+            f"T={total_tokens}, N={n_docs}, max posting tf {max_tf}, max "
+            f"doc length {max_dl} give a worst-case intermediate of "
+            f"{worst} >= 2^63; pre-divide num/den by their gcd or reduce "
+            "the LN-grid precision"
+        )
+    return dl, n_docs, total_tokens
+
+
 def bm25_topk(
     docs_tf: DataFrame,
     query_terms: tuple = BM25_QUERY_TERMS,
@@ -756,35 +793,7 @@ def bm25_topk(
     reads) and the final top-k is a distributed TakeOrdered (never a
     global sort).
     """
-    dl = docs_tf.groupBy("doc_id").agg(
-        F.sum("tf").alias("dl"), F.max("tf").alias("__mtf")
-    )
-    tot = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_tokens"),
-        F.max("dl").alias("max_dl"),
-        F.max("__mtf").alias("max_tf"),
-    ).collect()[0]
-    dl = dl.drop("__mtf")
-    n_docs = tot["n_docs"] or 0
-    total_tokens = int(tot["total_tokens"] or 0)
-    max_dl = int(tot["max_dl"] or 0)
-    max_tf = int(tot["max_tf"] or 0)
-    # num = 22*T*tf is bounded by the real max POSTING tf, not max_dl —
-    # a corpus whose longest doc dwarfs its largest single-term count
-    # (every real corpus) must not be rejected on a bound it can't hit
-    worst = max(
-        22 * total_tokens * max_tf,
-        10 * total_tokens * max_tf + 3 * total_tokens + 9 * n_docs * max_dl,
-    )
-    if worst >= 2**63:
-        raise OverflowError(
-            "bm25_topk int64 rational-score overflow: corpus tokens "
-            f"T={total_tokens}, N={n_docs}, max posting tf {max_tf}, max "
-            f"doc length {max_dl} give a worst-case intermediate of "
-            f"{worst} >= 2^63; pre-divide num/den by their gcd or reduce "
-            "the LN-grid precision"
-        )
+    dl, n_docs, total_tokens = _bm25_totals_guarded(docs_tf)
     hits = docs_tf.filter(F.col("term").isin(*query_terms))
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
@@ -879,6 +888,144 @@ FROM ranked WHERE rk <= {BM25_TOPK}
 # --------------------------------------------------------------------------
 
 BM25_BATCH_SOURCE = "src0"   # the fixture slice that arrives as a new batch
+
+
+BM25_BATCH_QUERIES = {
+    "q_dup": ("dup", "vector", "merge"),
+    "q_scan": ("scan", "hash", "table"),
+    "q_sort": ("sort", "window", "line"),
+}
+BM25_BATCH_TOPK = 5
+
+
+def bm25_topk_batch(
+    docs_tf: DataFrame,
+    queries: dict = BM25_BATCH_QUERIES,
+    k: int = BM25_BATCH_TOPK,
+) -> DataFrame:
+    """Multi-query BM25 — the production retrieval shape: a BATCH of
+    queries scored against the corpus in ONE plan, grouped top-``k``
+    per query. Scoring is the same engine-exact rational as
+    :func:`bm25_topk` (same idf grid, same integer num/den, same
+    overflow guard); document frequency is computed ONCE over the union
+    of query terms (df is query-independent), then the broadcast query
+    table expands each hit per owning query, and a per-qid window rank
+    cuts top-k.
+
+    Scale posture: hits are posting-list-sized (union of query terms);
+    the query table is a broadcast of Q*terms rows; the rank window
+    partitions by qid over per-(qid, doc) aggregates — bounded by hits,
+    never corpus-sized. Output: (qid, doc_id, score_q, n_terms, dl, rk).
+    """
+    spark = docs_tf.sparkSession
+    dl, n_docs, total_tokens = _bm25_totals_guarded(docs_tf)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in sorted(queries.items()) for t in terms],
+        "qid string, term string",
+    )
+    all_terms = sorted({t for terms in queries.values() for t in terms})
+    hits = docs_tf.filter(F.col("term").isin(*all_terms))
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        hits.join(maybe_broadcast(dfreq), "term")
+        .join(F.broadcast(qdf), "term")
+        .join(dl, "doc_id")
+        .withColumn("n_docs", F.lit(n_docs).cast("bigint"))
+        .withColumn("total_tokens", F.lit(total_tokens).cast("bigint"))
+    )
+    idf_q = F.floor(
+        F.log(
+            (F.lit(2) * F.col("n_docs") + F.lit(2)).cast("double")
+            / (F.lit(2) * F.col("df") + F.lit(1)).cast("double")
+        )
+        * LN_SCALE
+    )
+    num = (F.lit(22) * F.col("total_tokens") * F.col("tf")).cast("bigint")
+    den = (
+        F.lit(10) * F.col("total_tokens") * F.col("tf")
+        + F.lit(3) * F.col("total_tokens")
+        + F.lit(9) * F.col("n_docs") * F.col("dl")
+    ).cast("bigint")
+    contrib = F.floor(
+        idf_q.cast("double") * (num.cast("double") / den.cast("double"))
+    ).cast("bigint")
+
+    per_doc = scored.groupBy("qid", "doc_id").agg(
+        F.sum(contrib).alias("score_q"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.min("dl").alias("dl"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "doc_id", "score_q", "n_terms", "dl", "rk")
+    )
+
+
+def q_text_bm25_batch(spark, sf_dir):
+    return bm25_topk_batch(_term_freq(spark, sf_dir))
+
+
+def _sql_bm25_batch() -> str:
+    qvals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in sorted(BM25_BATCH_QUERIES.items())
+        for t in terms
+    )
+    all_terms = ", ".join(
+        f"'{t}'"
+        for t in sorted({t for ts in BM25_BATCH_QUERIES.values() for t in ts})
+    )
+    return rf"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+{_SQL_TF},
+dl AS (
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_tokens
+    FROM dl
+),
+queries(qid, term) AS (VALUES {qvals}),
+hits AS (SELECT * FROM tf WHERE term IN ({all_terms})),
+dfreq AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY term
+),
+scored AS (
+    SELECT q.qid, h.doc_id,
+           CAST(FLOOR(LN(CAST(2 * t.n_docs + 2 AS DOUBLE)
+                         / CAST(2 * d.df + 1 AS DOUBLE)) * {LN_SCALE})
+                AS BIGINT) AS idf_q,
+           CAST(22 * t.total_tokens * h.tf AS BIGINT) AS num,
+           CAST(10 * t.total_tokens * h.tf + 3 * t.total_tokens
+                + 9 * t.n_docs * dl.dl AS BIGINT) AS den,
+           dl.dl
+    FROM hits h JOIN dfreq d USING (term) JOIN queries q USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN tot t
+),
+per_doc AS (
+    SELECT qid, doc_id,
+           CAST(SUM(CAST(FLOOR(CAST(idf_q AS DOUBLE)
+               * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)))
+               AS BIGINT)) AS BIGINT) AS score_q,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(MIN(dl) AS BIGINT) AS dl
+    FROM scored GROUP BY qid, doc_id
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY score_q DESC, doc_id ASC) AS rk
+    FROM per_doc
+)
+SELECT qid, doc_id, score_q, n_terms, dl, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {BM25_BATCH_TOPK}
+"""
 
 
 def q_text_bm25_incremental(spark, sf_dir):
@@ -1069,6 +1216,7 @@ FROM ranked WHERE rk <= {RRF_TOPK}
 QUERIES = {
     "text_tfidf_topk": (q_text_tfidf_topk, _sql_tfidf_topk()),
     "text_bm25_topk": (q_text_bm25_topk, _sql_bm25_topk()),
+    "text_bm25_batch": (q_text_bm25_batch, _sql_bm25_batch()),
     # incremental fold must equal the full recompute — same oracle
     "text_bm25_incremental": (q_text_bm25_incremental, _sql_bm25_topk()),
     "text_rrf_fusion": (q_text_rrf_fusion, _sql_rrf_fusion()),

@@ -318,6 +318,37 @@ def test_bm25_rank_and_exact_scores(spark):
     assert out[0]["rk"] == 1
 
 
+def test_bm25_batch_leg_matches_single_query(spark):
+    """Each qid leg of the batch scorer must equal a standalone
+    bm25_topk run with that query's terms at the same k — the batch
+    plan shares df/dl/totals across queries but must not leak one
+    query's terms into another's scores."""
+    from pandas_etl_framework_spark.llmops.indexing import (
+        BM25_BATCH_QUERIES,
+        BM25_BATCH_TOPK,
+        _term_freq,
+        bm25_topk,
+        bm25_topk_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tf = _term_freq(spark, sf).localCheckpoint(eager=True)
+    batch = bm25_topk_batch(tf).collect()
+    for qid, terms in BM25_BATCH_QUERIES.items():
+        leg = sorted(
+            (r["doc_id"], r["score_q"], r["n_terms"], r["dl"], r["rk"])
+            for r in batch
+            if r["qid"] == qid
+        )
+        single = sorted(
+            (r["doc_id"], r["score_q"], r["n_terms"], r["dl"], r["rk"])
+            for r in bm25_topk(
+                tf, query_terms=terms, k=BM25_BATCH_TOPK
+            ).collect()
+        )
+        assert leg == single and leg
+
+
 def test_bm25_overflow_guard_trips(spark):
     """Past the documented int64 bound (22*T*tf < 2^63) the rational
     rewrite would silently wrap; the guard must raise instead. Totals
