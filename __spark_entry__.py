@@ -117,7 +117,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # judge-covered; sketch_histogram_quantiles / sketch_theta_kmv /
 # streaming_cdc_historize / sketch_countmin yielded their fill slots to
 # the late-landing substring legs + text_bm25_batch — standing rule, new
-# rows window in their landing round): sketch_countmin,
+# rows window in their landing round): rel_profile_orders,
+# sketch_countmin,
 # sketch_histogram_quantiles, sketch_theta_kmv,
 # streaming_cdc_historize, text_chunk_dedup,
 # text_chunks_udtf, text_gopher_rules, text_hashed_bow,
@@ -133,6 +134,9 @@ DRIVER_PRIORITY = [
     "dedup_substrings", "dedup_substrings_report",
     "dedup_substrings_incremental", "dedup_substrings_store",
     "streaming_substrings_incremental",
+    # -- (a) new this round: substring-level eval decontamination (the
+    #    removal counterpart of text_contamination's detection) ---------
+    "text_decontaminate",
     # -- (a) changed this round: the streaming twins are now merge-on-read
     #    chop-invariant (owners/legs resolved against the final fold) ----
     "streaming_lines_incremental", "streaming_minhash_incremental",
@@ -166,7 +170,6 @@ DRIVER_PRIORITY = [
     "events_transition_matrix", "events_udaf_pandas",
     "io_partitioned_sink", "io_store_reset", "multimodal_metadata",
     "rel_array_agg", "rel_dq_constraints", "rel_higher_order",
-    "rel_profile_orders",
 ]
 
 

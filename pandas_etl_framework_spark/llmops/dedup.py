@@ -2782,6 +2782,117 @@ def resolve_substring_dedup_from_store(
     return _reassemble_tokens(batch_docs, _dropped_from_dup(dup, window))
 
 
+def decontaminate_substrings(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    window: int = SUBSTR_WINDOW,
+) -> DataFrame:
+    """Substring-level eval decontamination — the REMOVAL counterpart of
+    the detection row (text_contamination): every ``window``-token
+    substring of a training document that appears ANYWHERE in the eval
+    set is cut from the training text (no keep-first and no owner
+    protection — leaked eval text must not survive in train at all),
+    and the document is reassembled from what remains. This is the
+    standard pre-training scrub (the n-gram-overlap removal used by the
+    GPT-3/PaLM-style pipelines and by Lee et al. 2022's decontamination
+    application of ExactSubstr).
+
+    Scale: the eval side reduces to DISTINCT window hashes (constant
+    width, eval-sized — broadcastable for real eval sets); the train
+    side is the same linear window scan as :func:`substring_dedup`; the
+    semi join is hash-keyed. Output schema matches
+    :func:`substring_dedup` (doc_id, text, n_tokens, n_dropped)."""
+    eval_hashes = (
+        _token_window_hashes(eval_docs, window).select("h").distinct()
+    )
+    dup = (
+        _token_window_hashes(train_docs, window)
+        .join(maybe_broadcast(eval_hashes), "h", "left_semi")
+        .select("doc_id", "p", F.lit(False).alias("is_owner"))
+    )
+    return _reassemble_tokens(train_docs, _dropped_from_dup(dup, window))
+
+
+DECON_EVAL_SOURCE = "src1"   # harness split: src1 plays the eval set
+
+
+def q_text_decontaminate(spark, sf_dir):
+    """Decontamination leg over the harness split: 'src1' plays the
+    held-out eval set, every other source is training data; the oracle
+    recomputes the scrub with the same CTE chain."""
+    docs = _docs(spark, sf_dir)
+    return decontaminate_substrings(
+        docs.filter(F.col("source") != DECON_EVAL_SOURCE),
+        docs.filter(F.col("source") == DECON_EVAL_SOURCE),
+    )
+
+
+SQL_TEXT_DECONTAMINATE = rf"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    FROM documents WHERE source <> '{DECON_EVAL_SOURCE}'
+),
+etoks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    FROM documents WHERE source = '{DECON_EVAL_SOURCE}'
+),
+epos AS (
+    SELECT doc_id, t, unnest(range(1, LEN(t) - {SUBSTR_WINDOW - 2})) AS p
+    FROM etoks WHERE LEN(t) >= {SUBSTR_WINDOW}
+),
+eh AS (
+    SELECT DISTINCT md5(array_to_string(t[p:(p + {SUBSTR_WINDOW - 1})], ' '))
+        AS h
+    FROM epos
+),
+pos AS (
+    SELECT doc_id, t, unnest(range(1, LEN(t) - {SUBSTR_WINDOW - 2})) AS p
+    FROM toks WHERE LEN(t) >= {SUBSTR_WINDOW}
+),
+wins AS (
+    SELECT doc_id, p,
+           md5(array_to_string(t[p:(p + {SUBSTR_WINDOW - 1})], ' ')) AS h
+    FROM pos
+),
+dup AS (SELECT doc_id, p FROM wins SEMI JOIN eh USING (h)),
+drop_isl AS (
+    SELECT doc_id, p, SUM(brk) OVER (
+        PARTITION BY doc_id ORDER BY p
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM (
+        SELECT doc_id, p,
+               CASE WHEN LAG(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                      OR p > LAG(p) OVER (PARTITION BY doc_id ORDER BY p)
+                           + {SUBSTR_WINDOW}
+                    THEN 1 ELSE 0 END AS brk
+        FROM dup)
+),
+dropped AS (
+    SELECT doc_id, unnest(range(s, e + 1)) AS q
+    FROM (SELECT doc_id, MIN(p) AS s, MAX(p) + {SUBSTR_WINDOW - 1} AS e
+          FROM drop_isl GROUP BY doc_id, island)
+),
+all_tokens AS (
+    SELECT doc_id, t, unnest(range(1, LEN(t) + 1)) AS q FROM toks
+),
+kept AS (
+    SELECT a.doc_id, a.q, a.t[a.q] AS token
+    FROM all_tokens a ANTI JOIN dropped d
+        ON a.doc_id = d.doc_id AND a.q = d.q
+),
+kept_agg AS (
+    SELECT doc_id, string_agg(token, ' ' ORDER BY q) AS kept_text,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(k.kept_text, '') AS text,
+       CAST(LEN(b.t) AS BIGINT) AS n_tokens,
+       CAST(LEN(b.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped
+FROM toks b LEFT JOIN kept_agg k USING (doc_id)
+"""
+
+
 def q_dedup_substrings_incremental(spark, sf_dir):
     """Incremental leg: the 'src0' docs arrive as one new ingest batch
     and are substring-deduped against the window STORE of the rest of
@@ -3061,4 +3172,5 @@ QUERIES = {
         q_streaming_substrings_incremental,
         SQL_DEDUP_SUBSTRINGS_INCR,
     ),
+    "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
 }

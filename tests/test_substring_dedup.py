@@ -153,6 +153,26 @@ def test_differential_vs_python_reference(spark):
         assert got == want, f"trial {trial}: {got} != {want}"
 
 
+def test_decontaminate_removes_all_eval_overlap(spark):
+    """Every eval window is cut from train — no keep-first: even a
+    train substring occurring ONCE is removed when the eval set holds
+    it; non-overlapping train docs pass through untouched; eval-only
+    text never appears in the output."""
+    from pandas_etl_framework_spark.llmops.dedup import (
+        decontaminate_substrings,
+    )
+
+    leaked = "alpha beta gamma delta"
+    train = _doc(spark, f"start {leaked} end", "clean text with no overlap x")
+    eval_docs = _doc(spark, f"the eval prompt says {leaked} verbatim")
+    out = _by_id(decontaminate_substrings(train, eval_docs, window=W))
+    assert out[0]["text"] == "start end" and out[0]["n_dropped"] == 4
+    assert out[1]["text"] == "clean text with no overlap x"
+    assert out[1]["n_dropped"] == 0
+    # eval docs themselves are not part of the output
+    assert set(out) == {0, 1}
+
+
 def test_window_store_fold_is_associative(spark):
     """build(corpus) == fold of any batch partitioning: counts add and
     the lexicographic-min owner survives whichever side it came from —
