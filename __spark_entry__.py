@@ -117,8 +117,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # judge-covered; sketch_histogram_quantiles / sketch_theta_kmv /
 # streaming_cdc_historize / sketch_countmin yielded their fill slots to
 # the late-landing substring legs + text_bm25_batch — standing rule, new
-# rows window in their landing round): rel_profile_orders,
-# sketch_countmin,
+# rows window in their landing round): rel_higher_order,
+# rel_profile_orders, sketch_countmin,
 # sketch_histogram_quantiles, sketch_theta_kmv,
 # streaming_cdc_historize, text_chunk_dedup,
 # text_chunks_udtf, text_gopher_rules, text_hashed_bow,
@@ -151,6 +151,8 @@ DRIVER_PRIORITY = [
     # -- (a) changed this round: dhash raster synth gained the shard term
     #    (zero at correctness scales; oracle updated in lockstep) --------
     "multimodal_dhash_neardup",
+    # -- (a) new this round: XML round-trip (Spark 4 built-in xml source)
+    "io_xml_roundtrip",
     # -- (a) oracle changed this round: MATERIALIZED head-CTE hints ------
     "graph_triangles", "graph_label_propagation",
     # -- (b) the 17-row consolidated backlog (multimodal_dhash_neardup
@@ -169,7 +171,7 @@ DRIVER_PRIORITY = [
     "events_multires_rollup", "events_range_join", "events_rfm",
     "events_transition_matrix", "events_udaf_pandas",
     "io_partitioned_sink", "io_store_reset", "multimodal_metadata",
-    "rel_array_agg", "rel_dq_constraints", "rel_higher_order",
+    "rel_array_agg", "rel_dq_constraints",
 ]
 
 

@@ -193,6 +193,30 @@ def q_io_json_roundtrip(spark, sf_dir):
     return out
 
 
+def q_io_xml_roundtrip(spark, sf_dir):
+    """XML round-trip through Spark 4's built-in xml data source (rowTag
+    element per record): write the region dim as XML, read it back with
+    an explicit schema (inference would widen integers and break dtype
+    parity) — the enterprise-feed format the CSV/JSON/ORC family was
+    missing. Same oracle as the other format round-trips, so a dropped
+    row, a re-ordered column, or an entity-escaping bug in either
+    direction is a hash mismatch."""
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    tmp = _scratch()
+    try:
+        path = f"{tmp}/region_xml"
+        eio.write_table(
+            src, path, fmt="xml", mode="overwrite",
+            rootTag="regions", rowTag="region",
+        )
+        out = eio.read_table(
+            spark, path, fmt="xml", schema=src.schema, rowTag="region"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 SQL_IO_FMT_ROUNDTRIP = "SELECT * FROM region"
 
 
@@ -816,6 +840,9 @@ def register_all() -> None:
     )
     harness.register(
         "io_json_roundtrip", q_io_json_roundtrip, SQL_IO_FMT_ROUNDTRIP
+    )
+    harness.register(
+        "io_xml_roundtrip", q_io_xml_roundtrip, SQL_IO_FMT_ROUNDTRIP
     )
     harness.register(
         "versioned_store_lifecycle",

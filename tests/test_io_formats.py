@@ -14,12 +14,17 @@ def sample(spark):
     return spark.read.parquet("/root/testdata/sf0.001/region.parquet")
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv", "xml"])
 def test_roundtrip_formats(spark, sample, tmp_path, fmt):
     path = str(tmp_path / f"t_{fmt}")
     opts = {"header": "true"} if fmt == "csv" else {}
+    if fmt == "xml":
+        opts = {"rootTag": "regions", "rowTag": "region"}
+        ropts = {"rowTag": "region"}
+    else:
+        ropts = opts
     write_table(sample, path, fmt=fmt, **opts)
-    back = read_table(spark, path, fmt=fmt, schema=sample.schema, **opts)
+    back = read_table(spark, path, fmt=fmt, schema=sample.schema, **ropts)
     assert back.count() == sample.count()
     assert {r["r_name"] for r in back.collect()} == {
         r["r_name"] for r in sample.collect()
