@@ -113,20 +113,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # rel_null_semantics — have fresher evidence than any driver row, so
 # they yield their slots), alphabetical within the tier. After a green
 # window, zero registry queries' latest driver row predates r04.
-# R11 BACKLOG (the r04-era rows left out, 18 unchecked + 9
-# judge-covered; sketch_histogram_quantiles / sketch_theta_kmv /
-# streaming_cdc_historize / sketch_countmin yielded their fill slots to
-# the late-landing substring legs + text_bm25_batch — standing rule, new
-# rows window in their landing round): rel_higher_order,
-# rel_profile_orders, sketch_countmin,
-# sketch_histogram_quantiles, sketch_theta_kmv,
-# streaming_cdc_historize, text_chunk_dedup,
-# text_chunks_udtf, text_gopher_rules, text_hashed_bow,
-# text_inverted_index, text_pack_sequences, text_pii_redact,
-# text_source_mixture, text_tokens_pandas_udf, text_unigram_logprob,
-# tpch_q11, tpch_q12, tpch_q15, tpch_q16, tpch_q22, then the 9 named
-# above — head these in the r11 window, then continue staleness-order
-# (r05-era next).
+# R11 BACKLOG (the r04-era rows left out: 21 unchecked + 9
+# judge-covered; rel_higher_order / rel_profile_orders / sketch_countmin
+# / sketch_histogram_quantiles / sketch_theta_kmv /
+# streaming_cdc_historize yielded their fill slots to the late-landing
+# r10 rows — substring legs, text_bm25_batch, text_decontaminate,
+# io_xml_roundtrip; standing rule, new rows window in their landing
+# round). The 21: rel_higher_order, rel_profile_orders, sketch_countmin,
+# sketch_histogram_quantiles, sketch_theta_kmv, streaming_cdc_historize,
+# text_chunk_dedup, text_chunks_udtf, text_gopher_rules,
+# text_hashed_bow, text_inverted_index, text_pack_sequences,
+# text_pii_redact, text_source_mixture, text_tokens_pandas_udf,
+# text_unigram_logprob, tpch_q11, tpch_q12, tpch_q15, tpch_q16,
+# tpch_q22. The 9 judge-covered (r09 review, fresher than any driver
+# row): cdc_simulate_runs, emb_pq_topk, io_csv_roundtrip,
+# multimodal_phash_dedup, rel_null_semantics, rel_pivot_native,
+# scd2_pit_join, tpch_q8, tpch_q19. Head all 30 in the r11 window, then
+# continue staleness-order (r05-era next).
 DRIVER_PRIORITY = [
     # -- (a) new this round: bounded exact substring dedup (ExactSubstr
     #    removal stage), its span-accounting report twin, and the
