@@ -2709,7 +2709,12 @@ def incremental_substring_dedup(
     window, however many copies exist), and every shuffle is batch-sized
     except the store-side probe join read.
     ``store_preaggregated=False`` accepts appended per-batch partials
-    (the streaming ingest shape) and folds them at probe time."""
+    (the streaming ingest shape) and folds them at probe time.
+
+    ``window`` MUST match the value the store was built with — the
+    store carries opaque hashes, so a mismatch cannot be detected and
+    silently under-dedups (nothing joins). Pin the window with the
+    store in any persisted deployment."""
     if not store_preaggregated:
         store = merge_substring_store(store, store.limit(0))
     wins = _token_window_hashes(batch_docs, window)

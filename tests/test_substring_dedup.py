@@ -153,6 +153,43 @@ def test_differential_vs_python_reference(spark):
         assert got == want, f"trial {trial}: {got} != {want}"
 
 
+def test_incremental_differential_on_random_interleaved_corpora(spark):
+    """Randomized small-vocab corpora with corpus/batch membership
+    interleaved across doc_ids (odd ids = batch): the store-probe
+    incremental path must equal the PYTHON reference's full recompute
+    restricted to the batch — owners land on either side of the split
+    with no ordering relationship to arrival."""
+    import random
+
+    from pandas_etl_framework_spark.llmops.dedup import (
+        incremental_substring_dedup,
+        substring_window_store,
+    )
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c"]
+    for trial in range(3):
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))
+            for _ in range(10)
+        ]
+        docs = _doc(spark, *texts)
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        got = {
+            r["doc_id"]: (r["text"], r["n_tokens"], r["n_dropped"])
+            for r in incremental_substring_dedup(
+                batch, substring_window_store(corpus, window=W), window=W
+            ).collect()
+        }
+        want = {
+            d: (t, max(n, 1), drp)
+            for d, (t, n, drp) in _python_substring_dedup(texts, W).items()
+            if d % 2 == 1
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
 def test_decontaminate_removes_all_eval_overlap(spark):
     """Every eval window is cut from train — no keep-first: even a
     train substring occurring ONCE is removed when the eval set holds
