@@ -270,35 +270,41 @@ def _kmeans_cte_body(
         " x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))"
     )
     s = suffix
+    # every stage MATERIALIZED: DuckDB default-inlines multiply-referenced
+    # CTEs, and this chain is the exponential pattern — d{i} is referenced
+    # twice (m{i}, a{i}) and recurses through cent{i-1} back to the head,
+    # so inlining re-evaluates the whole prefix per reference. Measured on
+    # the IVF-PQ recall oracle (which stacks m subspace chains on top of
+    # this one): 356 s -> seconds at sf0.01. Semantics-preserving hint.
     head = f"""
-{"WITH" if first else ","} e{s} AS (
+{"WITH" if first else ","} e{s} AS MATERIALIZED (
     SELECT vec_id, {vq} AS vq FROM {source_sql}
 ),
-pos{s} AS (SELECT unnest(range(1, {dim + 1})) AS pos),
-cent{s}0 AS (SELECT vec_id AS cid, vq AS c FROM e{s} WHERE vec_id < {k})"""
+pos{s} AS MATERIALIZED (SELECT unnest(range(1, {dim + 1})) AS pos),
+cent{s}0 AS MATERIALIZED (SELECT vec_id AS cid, vq AS c FROM e{s} WHERE vec_id < {k})"""
     steps = []
     for i in range(1, iterations + 1):
         p = i - 1
         steps.append(f""",
-d{s}{i} AS (
+d{s}{i} AS MATERIALIZED (
     SELECT e.vec_id, c.cid,
            CAST(list_sum(list_transform(range(1, {dim + 1}),
                 j -> (e.vq[j] - c.c[j]) * (e.vq[j] - c.c[j]))) AS BIGINT) AS d
     FROM e{s} e CROSS JOIN cent{s}{p} c
 ),
-m{s}{i} AS (SELECT vec_id, MIN(d) AS md FROM d{s}{i} GROUP BY vec_id),
-a{s}{i} AS (
+m{s}{i} AS MATERIALIZED (SELECT vec_id, MIN(d) AS md FROM d{s}{i} GROUP BY vec_id),
+a{s}{i} AS MATERIALIZED (
     SELECT d.vec_id, MIN(d.cid) AS cid
     FROM d{s}{i} d JOIN m{s}{i} m ON d.vec_id = m.vec_id AND d.d = m.md
     GROUP BY d.vec_id
 ),
-s{s}{i} AS (
+s{s}{i} AS MATERIALIZED (
     SELECT a.cid, pos.pos,
            CAST(SUM(e.vq[pos.pos]) AS BIGINT) AS s, COUNT(*) AS n
     FROM a{s}{i} a JOIN e{s} e ON a.vec_id = e.vec_id CROSS JOIN pos{s} pos
     GROUP BY a.cid, pos.pos
 ),
-cent{s}{i} AS (
+cent{s}{i} AS MATERIALIZED (
     SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY pos) AS c
     FROM s{s}{i} GROUP BY cid
 )""")
