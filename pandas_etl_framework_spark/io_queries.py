@@ -200,7 +200,11 @@ def q_io_xml_roundtrip(spark, sf_dir):
     parity) — the enterprise-feed format the CSV/JSON/ORC family was
     missing. Same oracle as the other format round-trips, so a dropped
     row, a re-ordered column, or an entity-escaping bug in either
-    direction is a hash mismatch."""
+    direction is a hash mismatch. ``ignoreSurroundingSpaces`` is pinned
+    off on the read: the reader's default TRIMS element text, so values
+    with leading/trailing whitespace would not round-trip (probed: with
+    the pin, padded, empty and NULL strings all come back
+    byte-identical)."""
     src = spark.read.parquet(f"{sf_dir}/region.parquet")
     tmp = _scratch()
     try:
@@ -210,7 +214,8 @@ def q_io_xml_roundtrip(spark, sf_dir):
             rootTag="regions", rowTag="region",
         )
         out = eio.read_table(
-            spark, path, fmt="xml", schema=src.schema, rowTag="region"
+            spark, path, fmt="xml", schema=src.schema, rowTag="region",
+            ignoreSurroundingSpaces="false",
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

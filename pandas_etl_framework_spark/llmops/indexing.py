@@ -756,6 +756,31 @@ def _bm25_totals_guarded(docs_tf: DataFrame):
     return dl, n_docs, total_tokens
 
 
+def _bm25_contrib():
+    """Per-posting BM25 contribution FLOOR(idf_q * num/den) over the
+    (df, tf, dl, n_docs, total_tokens) columns — the engine-exact
+    rational (Lucene idf on the LN grid, the 22/10/3/9 integer length
+    norm) shared by the single-query and batch scorers, so a change to
+    the rewrite (e.g. the gcd pre-division past the 2^63 bound) cannot
+    diverge them."""
+    idf_q = F.floor(
+        F.log(
+            (F.lit(2) * F.col("n_docs") + F.lit(2)).cast("double")
+            / (F.lit(2) * F.col("df") + F.lit(1)).cast("double")
+        )
+        * LN_SCALE
+    )
+    num = (F.lit(22) * F.col("total_tokens") * F.col("tf")).cast("bigint")
+    den = (
+        F.lit(10) * F.col("total_tokens") * F.col("tf")
+        + F.lit(3) * F.col("total_tokens")
+        + F.lit(9) * F.col("n_docs") * F.col("dl")
+    ).cast("bigint")
+    return F.floor(
+        idf_q.cast("double") * (num.cast("double") / den.cast("double"))
+    ).cast("bigint")
+
+
 def bm25_topk(
     docs_tf: DataFrame,
     query_terms: tuple = BM25_QUERY_TERMS,
@@ -803,25 +828,8 @@ def bm25_topk(
         .withColumn("n_docs", F.lit(n_docs).cast("bigint"))
         .withColumn("total_tokens", F.lit(total_tokens).cast("bigint"))
     )
-    idf_q = F.floor(
-        F.log(
-            (F.lit(2) * F.col("n_docs") + F.lit(2)).cast("double")
-            / (F.lit(2) * F.col("df") + F.lit(1)).cast("double")
-        )
-        * LN_SCALE
-    )
-    num = (F.lit(22) * F.col("total_tokens") * F.col("tf")).cast("bigint")
-    den = (
-        F.lit(10) * F.col("total_tokens") * F.col("tf")
-        + F.lit(3) * F.col("total_tokens")
-        + F.lit(9) * F.col("n_docs") * F.col("dl")
-    ).cast("bigint")
-    contrib = F.floor(
-        idf_q.cast("double") * (num.cast("double") / den.cast("double"))
-    ).cast("bigint")
-
     per_doc = scored.groupBy("doc_id").agg(
-        F.sum(contrib).alias("score_q"),
+        F.sum(_bm25_contrib()).alias("score_q"),
         F.count(F.lit(1)).alias("n_terms"),
         F.min("dl").alias("dl"),
     )
@@ -934,25 +942,8 @@ def bm25_topk_batch(
         .withColumn("n_docs", F.lit(n_docs).cast("bigint"))
         .withColumn("total_tokens", F.lit(total_tokens).cast("bigint"))
     )
-    idf_q = F.floor(
-        F.log(
-            (F.lit(2) * F.col("n_docs") + F.lit(2)).cast("double")
-            / (F.lit(2) * F.col("df") + F.lit(1)).cast("double")
-        )
-        * LN_SCALE
-    )
-    num = (F.lit(22) * F.col("total_tokens") * F.col("tf")).cast("bigint")
-    den = (
-        F.lit(10) * F.col("total_tokens") * F.col("tf")
-        + F.lit(3) * F.col("total_tokens")
-        + F.lit(9) * F.col("n_docs") * F.col("dl")
-    ).cast("bigint")
-    contrib = F.floor(
-        idf_q.cast("double") * (num.cast("double") / den.cast("double"))
-    ).cast("bigint")
-
     per_doc = scored.groupBy("qid", "doc_id").agg(
-        F.sum(contrib).alias("score_q"),
+        F.sum(_bm25_contrib()).alias("score_q"),
         F.count(F.lit(1)).alias("n_terms"),
         F.min("dl").alias("dl"),
     )

@@ -20,7 +20,8 @@ def test_roundtrip_formats(spark, sample, tmp_path, fmt):
     opts = {"header": "true"} if fmt == "csv" else {}
     if fmt == "xml":
         opts = {"rootTag": "regions", "rowTag": "region"}
-        ropts = {"rowTag": "region"}
+        # default read TRIMS element text — pin it off for faithfulness
+        ropts = {"rowTag": "region", "ignoreSurroundingSpaces": "false"}
     else:
         ropts = opts
     write_table(sample, path, fmt=fmt, **opts)
