@@ -112,6 +112,8 @@ AUDIT = [
     "rel_zorder_layout",
     "dedup_substrings",
     "dedup_substrings_report",
+    "text_bm25_batch",
+    "text_decontaminate",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
