@@ -25,6 +25,8 @@ doc_id which co-partitions with the tf shuffle.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -719,41 +721,89 @@ BM25_TOPK = 10
 # through the exact rational rewrite below, never as float literals.
 
 
-def _bm25_totals_guarded(docs_tf: DataFrame):
-    """Doc lengths + the driver-collected corpus totals the BM25 scorer
-    injects as literals, with the int64 overflow guard: num = 22*T*tf is
-    bounded by the real max POSTING tf, not max doc length — a corpus
-    whose longest doc dwarfs its largest single-term count (every real
-    corpus) must not be rejected on a bound it can't hit. Returns
-    (dl_df, n_docs, total_tokens); raises OverflowError past the bound
-    BEFORE the scoring plan ever runs."""
+class BM25Totals(NamedTuple):
+    """Per-pipeline BM25 corpus statistics: the per-doc length frame (the
+    eagerly materialized ``(doc_id, dl)`` DataFrame every scorer joins
+    against) plus the driver-collected scalar totals injected as
+    literals. Compute ONCE per pipeline with :func:`bm25_totals` and pass
+    to every :func:`bm25_topk` / :func:`bm25_topk_batch` call — at 100-TB
+    scale the tokenize/explode/aggregate behind ``dl`` is the dominant
+    cost, and re-deriving it per scorer invocation doubles the corpus
+    passes for nothing."""
+
+    dl: DataFrame
+    n_docs: int
+    total_tokens: int
+
+
+def _bm25_worst_den(dl_with_mtf: DataFrame, n_docs: int, total_tokens: int) -> int:
+    """Exact per-posting maximum of the BM25 denominator
+    ``10*T*tf + 3*T + 9*N*dl`` over a ``(doc_id, dl, __mtf)`` frame:
+    within one document the max-den posting is its max-tf posting, so the
+    per-doc joint ``(mtf, dl)`` maximum is exact — never a cross-document
+    combination of independent maxima. Computed in ``decimal(38,0)`` so
+    checking for int64 overflow can't itself int64-overflow; a decimal
+    overflow to NULL is proof the corpus is past the bound."""
+    d38 = "decimal(38,0)"
+    den_dec = (
+        F.lit(str(10 * total_tokens)).cast(d38) * F.col("__mtf").cast(d38)
+        + F.lit(str(3 * total_tokens)).cast(d38)
+        + F.lit(str(9 * n_docs)).cast(d38) * F.col("dl").cast(d38)
+    )
+    row = dl_with_mtf.agg(
+        F.max(den_dec).alias("mx"),
+        F.sum(F.when(den_dec.isNull(), 1).otherwise(0)).alias("overflowed"),
+    ).collect()[0]
+    if int(row["overflowed"] or 0):
+        return 2**63  # decimal(38,0) wrapped -> certainly past int64
+    return int(row["mx"])
+
+
+def bm25_totals(docs_tf: DataFrame, *, checkpoint: bool = True) -> BM25Totals:
+    """Doc lengths + the driver-collected corpus totals the BM25 scorers
+    inject as literals, with the int64 overflow guard enforced BEFORE any
+    scoring plan runs.
+
+    ``checkpoint=True`` eagerly ``localCheckpoint``s the doc-sized ``dl``
+    frame, so the totals collect and every downstream scorer share ONE
+    tokenize/explode/aggregate pass over the corpus instead of replaying
+    it per consumer (``dl`` is one short row per document — executor-local
+    blocks, never corpus-tokens-sized).
+
+    Overflow guard (exact, not conservative): ``num = 22*T*tf`` is bounded
+    by the real max posting tf; ``den = 10*T*tf + 3*T + 9*N*dl`` is
+    bounded by the true per-document joint max of ``(mtf, dl)`` — within
+    one doc the max-den posting is its max-tf posting, so
+    ``max_docs(10*T*mtf + 3*T + 9*N*dl)`` is the exact per-posting
+    maximum, NOT a cross-document combination of independent maxima that
+    would falsely reject corpora which cannot actually overflow. The
+    bound itself is computed in ``decimal(38,0)`` (a decimal overflow to
+    NULL is itself proof the corpus is past int64) so checking for int64
+    overflow can't int64-overflow. Raises OverflowError past 2^63."""
     dl = docs_tf.groupBy("doc_id").agg(
         F.sum("tf").alias("dl"), F.max("tf").alias("__mtf")
     )
+    if checkpoint:
+        dl = dl.localCheckpoint(eager=True)
     tot = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
-        F.max("dl").alias("max_dl"),
         F.max("__mtf").alias("max_tf"),
     ).collect()[0]
-    dl = dl.drop("__mtf")
     n_docs = tot["n_docs"] or 0
     total_tokens = int(tot["total_tokens"] or 0)
-    max_dl = int(tot["max_dl"] or 0)
     max_tf = int(tot["max_tf"] or 0)
-    worst = max(
-        22 * total_tokens * max_tf,
-        10 * total_tokens * max_tf + 3 * total_tokens + 9 * n_docs * max_dl,
-    )
+    worst = 22 * total_tokens * max_tf
+    if n_docs and worst < 2**63:
+        worst = max(worst, _bm25_worst_den(dl, n_docs, total_tokens))
     if worst >= 2**63:
         raise OverflowError(
             "bm25 int64 rational-score overflow: corpus tokens "
-            f"T={total_tokens}, N={n_docs}, max posting tf {max_tf}, max "
-            f"doc length {max_dl} give a worst-case intermediate of "
-            f"{worst} >= 2^63; pre-divide num/den by their gcd or reduce "
-            "the LN-grid precision"
+            f"T={total_tokens}, N={n_docs}, max posting tf {max_tf} give "
+            f"a worst-case intermediate of {worst} >= 2^63; pre-divide "
+            "num/den by their gcd or reduce the LN-grid precision"
         )
-    return dl, n_docs, total_tokens
+    return BM25Totals(dl.drop("__mtf"), n_docs, total_tokens)
 
 
 def _bm25_contrib():
@@ -785,6 +835,7 @@ def bm25_topk(
     docs_tf: DataFrame,
     query_terms: tuple = BM25_QUERY_TERMS,
     k: int = BM25_TOPK,
+    totals: BM25Totals | None = None,
 ) -> DataFrame:
     """Top-``k`` documents for a fixed term query under Okapi BM25.
 
@@ -818,7 +869,7 @@ def bm25_topk(
     reads) and the final top-k is a distributed TakeOrdered (never a
     global sort).
     """
-    dl, n_docs, total_tokens = _bm25_totals_guarded(docs_tf)
+    dl, n_docs, total_tokens = totals if totals is not None else bm25_totals(docs_tf)
     hits = docs_tf.filter(F.col("term").isin(*query_terms))
     dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
@@ -910,6 +961,7 @@ def bm25_topk_batch(
     docs_tf: DataFrame,
     queries: dict = BM25_BATCH_QUERIES,
     k: int = BM25_BATCH_TOPK,
+    totals: BM25Totals | None = None,
 ) -> DataFrame:
     """Multi-query BM25 — the production retrieval shape: a BATCH of
     queries scored against the corpus in ONE plan, grouped top-``k``
@@ -926,7 +978,7 @@ def bm25_topk_batch(
     never corpus-sized. Output: (qid, doc_id, score_q, n_terms, dl, rk).
     """
     spark = docs_tf.sparkSession
-    dl, n_docs, total_tokens = _bm25_totals_guarded(docs_tf)
+    dl, n_docs, total_tokens = totals if totals is not None else bm25_totals(docs_tf)
     qdf = spark.createDataFrame(
         [(qid, t) for qid, terms in sorted(queries.items()) for t in terms],
         "qid string, term string",
@@ -1127,8 +1179,17 @@ def quality_rank(docs_tf: DataFrame, depth: int = RRF_DEPTH) -> DataFrame:
 
 
 def q_text_rrf_fusion(spark, sf_dir):
-    tf = _term_freq(spark, sf_dir)
-    return rrf_fuse(bm25_topk(tf, k=RRF_DEPTH), quality_rank(tf))
+    # Hybrid retrieval amortization: the tokenize/explode behind tf is the
+    # dominant cost and BOTH fusion legs (BM25 relevance, unigram-LM
+    # quality) consume it, so materialize tf once (localCheckpoint here;
+    # at corpus scale the parquet posting store of
+    # q_text_bm25_incremental is the durable equivalent) and compute
+    # bm25_totals once per pipeline — the guard's totals collect and the
+    # scoring plan then share one pass instead of re-tokenizing per
+    # consumer (the r10 regression: +20% from per-call totals).
+    tf = _term_freq(spark, sf_dir).localCheckpoint(eager=True)
+    totals = bm25_totals(tf)
+    return rrf_fuse(bm25_topk(tf, k=RRF_DEPTH, totals=totals), quality_rank(tf))
 
 
 def _sql_rrf_fusion() -> str:

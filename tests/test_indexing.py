@@ -363,6 +363,60 @@ def test_bm25_overflow_guard_trips(spark):
         bm25_topk(tf, query_terms=("q",), k=10)
 
 
+def test_bm25_precomputed_totals_identity(spark):
+    """bm25_topk / bm25_topk_batch with a pipeline-shared bm25_totals()
+    (the 100-TB amortization path: dl checkpointed once, passed to every
+    scorer) must equal the per-call recompute row-for-row, with and
+    without the checkpoint."""
+    from pandas_etl_framework_spark.llmops.indexing import (
+        _term_freq,
+        bm25_topk,
+        bm25_topk_batch,
+        bm25_totals,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tf = _term_freq(spark, sf).localCheckpoint(eager=True)
+    base = sorted(map(tuple, bm25_topk(tf).collect()))
+    base_b = sorted(map(tuple, bm25_topk_batch(tf).collect()))
+    for ckpt in (True, False):
+        totals = bm25_totals(tf, checkpoint=ckpt)
+        assert totals.n_docs > 0 and totals.total_tokens > totals.n_docs
+        assert sorted(map(tuple, bm25_topk(tf, totals=totals).collect())) == base
+        assert (
+            sorted(map(tuple, bm25_topk_batch(tf, totals=totals).collect()))
+            == base_b
+        )
+
+
+def test_bm25_worst_den_exact_per_doc_joint_max(spark):
+    """The overflow bound's denominator maximum is the TRUE per-posting
+    max — the per-document joint (max tf, dl), never max_tf and max_dl
+    combined across different documents. Mirrored in arbitrary-precision
+    Python over a corpus whose max-tf doc and max-dl doc differ, where
+    the old cross-document bound would exceed the exact one."""
+    from pyspark.sql import functions as F
+
+    from pandas_etl_framework_spark.llmops.indexing import _bm25_worst_den
+
+    # doc 0 holds max_tf (9), doc 1 holds max_dl (7+6=13)
+    rows = [(0, "a", 9), (1, "b", 7), (1, "c", 6), (2, "d", 1)]
+    tf = spark.createDataFrame(rows, "doc_id long, term string, tf long")
+    dl = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("dl"), F.max("tf").alias("__mtf")
+    )
+    n_docs, total_tokens = 3, 23
+    got = _bm25_worst_den(dl, n_docs, total_tokens)
+    per_doc = {0: (9, 9), 1: (7, 13), 2: (1, 1)}  # doc -> (mtf, dl)
+    exact = max(
+        10 * total_tokens * mtf + 3 * total_tokens + 9 * n_docs * d
+        for mtf, d in per_doc.values()
+    )
+    assert got == exact
+    old_conservative = 10 * total_tokens * 9 + 3 * total_tokens + 9 * n_docs * 13
+    assert exact < old_conservative  # the refinement is strictly tighter here
+
+
 def test_rrf_fusion_integer_exact_and_sentinels(spark):
     """RRF on hand lists: doc in both lists beats either single-list doc,
     contributions match the integer formula, absent ranks emit the 0
