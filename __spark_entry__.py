@@ -168,7 +168,7 @@ DRIVER_PRIORITY = [
     "emb_ann_lsh", "tpch_q1", "text_langid", "sketch_hll_distinct",
     "events_asof_join",
     # -- (c) r04-era rows, alphabetical, judge-covered rows deprioritized -
-    "emb_pca_project", "emb_quantize_int8", "emb_random_projection",
+    "emb_pca_invariants", "emb_quantize_int8", "emb_random_projection",
     "events_cohort_retention", "events_gapfill_locf",
     "events_grouped_map_zscore", "events_json_extract",
     "events_multires_rollup", "events_range_join", "events_rfm",
@@ -186,6 +186,17 @@ def _ordered_registry():
         # not an assert: under `python -O` an assert is stripped and a typo
         # here would silently reorder the driver window instead of failing
         raise ValueError(f"DRIVER_PRIORITY names not in REGISTRY: {missing}")
+    # window-slot hygiene (VERDICT r10 item 6): a no-oracle row in the
+    # driver window only proves rows>0 — it spends a slot owed to the
+    # oracle-gated backlog. Enforced in code, not by comment, so a future
+    # rotation can't repeat the r10 slip (emb_pca_project took a slot
+    # despite the standing r04 keep-out ruling).
+    no_oracle = [n for n in DRIVER_PRIORITY if REGISTRY[n][1] is None]
+    if no_oracle:
+        raise ValueError(
+            f"DRIVER_PRIORITY contains no-oracle rows {no_oracle}: "
+            "rows-only queries stay OUT of the driver window permanently"
+        )
     ordered = {n: REGISTRY[n] for n in DRIVER_PRIORITY}
     ordered.update((n, v) for n, v in REGISTRY.items() if n not in ordered)
     return ordered

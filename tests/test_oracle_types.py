@@ -53,3 +53,40 @@ def test_no_hazardous_oracle_output_types(oracle_con):
         "oracle output columns that break the driver's pandas-based "
         f"comparator (cast SUMs to BIGINT / array_to_string lists): {bad}"
     )
+
+
+def test_driver_window_composition():
+    """Window-slot hygiene (VERDICT r10 item 6): the 50-slot driver window
+    is composed of oracle-gated rows ONLY — a rows-only query in the
+    window spends a slot that proves nothing beyond rows>0 and is owed to
+    the re-verification backlog. Also pins the assembly invariants: every
+    DRIVER_PRIORITY name resolves, no duplicates, and the full registry
+    (windowed + unwindowed) round-trips through queries()."""
+    import __spark_entry__ as entrymod
+    from pandas_etl_framework_spark.harness import REGISTRY
+
+    names = entrymod.DRIVER_PRIORITY
+    assert len(names) == len(set(names)), "duplicate window slots"
+    assert len(names) >= 50, "window must fill all 50 driver slots"
+    unknown = [n for n in names if n not in REGISTRY]
+    assert not unknown
+    rows_only = [n for n in names if REGISTRY[n][1] is None]
+    assert not rows_only, f"no-oracle rows in the driver window: {rows_only}"
+    qs = entrymod.queries()
+    assert list(qs)[: len(names)] == list(names)
+    assert set(qs) == set(REGISTRY)
+
+
+def test_driver_window_rejects_no_oracle_rows(monkeypatch):
+    """The keep-out is enforced in code, not by comment: a rotation that
+    reintroduces a rows-only row must fail at import/assembly time."""
+    import __spark_entry__ as entrymod
+    from pandas_etl_framework_spark.harness import REGISTRY
+
+    rows_only = [n for n, (_f, sql) in REGISTRY.items() if sql is None]
+    assert rows_only, "expected at least one rows-only registry row"
+    monkeypatch.setattr(
+        entrymod, "DRIVER_PRIORITY", [rows_only[0]] + list(entrymod.DRIVER_PRIORITY)
+    )
+    with pytest.raises(ValueError, match="no-oracle"):
+        entrymod.queries()

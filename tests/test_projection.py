@@ -121,3 +121,56 @@ def test_quantize_int8_bounds_and_reconstruction(spark):
             assert np.abs(code * r["scale"] - x).max() <= r["scale"] / 2 + 1e-12
         else:
             assert (code == 0).all() and np.abs(x).max() == 0.0
+
+
+def test_pca_invariants_match_numpy_exactly(spark):
+    """pca_invariants per-row quadratic forms and spectrum vs a direct
+    numpy mirror on sf0.001: exact int64 equality (no tolerance — the
+    operator is defined in exact integer arithmetic end-to-end)."""
+    from pandas_etl_framework_spark.llmops.projection import (
+        EIG_SCALE,
+        PCA_K,
+        PROJ_SCALE,
+        _round_half_away,
+        pca_invariants,
+    )
+
+    q, _ = _quantized_matrix(spark)
+    n = len(q)
+    # independent centered covariance + eigh in numpy
+    g = (q.T @ q).astype(np.float64)
+    s = q.sum(axis=0).astype(np.float64)
+    cov = (n * g - np.outer(s, s)) / (float(n) ** 2 * COV_SCALE**2)
+    w, vecs = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:PCA_K]
+    comps = vecs[:, order].T
+    proj = comps.T @ comps
+    pq = _round_half_away(proj * PROJ_SCALE)
+    lam_q = _round_half_away(w[order] * EIG_SCALE)
+
+    out = {
+        r["item_id"]: r
+        for r in pca_invariants(_emb(spark, SF)).collect()
+    }
+    # spectrum rows: exact, positive, descending
+    got_lam = [out[-(r + 1)]["norm2_q"] for r in range(PCA_K)]
+    assert got_lam == [int(v) for v in lam_q]
+    assert got_lam == sorted(got_lam, reverse=True) and got_lam[-1] > 0
+    # per-row rows: exact integer quadratic forms
+    rows = _emb(spark, SF).orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in rows]
+    t = q @ pq.T  # int64: t[r, i] = sum_j pq[i, j] q[r, j]
+    proj_exp = (q * t).sum(axis=1)
+    norm_exp = (q * q).sum(axis=1)
+    for rid, ne, pe in zip(ids, norm_exp, proj_exp):
+        r = out[rid]
+        assert r["norm2_q"] == ne
+        assert r["proj_q"] == pe
+        assert r["resid_q"] == ne * PROJ_SCALE - pe
+        # the projector is PSD: residual can only dip below zero by P's
+        # quantization slop, bounded by 0.5 * (sum |q|)^2
+        assert r["resid_q"] >= -((np.abs(q).sum(axis=1).max() ** 2) // 2)
+    # basis invariance: flipping component signs leaves P (hence every
+    # output) unchanged
+    flipped = (comps * -1.0).T @ (comps * -1.0)
+    assert (_round_half_away(flipped * PROJ_SCALE) == pq).all()
