@@ -1292,6 +1292,24 @@ def resolve_incremental_pair_labels(
 INCR_BATCH_SOURCE = "src0"   # harness split: src0 is the "new" ingest
 
 
+def _idempotent_batch_write(
+    df: DataFrame, path: str, batch_id: int, partition_by: str | None = None
+) -> None:
+    """foreachBatch artifact write keyed by the micro-batch id (ADVICE
+    r10): Structured Streaming's foreachBatch is at-least-once — a
+    failed-then-retried micro-batch re-runs with the SAME batch_id — so
+    each batch OVERWRITES its own ``batch_id=N`` partition instead of
+    blind-appending. A replayed batch then lands byte-identical where the
+    old append doubled n_occ store partials and duplicated staged rows
+    (silent over-dropping in the steady-state crawl-ingest shape).
+    Readers see ``batch_id`` as an inferred partition column and must
+    drop/project it away."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(f"{path}/batch_id={batch_id}")
+
+
 def _run_incremental_stream(
     spark,
     corpus: DataFrame,
@@ -1302,6 +1320,7 @@ def _run_incremental_stream(
     prefix: str,
     max_files_per_trigger=None,
     src_files=None,
+    replay_each_batch=False,
 ):
     """Shared micro-batch ingest harness for the streaming dedup twins
     (minhash / lines / substrings): two availableNow runs over a file
@@ -1317,7 +1336,14 @@ def _run_incremental_stream(
 
     ``max_files_per_trigger``/``src_files`` exist for the chopping
     tests only (N source files, one per micro-batch); driver paths
-    leave them unset."""
+    leave them unset. ``replay_each_batch`` (redelivery tests only)
+    re-invokes ``process_batch`` with the same (data, batch_id) —
+    simulating the engine's at-least-once retry — and the result must
+    be unchanged: every artifact write is keyed by batch_id via
+    :func:`_idempotent_batch_write`. Batch ids are unique ACROSS the
+    two runs because both share one checkpoint dir (the engine
+    continues numbering on restart), so run 2 can never overwrite a
+    run-1 partition."""
     import shutil
     import tempfile
 
@@ -1327,6 +1353,11 @@ def _run_incremental_stream(
     sink = f"{tmp}/sink"
     ckpt = f"{tmp}/ckpt"
 
+    def handle(df, bid):
+        process_batch(df, store, sink, bid)
+        if replay_each_batch:
+            process_batch(df, store, sink, bid)
+
     def run_once(schema):
         reader = spark.readStream.schema(schema)
         if max_files_per_trigger is not None:
@@ -1335,9 +1366,7 @@ def _run_incremental_stream(
             )
         q = (
             reader.parquet(src)
-            .writeStream.foreachBatch(
-                lambda df, _bid: process_batch(df, store, sink)
-            )
+            .writeStream.foreachBatch(handle)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -1461,7 +1490,8 @@ def q_dedup_minhash_band_store(spark, sf_dir):
 
 
 def q_streaming_minhash_incremental(
-    spark, sf_dir, *, max_files_per_trigger=None, src_files=None
+    spark, sf_dir, *, max_files_per_trigger=None, src_files=None,
+    replay_each_batch=False,
 ):
     """The incremental near-dup pipeline THROUGH the real micro-batch
     engine, merge-on-read: documents stream in (availableNow, file
@@ -1489,12 +1519,20 @@ def q_streaming_minhash_incremental(
     batch2 = docs.filter(F.col("source") == INCR_BATCH_SOURCE)
     empty_bands = "doc_id long, band long, band_key string"
 
-    def process_batch(batch_df, store, sink):
+    def process_batch(batch_df, store, sink, bid):
         s = batch_df.sparkSession
         bands_new = minhash_bands(batch_df)
         try:
-            stored = s.read.parquet(store).select(
-                "doc_id", F.col("band").cast("long").alias("band"), "band_key"
+            # a replayed batch must not probe its OWN first-attempt
+            # bands as corpus: exclude this bid's store partition
+            stored = (
+                s.read.parquet(store)
+                .filter(F.col("batch_id") != bid)
+                .select(
+                    "doc_id",
+                    F.col("band").cast("long").alias("band"),
+                    "band_key",
+                )
             )
         except Exception:
             stored = s.createDataFrame([], empty_bands)
@@ -1502,20 +1540,25 @@ def q_streaming_minhash_incremental(
         # canonicalize: the pair IDENTITY is chop-invariant, the
         # per-batch leg/direction is not — labels are re-derived from
         # batch membership at read time
-        cands.select(
-            F.least("doc_new", "doc_other").alias("doc_lo"),
-            F.greatest("doc_new", "doc_other").alias("doc_hi"),
-        ).distinct().write.mode("append").parquet(sink)
-        # append AFTER probing: a batch must not see its own bands as
+        _idempotent_batch_write(
+            cands.select(
+                F.least("doc_new", "doc_other").alias("doc_lo"),
+                F.greatest("doc_new", "doc_other").alias("doc_hi"),
+            ).distinct(),
+            sink,
+            bid,
+        )
+        # write AFTER probing: a batch must not see its own bands as
         # corpus (bands_new was checkpointed inside the probe, so this
-        # append cannot double-run the banding pipeline either)
-        bands_new.write.mode("append").partitionBy("band").parquet(store)
+        # write cannot double-run the banding pipeline either)
+        _idempotent_batch_write(bands_new, store, bid, partition_by="band")
 
     def resolve(store, sink):
         return resolve_incremental_pair_labels(
             # run 1 also emitted the corpus's own within-batch pairs;
-            # membership labeling drops them (neither side is new)
-            spark.read.parquet(sink).distinct(),
+            # membership labeling drops them (neither side is new);
+            # batch_id is the idempotency partition key, not pair identity
+            spark.read.parquet(sink).select("doc_lo", "doc_hi").distinct(),
             batch2.select("doc_id"),
         )
 
@@ -1528,6 +1571,7 @@ def q_streaming_minhash_incremental(
         prefix="etl_stream_minhash_",
         max_files_per_trigger=max_files_per_trigger,
         src_files=src_files,
+        replay_each_batch=replay_each_batch,
     )
 
 
@@ -2282,7 +2326,8 @@ def q_dedup_lines_store(spark, sf_dir):
 
 
 def q_streaming_lines_incremental(
-    spark, sf_dir, *, max_files_per_trigger=None, src_files=None
+    spark, sf_dir, *, max_files_per_trigger=None, src_files=None,
+    replay_each_batch=False,
 ):
     """The line-dedup ingest loop THROUGH the real micro-batch engine,
     merge-on-read: documents stream in (availableNow, file source) and
@@ -2309,25 +2354,25 @@ def q_streaming_lines_incremental(
     corpus = all_docs.filter(F.col("source") != INCR_BATCH_SOURCE)
     batch2 = all_docs.filter(F.col("source") == INCR_BATCH_SOURCE)
 
-    def process_batch(batch_df, store, sink):
+    def process_batch(batch_df, store, sink, bid):
         batch_df = batch_df.localCheckpoint(eager=True)
-        # stats from RAW batch text; order vs the sink append is
+        # stats from RAW batch text; order vs the sink write is
         # irrelevant because nothing is resolved until read time
-        line_count_store(batch_df).write.mode("append").parquet(store)
-        _exploded_lines(batch_df, "text", "doc_id", "\n").write.mode(
-            "append"
-        ).parquet(sink)
+        _idempotent_batch_write(line_count_store(batch_df), store, bid)
+        _idempotent_batch_write(
+            _exploded_lines(batch_df, "text", "doc_id", "\n"), sink, bid
+        )
 
     def resolve(store, sink):
-        final_store = merge_line_store(
-            spark.read.parquet(store),
-            spark.read.parquet(store).limit(0),
-        )
+        partials = spark.read.parquet(store).drop("batch_id")
+        final_store = merge_line_store(partials, partials.limit(0))
         batch_ids = batch2.select("doc_id")
         return resolve_line_dedup_from_store(
             # run 1 also staged the corpus's lines; the batch-restricted
             # oracle deliberately excludes them
-            spark.read.parquet(sink).join(batch_ids, "doc_id", "left_semi"),
+            spark.read.parquet(sink)
+            .drop("batch_id")
+            .join(batch_ids, "doc_id", "left_semi"),
             final_store,
         )
 
@@ -2340,6 +2385,7 @@ def q_streaming_lines_incremental(
         prefix="etl_stream_lines_",
         max_files_per_trigger=max_files_per_trigger,
         src_files=src_files,
+        replay_each_batch=replay_each_batch,
     )
 
 
@@ -2939,7 +2985,8 @@ def q_dedup_substrings_store(spark, sf_dir):
 
 
 def q_streaming_substrings_incremental(
-    spark, sf_dir, *, max_files_per_trigger=None, src_files=None
+    spark, sf_dir, *, max_files_per_trigger=None, src_files=None,
+    replay_each_batch=False,
 ):
     """The substring-dedup ingest loop THROUGH the real micro-batch
     engine, merge-on-read (chop-invariant by the same construction as
@@ -2959,21 +3006,21 @@ def q_streaming_substrings_incremental(
     corpus = docs.filter(F.col("source") != INCR_BATCH_SOURCE)
     batch2 = docs.filter(F.col("source") == INCR_BATCH_SOURCE)
 
-    def process_batch(batch_df, store, sink):
+    def process_batch(batch_df, store, sink, bid):
         batch_df = batch_df.localCheckpoint(eager=True)
-        substring_window_store(batch_df).write.mode("append").parquet(store)
-        batch_df.select("doc_id", "text").write.mode("append").parquet(sink)
+        _idempotent_batch_write(substring_window_store(batch_df), store, bid)
+        _idempotent_batch_write(batch_df.select("doc_id", "text"), sink, bid)
 
     def resolve(store, sink):
-        final_store = merge_substring_store(
-            spark.read.parquet(store),
-            spark.read.parquet(store).limit(0),
-        )
+        partials = spark.read.parquet(store).drop("batch_id")
+        final_store = merge_substring_store(partials, partials.limit(0))
         batch_ids = batch2.select("doc_id")
         return resolve_substring_dedup_from_store(
             # run 1 also staged the corpus docs; the batch-restricted
             # oracle deliberately excludes them
-            spark.read.parquet(sink).join(batch_ids, "doc_id", "left_semi"),
+            spark.read.parquet(sink)
+            .drop("batch_id")
+            .join(batch_ids, "doc_id", "left_semi"),
             final_store,
         )
 
@@ -2986,6 +3033,7 @@ def q_streaming_substrings_incremental(
         prefix="etl_stream_substr_",
         max_files_per_trigger=max_files_per_trigger,
         src_files=src_files,
+        replay_each_batch=replay_each_batch,
     )
 
 

@@ -65,3 +65,26 @@ def test_chopped_substrings_stream_matches_batch(spark):
     )
     batch = q_dedup_substrings_incremental(spark, SF_DIR)
     assert _rows(chopped) == _rows(batch)
+
+
+def test_replayed_chopped_streams_match_batch(spark):
+    """At-least-once redelivery idempotency (ADVICE r10): every artifact
+    write is keyed by batch_id (overwrite-own-partition), so re-invoking
+    process_batch with the same (data, batch_id) — the engine's retry
+    shape — must leave store partials and staged rows byte-identical
+    instead of double-counting. Chopped + replayed runs of all three
+    twins must still equal the batch recompute the oracle gates."""
+    for streaming_q, batch_q in (
+        (q_streaming_lines_incremental, q_dedup_lines_incremental),
+        (q_streaming_minhash_incremental, q_dedup_minhash_incremental),
+        (q_streaming_substrings_incremental, q_dedup_substrings_incremental),
+    ):
+        replayed = streaming_q(
+            spark,
+            SF_DIR,
+            max_files_per_trigger=1,
+            src_files=2,
+            replay_each_batch=True,
+        )
+        batch = batch_q(spark, SF_DIR)
+        assert _rows(replayed) == _rows(batch), streaming_q.__name__
