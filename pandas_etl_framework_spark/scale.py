@@ -657,6 +657,12 @@ def auto_join(
     return left.join(right, on=keys, how=how)
 
 
+# the oracle row's explicit hot-row floor — scale-independent for every
+# fixture >= sf0.001 (see q_rel_auto_skew_join docstring); production
+# callers keep auto_join_strategy's 1000 default
+_ORACLE_MIN_HOT_ROWS = 50
+
+
 def q_rel_auto_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """auto_join made judge-visible, all three decision branches in one
     result:
@@ -673,7 +679,19 @@ def q_rel_auto_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The chosen strategy is emitted as a column and pinned by the oracle,
     so a mis-deciding profiler is a driver-visible hash mismatch, not a
-    silent perf regression."""
+    silent perf regression.
+
+    The legs are defined by SHARE, so the pinned decisions must be
+    scale-independent — but the production ``min_hot_rows=1000`` floor
+    is an ABSOLUTE count, which would flip the moderate leg to 'plain'
+    below ~10k lineitem rows (ADVICE r10: sf0.001's hot key is ~600
+    rows) and hash-mismatch the oracle at small fixtures. This row
+    passes an explicit ``min_hot_rows=_ORACLE_MIN_HOT_ROWS`` (50): low
+    enough that every fixture scale >= sf0.001 clears it on the hot and
+    moderate legs, high enough that the uniform leg's hottest key
+    (single-digit rows at sf0.001) still exercises the floor gate, so
+    all three gates stay judged while the pinned decision depends only
+    on the share profile. Production callers keep the 1000 default."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey",
         F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qq"),
@@ -695,7 +713,9 @@ def q_rel_auto_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def leg(name: str, probe: DataFrame) -> DataFrame:
-        strat = auto_join_strategy(probe, ["l_orderkey"])
+        strat = auto_join_strategy(
+            probe, ["l_orderkey"], min_hot_rows=_ORACLE_MIN_HOT_ROWS
+        )
         joined = auto_join(probe, dim, ["l_orderkey"], strategy=strat)
         return joined.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("n_rows"),
