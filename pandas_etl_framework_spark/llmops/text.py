@@ -1264,6 +1264,273 @@ def _sql_text_bpe_train(n_merges: int = 10) -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Unigram-LM tokenizer trainer (SentencePiece-style Viterbi hard-EM)
+# --------------------------------------------------------------------------
+
+UNIGRAM_MAX_PIECE_LEN = 4   # seed pieces: every word substring up to this
+UNIGRAM_SEED_MULTI = 96     # multi-char seed pieces kept (chars always kept)
+UNIGRAM_EM_ITERS = 2        # Viterbi hard-EM rounds over the word table
+UNIGRAM_TOPK = 40           # final vocabulary rows emitted
+
+
+def _unigram_path_better(a, b, total: int) -> bool:
+    """Exact path comparison for the Viterbi DP: a path is (prod, k,
+    pieces) with likelihood prod/total^k — compared by bigint
+    cross-multiplication (prod_a·total^k_b vs prod_b·total^k_a, never a
+    float), ties prefer fewer pieces then the lexicographically smaller
+    piece tuple, so the segmentation is a total order both engines and
+    the pure-Python mirror reproduce exactly."""
+    pa, ka, sa = a
+    pb, kb, sb = b
+    lhs, rhs = pa * total**kb, pb * total**ka
+    if lhs != rhs:
+        return lhs > rhs
+    if ka != kb:
+        return ka < kb
+    return sa < sb
+
+
+def _unigram_viterbi(word: str, weights: dict, total: int, max_len: int):
+    """Best unigram-LM segmentation of ``word`` under integer piece
+    weights (counts + 1 — Laplace keeps every vocab piece reachable).
+    Exact bigint arithmetic end-to-end; full coverage is guaranteed
+    because the vocabulary always contains every corpus character."""
+    n = len(word)
+    best = [None] * (n + 1)
+    best[0] = (1, 0, ())
+    for i in range(1, n + 1):
+        cand = None
+        for j in range(max(0, i - max_len), i):
+            prev = best[j]
+            if prev is None:
+                continue
+            wgt = weights.get(word[j:i])
+            if not wgt:
+                continue
+            path = (prev[0] * wgt, prev[1] + 1, prev[2] + (word[j:i],))
+            if cand is None or _unigram_path_better(path, cand, total):
+                cand = path
+        best[i] = cand
+    return list(best[n][2]) if best[n] is not None else list(word)
+
+
+def _unigram_substrings_expr(max_len: int) -> str:
+    """All substrings of w up to max_len, JVM-side (one flatten of nested
+    sequences — no Python in the seed pass)."""
+    return (
+        "flatten(transform(sequence(1, length(w)), i -> "
+        f"transform(sequence(1, least({max_len}, length(w) - i + 1)), "
+        "l -> substring(w, i, l))))"
+    )
+
+
+def unigram_train(
+    docs: DataFrame,
+    *,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    seed_multi: int = UNIGRAM_SEED_MULTI,
+    em_iters: int = UNIGRAM_EM_ITERS,
+    text_col: str = "text",
+) -> "list[tuple[str, int]]":
+    """SentencePiece-style unigram-LM tokenizer trainer (Kudo 2018), the
+    Viterbi hard-EM variant, in exact integer arithmetic.
+
+    Seed: every word substring up to ``max_piece_len`` — all single
+    characters (coverage) plus the top ``seed_multi`` multi-char pieces
+    by (occurrence count DESC, piece ASC). EM: each round broadcasts the
+    integer piece weights (count + 1), Viterbi-segments the DISTINCT-WORD
+    table (freq-weighted, exact bigint likelihood comparisons — see
+    :func:`_unigram_path_better`), and re-estimates counts from the
+    segmentation; pieces the segmentation stops using fade to weight 1
+    rather than being dropped mid-EM, so the vocabulary is fixed and the
+    rounds are deterministic. Returns the final (piece, count) list,
+    count > 0, ordered (count DESC, piece ASC).
+
+    Scale posture (the bpe_train structure): the corpus is touched ONCE
+    (word-frequency aggregation); every EM round is one mapInPandas pass
+    over the vocabulary-independent distinct-word relation with map-side
+    combined per-batch counters, and the only driver state is the
+    vocab-sized weight dict (chars + seed_multi pieces) — never anything
+    corpus-sized.
+    """
+    import pandas as pd
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens_col(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    subs = (
+        words.select(
+            F.explode(F.expr(_unigram_substrings_expr(max_piece_len))).alias(
+                "piece"
+            ),
+            "freq",
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    chars = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(seed_multi)
+    )
+    seed = chars.unionByName(multi).collect()  # alphabet + seed_multi rows
+    weights = {r["piece"]: int(r["cnt"]) + 1 for r in seed}
+
+    for _ in range(em_iters):
+        total = sum(weights.values())
+        bc = spark.sparkContext.broadcast((weights, total, max_piece_len))
+
+        def estep(batches):
+            w_, t_, ml = bc.value
+            for pdf in batches:
+                counter: dict = {}
+                for word, freq in zip(pdf["w"], pdf["freq"]):
+                    for piece in _unigram_viterbi(word, w_, t_, ml):
+                        counter[piece] = counter.get(piece, 0) + int(freq)
+                if counter:
+                    yield pd.DataFrame(
+                        {"piece": list(counter), "cnt": list(counter.values())}
+                    )
+
+        counts = {
+            r["piece"]: int(r["cnt"])
+            for r in words.mapInPandas(estep, "piece string, cnt long")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()  # vocab-sized
+        }
+        weights = {p: counts.get(p, 0) + 1 for p in weights}
+
+    final = [(p, w - 1) for p, w in weights.items() if w > 1]
+    final.sort(key=lambda pc: (-pc[1], pc[0]))
+    return final
+
+
+def q_text_unigram_train(spark, sf_dir):
+    """Driver row for the unigram-LM trainer: (rank, piece, cnt) for the
+    top pieces of the final EM vocabulary. Oracle-gated via embedded
+    VALUES from the independent pure-Python trainer — gate-only, corpus
+    pinned to ``_oracle_sf_dir()`` on both sides exactly like
+    text_bpe_train (the VALUES oracle is corpus-specific)."""
+    oracle_dir = _oracle_sf_dir()
+    if sf_dir != oracle_dir:
+        import warnings
+
+        warnings.warn(
+            f"q_text_unigram_train ignores sf_dir={sf_dir!r}: its VALUES "
+            f"oracle is corpus-specific, so the corpus is pinned to "
+            f"{oracle_dir!r}; use unigram_train() for other scales",
+            stacklevel=2,
+        )
+    final = unigram_train(_docs(spark, oracle_dir))[:UNIGRAM_TOPK]
+    return spark.createDataFrame(
+        [(rank + 1, p, c) for rank, (p, c) in enumerate(final)],
+        "piece_rank int, piece string, cnt long",
+    )
+
+
+def unigram_train_python(
+    texts,
+    *,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    seed_multi: int = UNIGRAM_SEED_MULTI,
+    em_iters: int = UNIGRAM_EM_ITERS,
+):
+    """Independent pure-Python unigram-LM trainer — the oracle for
+    :func:`unigram_train`. Deliberately its own implementation: the
+    Viterbi uses exact ``fractions.Fraction`` likelihoods (a different
+    formulation than the distributed trainer's cross-multiplied bigint
+    compare — mathematically identical, structurally independent) and
+    plain dict/Counter aggregation."""
+    from collections import Counter
+    from fractions import Fraction
+
+    freqs = Counter()
+    for t in texts:
+        for w in (t or "").split():
+            freqs[w] += 1
+    sub_counts = Counter()
+    for w, n in freqs.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                sub_counts[w[i : i + l]] += n
+    multi = sorted(
+        ((p, c) for p, c in sub_counts.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:seed_multi]
+    weights = {p: c + 1 for p, c in sub_counts.items() if len(p) == 1}
+    weights.update({p: c + 1 for p, c in multi})
+
+    def viterbi(word, wgts, total):
+        n = len(word)
+        best = [None] * (n + 1)
+        best[0] = (Fraction(1), 0, ())
+        for i in range(1, n + 1):
+            for j in range(max(0, i - max_piece_len), i):
+                if best[j] is None or word[j:i] not in wgts:
+                    continue
+                lik = best[j][0] * Fraction(wgts[word[j:i]], total)
+                path = (lik, best[j][1] + 1, best[j][2] + (word[j:i],))
+                cur = best[i]
+                if (
+                    cur is None
+                    or path[0] > cur[0]
+                    or (path[0] == cur[0] and path[1] < cur[1])
+                    or (
+                        path[0] == cur[0]
+                        and path[1] == cur[1]
+                        and path[2] < cur[2]
+                    )
+                ):
+                    best[i] = path
+        return best[n][2]
+
+    for _ in range(em_iters):
+        total = sum(weights.values())
+        counts = Counter()
+        for w, n in freqs.items():
+            for piece in viterbi(w, weights, total):
+                counts[piece] += n
+        weights = {p: counts.get(p, 0) + 1 for p in weights}
+    final = [(p, w - 1) for p, w in weights.items() if w > 1]
+    final.sort(key=lambda pc: (-pc[1], pc[0]))
+    return final
+
+
+def _sql_text_unigram_train() -> str:
+    """Precompute the unigram-train oracle as literal VALUES by running
+    the pure-Python trainer over the correctness-gate corpus (same
+    generated-oracle shape as _sql_text_bpe_train)."""
+    import pyarrow.parquet as pq
+
+    sf_dir = _oracle_sf_dir()
+    texts = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    final = unigram_train_python(texts)[:UNIGRAM_TOPK]
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ", ".join(
+        f"({rank + 1}, {q(p)}, CAST({c} AS BIGINT))"
+        for rank, (p, c) in enumerate(final)
+    )
+    return (
+        "SELECT CAST(piece_rank AS INTEGER) AS piece_rank, piece, cnt "
+        f"FROM (VALUES {rows}) AS t(piece_rank, piece, cnt)"
+    )
+
+
 QUERIES = {
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_gopher_rules": (q_text_gopher_rules, SQL_TEXT_GOPHER_RULES),
@@ -1290,4 +1557,6 @@ QUERIES = {
     # harness import do file I/O and hard-fail wherever the fixture
     # dir is absent (bench, plan tools, all tests)
     "text_bpe_train": (q_text_bpe_train, _sql_text_bpe_train),
+    # same callable-VALUES-oracle shape as text_bpe_train
+    "text_unigram_train": (q_text_unigram_train, _sql_text_unigram_train),
 }

@@ -987,3 +987,51 @@ def test_mmr_lambda_extremes_change_selection():
 
     with pytest.raises(ValueError):
         mmr_select(cands, lam=(0, 2))
+
+
+def test_unigram_train_matches_python_reference(spark):
+    """The distributed Viterbi hard-EM must reproduce the INDEPENDENT
+    pure-Python unigram trainer exactly — both are exact-arithmetic
+    (bigint cross-multiplication vs Fraction likelihoods), so equality
+    is bit-for-bit, on the fixture corpus and on a hand corpus with
+    deliberate tie shapes (repeated pieces, shared prefixes, words
+    shorter/longer than max_piece_len)."""
+    from pandas_etl_framework_spark.llmops.text import (
+        unigram_train,
+        unigram_train_python,
+    )
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    got = unigram_train(docs)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    assert got == unigram_train_python(texts)
+    assert got and all(c > 0 for _p, c in got)
+    counts = [c for _p, c in got]
+    assert counts == sorted(counts, reverse=True)
+
+    hand = [
+        "aaa aaaa ab ab ab abab ababab",
+        "xyz xyz zyx x y z",
+        "q qq qqq qqqq qqqqq",
+        "tie tie eit eit it ti",
+    ]
+    hdf = spark.createDataFrame([(t,) for t in hand], "text string")
+    assert unigram_train(hdf) == unigram_train_python(hand)
+
+
+def test_unigram_viterbi_exact_tie_rules():
+    """The DP's documented total order: likelihood first (exact bigint
+    cross-multiplication), then fewer pieces, then lexicographic."""
+    from pandas_etl_framework_spark.llmops.text import _unigram_viterbi
+
+    # 'ab' as one piece (w=3, k=1) beats 'a'+'b' (w=3*3=9, k=2) iff
+    # 3/T > 9/T^2, i.e. T > 3 — with total=12 the single piece wins
+    w = {"a": 3, "b": 3, "ab": 3, "c": 3}
+    assert _unigram_viterbi("ab", w, 12, 4) == ["ab"]
+    # equal likelihood (2/8 vs 4/8 * 4/8 = 16/64): k breaks the tie
+    w2 = {"a": 4, "b": 4, "ab": 2}
+    assert _unigram_viterbi("ab", w2, 8, 4) == ["ab"]
+    # exact equality with equal k: lexicographically smaller path wins
+    # ('a'+'ba' and 'ab'+'a' both have prod 4, k 2; ('a','ba') < ('ab','a'))
+    w3 = {"a": 2, "b": 2, "ab": 2, "ba": 2}
+    assert _unigram_viterbi("aba", w3, 8, 4) == ["a", "ba"]
