@@ -113,68 +113,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # rel_null_semantics — have fresher evidence than any driver row, so
 # they yield their slots), alphabetical within the tier. After a green
 # window, zero registry queries' latest driver row predates r04.
-# R11 BACKLOG (the r04-era rows left out: 21 unchecked + 9
-# judge-covered; rel_higher_order / rel_profile_orders / sketch_countmin
-# / sketch_histogram_quantiles / sketch_theta_kmv /
-# streaming_cdc_historize yielded their fill slots to the late-landing
-# r10 rows — substring legs, text_bm25_batch, text_decontaminate,
-# io_xml_roundtrip; standing rule, new rows window in their landing
-# round). The 21: rel_higher_order, rel_profile_orders, sketch_countmin,
-# sketch_histogram_quantiles, sketch_theta_kmv, streaming_cdc_historize,
-# text_chunk_dedup, text_chunks_udtf, text_gopher_rules,
-# text_hashed_bow, text_inverted_index, text_pack_sequences,
-# text_pii_redact, text_source_mixture, text_tokens_pandas_udf,
-# text_unigram_logprob, tpch_q11, tpch_q12, tpch_q15, tpch_q16,
-# tpch_q22. The 9 judge-covered (r09 review, fresher than any driver
-# row): cdc_simulate_runs, emb_pq_topk, io_csv_roundtrip,
-# multimodal_phash_dedup, rel_null_semantics, rel_pivot_native,
-# scd2_pit_join, tpch_q8, tpch_q19. Head all 30 in the r11 window, then
-# continue staleness-order (r05-era next).
+# ROUND-11 ROTATION (VERDICT r10 item 1 — the standing rule): after the
+# green r10 window, staleness across all ten CORRECTNESS files is
+# r04:30 / r05:39 / r06:45 / r07:44 / r09:44 / r10:50, and ALL 30
+# r04-era rows carry fresh judge evidence (the r09 review's 9 + the r10
+# review's independent 21-row re-check), so the r05-era cohort heads
+# this window. Slots: (a) the 2 NEW r11 rows (landing-round rule);
+# (b) every row whose code or oracle changed this round — the BM25
+# family (totals amortization + exact overflow bound, a plan change),
+# the three streaming twins (batch_id-keyed idempotent foreachBatch
+# writes), and rel_auto_skew_join (explicit scale-independent
+# min_hot_rows in the oracle row); (c) ALL 39 rows whose latest driver
+# evidence is r05 — the oldest unrefreshed cohort; (d) 1 r06-era fill
+# (alphabetical). After a green window, zero registry queries' latest
+# driver evidence predates r06 except the judge-covered r04 cohort.
+# R12 BACKLOG: the remaining r06-era rows (44 of 45; cdc_historize_two_runs
+# windowed here), staleness-ordered, then r07-era; the 30 r04-era
+# judge-covered rows re-enter the queue after them (driver evidence
+# still oldest on the books, but every one has r09/r10 judge evidence).
 DRIVER_PRIORITY = [
-    # -- (a) new this round: bounded exact substring dedup (ExactSubstr
-    #    removal stage), its span-accounting report twin, and the
-    #    incremental / persisted-store / micro-batch-engine legs ---------
-    "dedup_substrings", "dedup_substrings_report",
-    "dedup_substrings_incremental", "dedup_substrings_store",
-    "streaming_substrings_incremental",
-    # -- (a) new this round: substring-level eval decontamination (the
-    #    removal counterpart of text_contamination's detection) ---------
-    "text_decontaminate",
-    # -- (a) changed this round: the streaming twins are now merge-on-read
-    #    chop-invariant (owners/legs resolved against the final fold) ----
-    "streaming_lines_incremental", "streaming_minhash_incremental",
-    # -- (a) changed this round: aqe_skew now gated on cardinality + an
-    #    absolute hot-row floor (decision column pinned by the oracle) ---
-    "rel_auto_skew_join",
-    # -- (a) changed this round: BM25 overflow guard + totals collected to
-    #    literals (plan change) — both consumers of bm25_topk, and the
-    #    new multi-query batch scorer (grouped top-k per qid) ------------
+    # -- (a) new this round: PCA-path oracle gate (basis-invariant
+    #    integer quadratic forms + quantized spectrum) and the
+    #    SentencePiece-style unigram-LM tokenizer trainer ---------------
+    "emb_pca_invariants", "text_unigram_train",
+    # -- (b) changed this round: BM25 totals computed once per pipeline
+    #    (checkpointed dl; plan change) + exact per-doc overflow bound --
     "text_bm25_topk", "text_bm25_incremental", "text_rrf_fusion",
     "text_bm25_batch",
-    # -- (a) changed this round: dhash raster synth gained the shard term
-    #    (zero at correctness scales; oracle updated in lockstep) --------
-    "multimodal_dhash_neardup",
-    # -- (a) new this round: XML round-trip (Spark 4 built-in xml source)
-    "io_xml_roundtrip",
-    # -- (a) oracle changed this round: MATERIALIZED head-CTE hints ------
-    "graph_triangles", "graph_label_propagation",
-    # -- (b) the 17-row consolidated backlog (multimodal_dhash_neardup
-    #    already windowed above as changed-code), incl. all 9 r03-era
-    #    rows — the oldest evidence on the books --------------------------
-    "emb_ivfpq_recall_at_k", "dedup_minhash_pairs", "dedup_containment",
-    "emb_ivf_topk", "cdc_source_file_meta", "dedup_jaccard_prefix",
-    "emb_ivfpq_topk",
-    "cdc_inserts", "cdc_updates", "dedup_exact", "dedup_simhash",
-    "emb_ann_lsh", "tpch_q1", "text_langid", "sketch_hll_distinct",
-    "events_asof_join",
-    # -- (c) r04-era rows, alphabetical, judge-covered rows deprioritized -
-    "emb_pca_invariants", "emb_quantize_int8", "emb_random_projection",
-    "events_cohort_retention", "events_gapfill_locf",
-    "events_grouped_map_zscore", "events_json_extract",
-    "events_multires_rollup", "events_range_join", "events_rfm",
-    "events_transition_matrix", "events_udaf_pandas",
-    "io_partitioned_sink", "io_store_reset", "multimodal_metadata",
-    "rel_array_agg", "rel_dq_constraints",
+    # -- (b) changed this round: foreachBatch artifact writes keyed by
+    #    batch_id (at-least-once replay idempotency, ADVICE r10) --------
+    "streaming_lines_incremental", "streaming_minhash_incremental",
+    "streaming_substrings_incremental",
+    # -- (b) changed this round: oracle row passes explicit
+    #    min_hot_rows=50 so the pinned decision is fixture-scale-free ---
+    "rel_auto_skew_join",
+    # -- (c) the full 39-row r05-era cohort, alphabetical ----------------
+    "cdc_changed_columns", "data_split", "dedup_incremental",
+    "emb_covariance", "emb_neardup_pairs", "events_asof_nearest",
+    "events_cusum", "events_ewma", "events_funnel", "events_lttb",
+    "io_csv_corrupt_routing", "io_json_roundtrip", "io_orc_roundtrip",
+    "multimodal_audio_vad", "multimodal_decode_audio",
+    "rel_corr_quantized", "rel_except_all", "rel_full_outer_join",
+    "rel_fuzzy_join", "rel_intersect_all", "rel_percentiles",
+    "rel_salted_agg", "rel_sort_nulls", "rel_stratified_sample",
+    "rel_unpivot", "rel_window_distribution", "rel_window_range_frame",
+    "sql_shared_agg", "sql_shared_join", "streaming_enrich",
+    "text_bigram_logprob", "text_boilerplate", "text_bpe_pairs",
+    "text_classifier", "text_dup_spans", "text_quality_sample",
+    "text_shuffle_shard", "text_tokens_bpe", "text_weighted_reservoir",
+    # -- (d) r06-era fill, staleness-ordered alphabetical ----------------
+    "cdc_historize_two_runs",
 ]
 
 

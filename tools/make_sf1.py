@@ -106,24 +106,32 @@ def _replica(
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--pair-budget"]
+    flags = {"--pair-budget", "--sf10"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     pair_budget = "--pair-budget" in sys.argv[1:]
-    default = "sf1pb" if pair_budget else "sf1"
+    # --sf10: the SECOND measured scale decade (VERDICT r10 item 4) —
+    # 100 pair-budget replicas of the sf0.1 documents table, giving a
+    # documents-only sf10-equivalent for the substring-dedup /
+    # decontaminate / batch-BM25 slope rows (sf1pb -> sf10pb is a clean
+    # 10x on the same construction, so the slope is data-growth only)
+    sf10 = "--sf10" in sys.argv[1:]
+    default = "sf10pb" if sf10 else ("sf1pb" if pair_budget else "sf1")
     out = args[0] if args else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "scratch", default,
     )
-    if pair_budget:
-        # documents only: the pair-budgeted fixture exists for the dhash
-        # near-dup slope row, whose sole input is the documents table
+    if pair_budget or sf10:
+        # documents only: the pair-budgeted fixtures exist for the
+        # documents-table slope rows (dhash near-dup, substring family)
+        replicas = REPLICAS * 10 if sf10 else REPLICAS
         src = pq.read_table(f"{SRC}/documents.parquet")
         os.makedirs(f"{out}/documents.parquet", exist_ok=True)
-        for i in range(REPLICAS):
+        for i in range(replicas):
             pq.write_table(
                 _replica(src, "documents", i, offset=PAIR_BUDGET_OFFSET),
                 f"{out}/documents.parquet/part-{i}.parquet",
             )
-        print(f"documents: {src.num_rows} x {REPLICAS} rows "
+        print(f"documents: {src.num_rows} x {replicas} rows "
               f"(pair-budget offsets) -> {out}")
         print("done:", out)
         return
