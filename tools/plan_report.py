@@ -114,6 +114,11 @@ AUDIT = [
     "dedup_substrings_report",
     "text_bm25_batch",
     "text_decontaminate",
+    # r11 additions (text_unigram_train is excluded: its returned frame
+    # is a driver-local VALUES relation — the EM passes it audits run
+    # inside the trainer, shaped identically to the audited mapInPandas
+    # scans)
+    "emb_pca_invariants",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
