@@ -127,10 +127,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # evidence is r05 — the oldest unrefreshed cohort; (d) 1 r06-era fill
 # (alphabetical). After a green window, zero registry queries' latest
 # driver evidence predates r06 except the judge-covered r04 cohort.
-# R12 BACKLOG: the remaining r06-era rows (44 of 45; cdc_historize_two_runs
-# windowed here), staleness-ordered, then r07-era; the 30 r04-era
-# judge-covered rows re-enter the queue after them (driver evidence
-# still oldest on the books, but every one has r09/r10 judge evidence).
+# Late-r11 rebalance: the dhash hash-level-banding rewrite (the sf10
+# rehearsal's 17x super-linearity fix) changed dhash_neardup_pairs, so
+# multimodal_dhash_neardup + multimodal_dhash_neardup_capped window as
+# changed-code (bucket_report/phash consume untouched helpers). To fit:
+# the r06 fill (cdc_historize_two_runs) and ONE r05 row yield —
+# text_quality_sample, which was independently re-verified green at
+# sf0.01 this round (CORRECTNESS_LOCAL.md r11 section); it re-enters at
+# the r12 head.
+# R12 BACKLOG: text_quality_sample, then all 45 r06-era rows,
+# staleness-ordered, then r07-era; the 30 r04-era judge-covered rows
+# re-enter the queue after them (driver evidence still oldest on the
+# books, but every one has r09/r10 judge evidence).
 DRIVER_PRIORITY = [
     # -- (a) new this round: PCA-path oracle gate (basis-invariant
     #    integer quadratic forms + quantized spectrum) and the
@@ -147,6 +155,9 @@ DRIVER_PRIORITY = [
     # -- (b) changed this round: oracle row passes explicit
     #    min_hot_rows=50 so the pinned decision is fixture-scale-free ---
     "rel_auto_skew_join",
+    # -- (b) changed this round: banded Hamming join redesigned to band
+    #    over DISTINCT fingerprints (the sf10 17x super-linearity fix) --
+    "multimodal_dhash_neardup", "multimodal_dhash_neardup_capped",
     # -- (c) the full 39-row r05-era cohort, alphabetical ----------------
     "cdc_changed_columns", "data_split", "dedup_incremental",
     "emb_covariance", "emb_neardup_pairs", "events_asof_nearest",
@@ -159,10 +170,8 @@ DRIVER_PRIORITY = [
     "rel_unpivot", "rel_window_distribution", "rel_window_range_frame",
     "sql_shared_agg", "sql_shared_join", "streaming_enrich",
     "text_bigram_logprob", "text_boilerplate", "text_bpe_pairs",
-    "text_classifier", "text_dup_spans", "text_quality_sample",
+    "text_classifier", "text_dup_spans",
     "text_shuffle_shard", "text_tokens_bpe", "text_weighted_reservoir",
-    # -- (d) r06-era fill, staleness-ordered alphabetical ----------------
-    "cdc_historize_two_runs",
 ]
 
 

@@ -1062,50 +1062,91 @@ def dhash_neardup_pairs(
     with the exact popcount of the XOR. ``max_distance >= bands`` would
     silently lose recall, so it raises.
 
-    Scale: the join shuffles (band_idx, band_bits, id, hash) — bands× the
-    id/hash relation, never all-pairs. Hot buckets come from saturated
-    bands (e.g. flat images hashing a zero band): ``bucket_cap`` drops
-    buckets holding more than that many hashes BEFORE the self-join
-    (VERDICT r07 item 2), turning the one quadratic bucket a flat-image
-    corpus would produce into a bounded anti-join. The drop is NEVER
-    silent — ``dhash_band_buckets(...).filter(n_ids > cap)`` is the
-    accounting report, and a pair is lost only if saturated buckets were
-    its ONLY shared bands (pairs that also share a quiet band survive,
-    by the same pigeonhole argument restricted to undropped bands).
+    Scale (r11 redesign, found by the sf10 rehearsal): the banded
+    self-join runs over DISTINCT fingerprints, never over ids — a near-dup
+    corpus is duplicate-heavy by definition, so banding ids pays every
+    duplicate group's multiplicity SQUARED in the candidate stage (at
+    sf10pb: 500k ids but only ~4k distinct hashes; id-level banding built
+    ~1e10 candidate rows and went 17x on 10x data, hash-level banding is
+    bounded by distinct-hash bucket collisions — the same build-side
+    collapse as line-dedup's md5(line) keys). Verified hash pairs then
+    expand back to id pairs through two hash-keyed joins, and equal-hash
+    groups emit their pairs from a per-group self-join — both
+    output-sized, the irreducible cost of reporting the pairs at all.
+
+    Hot buckets come from saturated bands (e.g. flat images hashing a
+    zero band): ``bucket_cap`` drops buckets holding more than that many
+    IDS (multiplicity-weighted, so the semantics are unchanged from the
+    id-level formulation) BEFORE the self-join (VERDICT r07 item 2). The
+    drop is NEVER silent — ``dhash_band_buckets(...).filter(n_ids >
+    cap)`` is the accounting report, and a pair is lost only if
+    saturated buckets were its ONLY shared bands (pairs that also share
+    a quiet band survive, by the same pigeonhole argument restricted to
+    undropped bands; an equal-hash pair shares ALL bands, so its group
+    survives iff at least one of its bands is uncapped).
     """
-    exploded = _dhash_banded(hashes, max_distance, bands, id_col, hash_col)
+    if max_distance >= bands:
+        raise ValueError(
+            f"max_distance {max_distance} >= bands {bands}: the pigeonhole "
+            "guarantee needs at least one identical band per matching pair"
+        )
+    ids = hashes.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+    )
+    groups = ids.groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
+    hb = _dhash_banded(
+        groups, max_distance, bands, id_col="__n", hash_col="__h"
+    ).select("__h", F.col("__id").alias("__n"), "band", "bits")
     if bucket_cap is not None:
         hot = (
-            exploded.groupBy("band", "bits")
-            .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") > bucket_cap)
+            hb.groupBy("band", "bits")
+            .agg(F.sum("__n").alias("__ids"))
+            .filter(F.col("__ids") > bucket_cap)
             .select("band", "bits")
         )
         # saturated buckets are few by construction (≤ corpus/cap of
         # them); the anti-join's right side is aggregate-sized and AQE
         # broadcast-plans it at runtime
-        exploded = exploded.join(hot, ["band", "bits"], "left_anti")
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cands = (
+        hb = hb.join(hot, ["band", "bits"], "left_anti")
+    a, b = hb.alias("a"), hb.alias("b")
+    hpairs = (
         a.join(b, ["band", "bits"])
-        .filter(F.col("a.__id") < F.col("b.__id"))
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__h").alias("h_a"),
-            F.col("b.__h").alias("h_b"),
-        )
+        .filter(F.col("a.__h") < F.col("b.__h"))
+        .select(F.col("a.__h").alias("h_a"), F.col("b.__h").alias("h_b"))
         .distinct()  # a close pair shares several bands
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
-    return (
-        cands.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_distance)
+    verified = hpairs.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_distance
+    )
+    cross = (
+        verified.join(ids.select(F.col("__h").alias("h_a"), "__id"), "h_a")
+        .withColumnRenamed("__id", "id_x")
+        .join(ids.select(F.col("__h").alias("h_b"), "__id"), "h_b")
+        .withColumnRenamed("__id", "id_y")
+        .filter(F.col("id_x") != F.col("id_y"))
         .select(
-            F.col("id_a").alias(f"{id_col}_a"),
-            F.col("id_b").alias(f"{id_col}_b"),
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
             "hamming",
         )
+    )
+    surviving = hb.select("__h").distinct()  # >= 1 uncapped band
+    surv_ids = ids.join(surviving, "__h")
+    x, y = surv_ids.alias("x"), surv_ids.alias("y")
+    equal = (
+        x.join(y, "__h")
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(equal).select(
+        F.col("id_a").alias(f"{id_col}_a"),
+        F.col("id_b").alias(f"{id_col}_b"),
+        "hamming",
     )
 
 
