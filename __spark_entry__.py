@@ -134,16 +134,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # the r06 fill (cdc_historize_two_runs) and ONE r05 row yield —
 # text_quality_sample, which was independently re-verified green at
 # sf0.01 this round (CORRECTNESS_LOCAL.md r11 section); it re-enters at
-# the r12 head.
-# R12 BACKLOG: text_quality_sample, then all 45 r06-era rows,
+# the r12 head. A second late row (text_tokens_unigram, the encoder
+# sibling) takes the slot of text_weighted_reservoir — also re-verified
+# green at sf0.01 this round, also r12-head.
+# R12 BACKLOG: text_quality_sample, text_weighted_reservoir, then all
+# 45 r06-era rows,
 # staleness-ordered, then r07-era; the 30 r04-era judge-covered rows
 # re-enter the queue after them (driver evidence still oldest on the
 # books, but every one has r09/r10 judge evidence).
 DRIVER_PRIORITY = [
     # -- (a) new this round: PCA-path oracle gate (basis-invariant
-    #    integer quadratic forms + quantized spectrum) and the
-    #    SentencePiece-style unigram-LM tokenizer trainer ---------------
-    "emb_pca_invariants", "text_unigram_train",
+    #    integer quadratic forms + quantized spectrum), the
+    #    SentencePiece-style unigram-LM tokenizer trainer, and its
+    #    encoder (train->encode chain gated end-to-end) -----------------
+    "emb_pca_invariants", "text_unigram_train", "text_tokens_unigram",
     # -- (b) changed this round: BM25 totals computed once per pipeline
     #    (checkpointed dl; plan change) + exact per-doc overflow bound --
     "text_bm25_topk", "text_bm25_incremental", "text_rrf_fusion",
@@ -171,7 +175,7 @@ DRIVER_PRIORITY = [
     "sql_shared_agg", "sql_shared_join", "streaming_enrich",
     "text_bigram_logprob", "text_boilerplate", "text_bpe_pairs",
     "text_classifier", "text_dup_spans",
-    "text_shuffle_shard", "text_tokens_bpe", "text_weighted_reservoir",
+    "text_shuffle_shard", "text_tokens_bpe",
 ]
 
 

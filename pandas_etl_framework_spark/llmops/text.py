@@ -1436,6 +1436,134 @@ def q_text_unigram_train(spark, sf_dir):
     )
 
 
+def unigram_encode(
+    docs: DataFrame,
+    weights: dict,
+    *,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment every document with a trained unigram-LM vocabulary
+    (:func:`unigram_train` output + Laplace, i.e. ``{piece: count + 1}``
+    over the FULL trained vocab): per-word Viterbi under the same exact
+    bigint likelihood order as training, concatenated in word order.
+    Output (doc_id, n_tokens, tokens_md5) — the md5 of the
+    space-joined piece sequence, so a one-piece segmentation difference
+    anywhere in a document flips the row. One zero-shuffle Arrow pass
+    with the vocab-sized weight dict broadcast — the tokenize-the-corpus
+    shape at any scale (the bpe_encode sibling)."""
+    import hashlib
+
+    import pandas as pd
+
+    spark = docs.sparkSession
+    total = sum(weights.values())
+    bc = spark.sparkContext.broadcast((dict(weights), total, max_piece_len))
+
+    def encode(batches):
+        w_, t_, ml = bc.value
+        for pdf in batches:
+            ids, n_toks, digests = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list = []
+                for word in (text or "").split():
+                    toks.extend(_unigram_viterbi(word, w_, t_, ml))
+                ids.append(int(doc_id))
+                n_toks.append(len(toks))
+                digests.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_tokens": n_toks, "tokens_md5": digests}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        encode, "doc_id long, n_tokens long, tokens_md5 string"
+    )
+
+
+def q_text_tokens_unigram(spark, sf_dir):
+    """Driver row for the unigram encoder, gating the WHOLE chain:
+    distributed train → distributed encode must equal pure-Python train →
+    pure-Python encode (embedded as VALUES) — a divergence in either
+    stage flips the row. Gate-only, corpus pinned to ``_oracle_sf_dir()``
+    like text_bpe_train/text_unigram_train."""
+    oracle_dir = _oracle_sf_dir()
+    if sf_dir != oracle_dir:
+        import warnings
+
+        warnings.warn(
+            f"q_text_tokens_unigram ignores sf_dir={sf_dir!r}: its VALUES "
+            f"oracle is corpus-specific, so the corpus is pinned to "
+            f"{oracle_dir!r}; use unigram_encode() for other scales",
+            stacklevel=2,
+        )
+    docs = _docs(spark, oracle_dir)
+    trained = unigram_train(docs)
+    weights = {p: c + 1 for p, c in trained}
+    return unigram_encode(docs, weights)
+
+
+def _sql_text_tokens_unigram() -> str:
+    """Precompute the unigram-encode oracle as literal VALUES: the
+    pure-Python trainer + a pure-Python encoder (word-order Viterbi
+    concatenation) over the pinned corpus."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    from fractions import Fraction
+
+    sf_dir = _oracle_sf_dir()
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    doc_ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    trained = unigram_train_python(texts)
+    weights = {p: c + 1 for p, c in trained}
+    total = sum(weights.values())
+    ml = UNIGRAM_MAX_PIECE_LEN
+
+    def viterbi(word):
+        # same Fraction formulation as unigram_train_python's E-step
+        n = len(word)
+        best = [None] * (n + 1)
+        best[0] = (Fraction(1), 0, ())
+        for i in range(1, n + 1):
+            for j in range(max(0, i - ml), i):
+                if best[j] is None or word[j:i] not in weights:
+                    continue
+                lik = best[j][0] * Fraction(weights[word[j:i]], total)
+                path = (lik, best[j][1] + 1, best[j][2] + (word[j:i],))
+                cur = best[i]
+                if (
+                    cur is None
+                    or path[0] > cur[0]
+                    or (path[0] == cur[0] and path[1] < cur[1])
+                    or (
+                        path[0] == cur[0]
+                        and path[1] == cur[1]
+                        and path[2] < cur[2]
+                    )
+                ):
+                    best[i] = path
+        return list(best[n][2])
+
+    rows = []
+    for doc_id, text in zip(doc_ids, texts):
+        toks: list = []
+        for word in (text or "").split():
+            toks.extend(viterbi(word))
+        digest = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        rows.append((int(doc_id), len(toks), digest))
+    vals = ", ".join(
+        f"({d}, CAST({n} AS BIGINT), '{h}')" for d, n, h in rows
+    )
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, tokens_md5 "
+        f"FROM (VALUES {vals}) AS t(doc_id, n_tokens, tokens_md5)"
+    )
+
+
 def unigram_train_python(
     texts,
     *,
@@ -1559,4 +1687,5 @@ QUERIES = {
     "text_bpe_train": (q_text_bpe_train, _sql_text_bpe_train),
     # same callable-VALUES-oracle shape as text_bpe_train
     "text_unigram_train": (q_text_unigram_train, _sql_text_unigram_train),
+    "text_tokens_unigram": (q_text_tokens_unigram, _sql_text_tokens_unigram),
 }

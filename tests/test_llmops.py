@@ -1035,3 +1035,38 @@ def test_unigram_viterbi_exact_tie_rules():
     # ('a'+'ba' and 'ab'+'a' both have prod 4, k 2; ('a','ba') < ('ab','a'))
     w3 = {"a": 2, "b": 2, "ab": 2, "ba": 2}
     assert _unigram_viterbi("aba", w3, 8, 4) == ["a", "ba"]
+
+
+def test_unigram_encode_matches_python_chain(spark):
+    """Distributed train -> distributed encode equals pure-Python train
+    -> pure-Python encode, token list for token list (md5 + count), on
+    the fixture corpus — the same chain the text_tokens_unigram VALUES
+    oracle embeds."""
+    import hashlib
+
+    from pandas_etl_framework_spark.llmops.text import (
+        _unigram_viterbi,
+        UNIGRAM_MAX_PIECE_LEN,
+        unigram_encode,
+        unigram_train,
+        unigram_train_python,
+    )
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    weights = {p: c + 1 for p, c in unigram_train(docs)}
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tokens_md5"])
+        for r in unigram_encode(docs, weights).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    pw = {p: c + 1 for p, c in unigram_train_python([r["text"] for r in rows])}
+    assert pw == weights
+    total = sum(pw.values())
+    for r in rows:
+        toks = []
+        for w in (r["text"] or "").split():
+            toks.extend(_unigram_viterbi(w, pw, total, UNIGRAM_MAX_PIECE_LEN))
+        digest = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        assert got[r["doc_id"]] == (len(toks), digest)
+        # every emitted piece is from the trained vocabulary
+        assert all(t in pw for t in toks)
