@@ -1090,9 +1090,15 @@ def dhash_neardup_pairs(
             f"max_distance {max_distance} >= bands {bands}: the pigeonhole "
             "guarantee needs at least one identical band per matching pair"
         )
+    # the (id, fingerprint) relation is referenced by four branches
+    # (grouping, both expansion joins, the equal-hash self-join); without
+    # materialization each branch re-runs the upstream decode/hash pass —
+    # the expensive stage this operator exists to amortize (the plan
+    # showed MapInPandas×16 / FileScan×8). It is 16 bytes/row, so the
+    # checkpoint is narrow at any corpus size.
     ids = hashes.select(
         F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
-    )
+    ).localCheckpoint(eager=True)
     groups = ids.groupBy("__h").agg(F.count(F.lit(1)).alias("__n"))
     hb = _dhash_banded(
         groups, max_distance, bands, id_col="__n", hash_col="__h"
