@@ -103,6 +103,10 @@ def main() -> int:
 
     only = set(sys.argv[1:])
     spark = get_spark(app_name="check", master="local[8]", shuffle_partitions=8)
+    # keep stdout grep-clean: the console progress bar interleaves
+    # \r-terminated stage lines with the OK/FAIL records, which silently
+    # drops rows from anchored greps over captured output
+    spark.conf.set("spark.ui.showConsoleProgress", "false")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
