@@ -102,11 +102,15 @@ def main() -> int:
     from pandas_etl_framework_spark.session import get_spark
 
     only = set(sys.argv[1:])
-    spark = get_spark(app_name="check", master="local[8]", shuffle_partitions=8)
-    # keep stdout grep-clean: the console progress bar interleaves
-    # \r-terminated stage lines with the OK/FAIL records, which silently
-    # drops rows from anchored greps over captured output
-    spark.conf.set("spark.ui.showConsoleProgress", "false")
+    # showConsoleProgress is build-time-static; off so the progress bar's
+    # \r-terminated stage lines can't interleave with the OK/FAIL records
+    # and silently drop rows from anchored greps over captured output
+    spark = get_spark(
+        app_name="check",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
