@@ -1084,6 +1084,16 @@ def dhash_neardup_pairs(
     a quiet band survive, by the same pigeonhole argument restricted to
     undropped bands; an equal-hash pair shares ALL bands, so its group
     survives iff at least one of its bands is uncapped).
+
+    PRECONDITION (ADVICE r11): ``hashes`` must hold ONE row per id —
+    what every producer in this package (``image_dhash``, ``simhash``)
+    emits. The r11 hash-level redesign deliberately dropped the old
+    pair-level ``distinct`` safety net: re-adding it would shuffle the
+    full (id, fingerprint) relation on every call purely to tolerate an
+    input shape no producer generates (at 1e9 images that is a 16 GB
+    shuffle spent on nothing). Callers feeding hand-built relations must
+    ``dropDuplicates([id_col])`` themselves; duplicate input rows
+    duplicate output pairs in both the cross and equal-hash branches.
     """
     if max_distance >= bands:
         raise ValueError(

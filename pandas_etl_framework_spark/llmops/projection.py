@@ -454,7 +454,25 @@ def pca_invariants(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     that overflows); P itself still comes from the centered covariance,
     i.e. the genuine PCA pipeline is what is being gated.
     """
-    qdf = emb.select("vec_id", F.expr(_qcov_expr(vec_col)).alias("q"))
+    # validate per row (ADVICE r11, same pattern as random_projection's
+    # r04 guard): a short/null embedding would NULL-pad the zip_with
+    # (NULL norm2_q/proj_q) where the DuckDB twin's SUM skips NULLs and
+    # emits partial sums — the engines must never see a vector they'd
+    # treat differently. The |q| ≤ 1e5 bound (|x| ≤ 1.0) is the int64
+    # safety envelope: qᵀP_q q ≤ d²·PROJ_SCALE·qmax² = 4.1e18 < 2^63.
+    qdf = (
+        emb.select("vec_id", F.expr(_qcov_expr(vec_col)).alias("q"))
+        .select(
+            "vec_id",
+            F.expr(
+                f"CASE WHEN size(q) = {COV_DIM} AND aggregate(q, true, "
+                "(a, x) -> a AND x IS NOT NULL AND abs(x) <= 100000) "
+                "THEN q ELSE cast(raise_error('pca_invariants: "
+                f"embedding must be {COV_DIM} non-null values with "
+                "|x| <= 1.0') as array<bigint>) END"
+            ).alias("q"),
+        )
+    )
     mom = covariance_moments(
         qdf.select(F.col("q"))
     ).toPandas()  # d²/2 rows — driver-sized

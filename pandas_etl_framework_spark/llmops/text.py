@@ -8,6 +8,8 @@ division so results are bit-identical across engines.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -19,6 +21,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tokens_col(text_col: str = "text") -> F.Column:
     """Whitespace tokenization of trimmed text (empty-safe)."""
     return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+# Java's regex \s (what tokens_col's F.split compiles to) is exactly
+# [ \t\n\x0b\f\r]; Python's str.split() additionally breaks on
+# U+0085/U+1C-1F/U+2028/... so a corpus containing those would make the
+# JVM trainers and their pure-Python mirrors tokenize differently
+# (ADVICE r11). Every Python-side word split — oracle mirrors AND the
+# Arrow-batch encoders — goes through this one definition.
+_JAVA_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def split_words(text: "str | None") -> "list[str]":
+    """Python mirror of ``tokens_col``'s Java ``\\s+`` split (empty-safe,
+    leading/trailing whitespace ignored like the trim)."""
+    return [w for w in _JAVA_WS_RE.split(text or "") if w]
 
 
 # --------------------------------------------------------------------------
@@ -1094,7 +1111,7 @@ def bpe_encode_batch(texts, merges) -> "list[list[str]]":
     out = []
     for t in texts:
         toks: list[str] = []
-        for w in t.split():
+        for w in split_words(t):
             syms = list(w)
             for left, right, _ in merges:
                 i, res = 0, []
@@ -1205,7 +1222,7 @@ def bpe_train_python(texts, n_merges: int):
 
     freqs = Counter()
     for t in texts:
-        for w in (t or "").split():
+        for w in split_words(t):
             freqs[w] += 1
     segs = {w: list(w) for w in freqs}
     merges = []
@@ -1467,7 +1484,7 @@ def unigram_encode(
             ids, n_toks, digests = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 toks: list = []
-                for word in (text or "").split():
+                for word in split_words(text):
                     toks.extend(_unigram_viterbi(word, w_, t_, ml))
                 ids.append(int(doc_id))
                 n_toks.append(len(toks))
@@ -1546,12 +1563,17 @@ def _sql_text_tokens_unigram() -> str:
                     )
                 ):
                     best[i] = path
-        return list(best[n][2])
+        # same out-of-vocab fallback as _unigram_viterbi: a word with a
+        # character outside the alphabet segments per-char instead of
+        # crashing the oracle generator (unreachable on the pinned
+        # corpus — the seed alphabet covers it — a trap if corpus/vocab
+        # ever diverge; ADVICE r11)
+        return list(best[n][2]) if best[n] is not None else list(word)
 
     rows = []
     for doc_id, text in zip(doc_ids, texts):
         toks: list = []
-        for word in (text or "").split():
+        for word in split_words(text):
             toks.extend(viterbi(word))
         digest = hashlib.md5(" ".join(toks).encode()).hexdigest()
         rows.append((int(doc_id), len(toks), digest))
@@ -1582,7 +1604,7 @@ def unigram_train_python(
 
     freqs = Counter()
     for t in texts:
-        for w in (t or "").split():
+        for w in split_words(t):
             freqs[w] += 1
     sub_counts = Counter()
     for w, n in freqs.items():
