@@ -588,25 +588,87 @@ FROM votes
 """
 
 
-def q_dedup_simhash_pairs(spark, sf_dir):
-    """Near-dup pairs by SimHash Hamming distance <= 6 (self-join + XOR
-    popcount; at scale, pre-bucket by signature prefix instead of the full
-    cross product — this is the exact-verification form)."""
-    sig = q_dedup_simhash(spark, sf_dir)
-    a = sig.alias("a")
-    b = sig.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+def simhash_neardup_pairs(
+    sig: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """All (id_a < id_b) pairs whose SimHash signatures differ in at most
+    ``max_hamming`` bits — the dhash-style DISTINCT-signature formulation
+    (VERDICT r11 item 5): the quadratic stage runs over distinct
+    signatures, never over ids.
+
+    A SimHash corpus is multiplicity-heavy by construction — near-
+    identical documents vote the same way on most bits, and exact
+    duplicates collapse to ONE signature — so an id-level self-join pays
+    every signature group's multiplicity SQUARED in the comparison stage
+    (the same blowup the sf10 rehearsal caught in the id-level dhash
+    banding: at sf10pb, 500k ids collapse to ~distinct-corpus-sized
+    signatures). Here the id relation is checkpointed once (16 bytes/row),
+    the Hamming filter compares DISTINCT signature pairs, and verified
+    signature pairs expand back to id pairs through two hash-keyed joins;
+    equal-signature groups (Hamming 0) emit their pairs from a per-group
+    self-join. Both expansion legs are output-sized — the irreducible
+    cost of reporting the pairs at all.
+
+    Why no band pre-bucketing (the dhash move): for a
+    ``SIMHASH_BITS``-bit signature at Hamming <= k, the pigeonhole needs
+    k+1 identical-band candidates, i.e. >= 7 bands of 32/7 ~ 4 bits; the
+    per-band bucket join then costs sum over 8 bands of D^2/2^4 = D^2/2 —
+    exactly the distinct cross join, with three extra shuffles. Banding
+    only turns selective when the band width reaches ~8+ bits, i.e. a
+    64-bit signature; at that width reuse
+    ``multimodal.dhash_neardup_pairs`` (its banded join is
+    hash-generic). The distinct collapse is the whole gain at 32 bits —
+    it is also the dominant one, because signature multiplicity, not
+    signature count, is what grows on a duplicate-heavy corpus.
+    """
+    ids = sig.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+    ).localCheckpoint(eager=True)
+    hs = ids.select("__h").distinct()
+    a, b = hs.alias("a"), hs.alias("b")
+    hamming = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
+    hpairs = (
+        a.join(b, F.col("a.__h") < F.col("b.__h"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.__h").alias("h_a"),
+            F.col("b.__h").alias("h_b"),
             hamming.alias("hamming"),
         )
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= max_hamming)
     )
+    cross = (
+        hpairs.join(ids.select(F.col("__h").alias("h_a"), "__id"), "h_a")
+        .withColumnRenamed("__id", "id_x")
+        .join(ids.select(F.col("__h").alias("h_b"), "__id"), "h_b")
+        .withColumnRenamed("__id", "id_y")
+        .select(
+            F.least("id_x", "id_y").alias("doc_a"),
+            F.greatest("id_x", "id_y").alias("doc_b"),
+            "hamming",
+        )
+    )
+    x, y = ids.alias("x"), ids.alias("y")
+    equal = (
+        x.join(y, "__h")
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(
+            F.col("x.__id").alias("doc_a"),
+            F.col("y.__id").alias("doc_b"),
+            F.bit_count(F.lit(0).cast("long")).alias("hamming"),
+        )
+    )
+    return cross.unionByName(equal)
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs by SimHash Hamming distance <= 6 — the r12
+    distinct-signature rewrite of the former id-level self-join; output
+    and oracle unchanged (the collapse is lossless: Hamming is a
+    function of the signatures alone)."""
+    return simhash_neardup_pairs(q_dedup_simhash(spark, sf_dir))
 
 
 SQL_DEDUP_SIMHASH_PAIRS = f"""

@@ -31,7 +31,10 @@ BNLJ_SINGLETON_OK = {
     "sketch_hll_distinct", "sketch_theta_kmv", "sketch_bloom_prune",
     "sketch_histogram_quantiles",
     "rel_dq_constraints",      # one-row rule-summary context
-    "dedup_simhash_pairs",     # 64-bit threshold singleton
+    "dedup_simhash_pairs",     # distinct-signature cross (collapse-bounded:
+    #   one row per DISTINCT 32-bit signature, not per doc; a distinct-
+    #   heavy corpus should move to a wider signature + banded join —
+    #   see simhash_neardup_pairs' docstring)
     "emb_topk", "emb_topk_batch", "emb_neardup_pairs",  # query-side broadcast
     "emb_ann_lsh", "emb_ivf_topk", "emb_pq_topk",       # probe/centroid rows
     "text_source_mixture",     # corpus token-total singleton

@@ -58,7 +58,8 @@ PAIR_BUDGET_OFFSET = 1_000_000_000
 
 
 def _replica(
-    table: pa.Table, name: str, i: int, offset: int = OFFSET
+    table: pa.Table, name: str, i: int, offset: int = OFFSET,
+    doc_variant: str = "suffix",
 ) -> pa.Table:
     off = i * offset
     for col in KEYS[name]:
@@ -66,6 +67,28 @@ def _replica(
         table = table.set_column(
             idx, col, pc.add(table.column(col), pa.scalar(off, pa.int64()))
         )
+    if name == "documents" and doc_variant == "exact":
+        # exact-duplicate replicas: text byte-identical across replicas,
+        # only keys offset — the high-multiplicity adversarial shape for
+        # set-similarity self-joins (every replica group IS one exact
+        # duplicate group of size = replica count)
+        return table
+    if name == "documents" and doc_variant == "word-tagged" and i > 0:
+        # word-level replica tagging: prefix EVERY word with r{i}, so
+        # every shingle string is replica-unique — cross-replica Jaccard
+        # is exactly 0 and near-dup families stay replica-local. This is
+        # the bounded-family instrument: 10x replicas = 10x data AND
+        # ~10x output (vs the suffix variant, where one trailing token
+        # leaves cross-replica Jaccard ~0.98 and the reported PAIR set
+        # itself grows quadratically in replica count).
+        idx = table.schema.get_field_index("text")
+        text = table.column("text").cast(pa.string())
+        tagged = pc.replace_substring_regex(
+            text, pattern=r"(\S+)", replacement=rf"r{i}\1"
+        )
+        table = table.set_column(idx, "text", tagged)
+        # n_chars drifts from len(text) here; no slope query reads it
+        return table
     if name == "documents" and i > 0:
         idx = table.schema.get_field_index("text")
         text = pc.binary_join_element_wise(
@@ -106,33 +129,73 @@ def _replica(
 
 
 def main() -> None:
-    flags = {"--pair-budget", "--sf10"}
+    flags = {"--pair-budget", "--sf10", "--emb", "--word-tagged", "--exact"}
     args = [a for a in sys.argv[1:] if a not in flags]
     pair_budget = "--pair-budget" in sys.argv[1:]
+    # --word-tagged / --exact: documents-only variants of the pair-budget
+    # construction for the PPJoin second decade (VERDICT r11 items 4/5):
+    # word-tagged keeps near-dup families replica-local (bounded output —
+    # a clean 10x-data slope instrument); exact makes replicas byte-
+    # identical (maximal duplicate multiplicity — the adversarial shape
+    # for the distinct-token-set collapse disposition test).
+    word_tagged = "--word-tagged" in sys.argv[1:]
+    exact = "--exact" in sys.argv[1:]
     # --sf10: the SECOND measured scale decade (VERDICT r10 item 4) —
     # 100 pair-budget replicas of the sf0.1 documents table, giving a
     # documents-only sf10-equivalent for the substring-dedup /
     # decontaminate / batch-BM25 slope rows (sf1pb -> sf10pb is a clean
     # 10x on the same construction, so the slope is data-growth only)
     sf10 = "--sf10" in sys.argv[1:]
-    default = "sf10pb" if sf10 else ("sf1pb" if pair_budget else "sf1")
+    # --emb: embeddings-only fixture for the ANN (IVF/PQ) slope rows —
+    # the full sf1 fixture already carries 10x embeddings, but the
+    # second decade (VERDICT r11 item 4) needs a 100x embeddings table
+    # without paying for 100x lineitem. Same per-replica construction
+    # as the full fixture (vec_id offsets + component-0 nudge), so
+    # sf1emb -> sf10emb isolates data growth.
+    emb = "--emb" in sys.argv[1:]
+    if word_tagged:
+        default = "sf10wt" if sf10 else "sf1wt"
+    elif exact:
+        default = "sf10ex" if sf10 else "sf1ex"
+    elif emb:
+        default = "sf10emb" if sf10 else "sf1emb"
+    else:
+        default = "sf10pb" if sf10 else ("sf1pb" if pair_budget else "sf1")
     out = args[0] if args else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "scratch", default,
     )
-    if pair_budget or sf10:
+    if emb:
+        replicas = REPLICAS * 10 if sf10 else REPLICAS
+        src = pq.read_table(f"{SRC}/embeddings.parquet")
+        os.makedirs(f"{out}/embeddings.parquet", exist_ok=True)
+        for i in range(replicas):
+            pq.write_table(
+                _replica(src, "embeddings", i),
+                f"{out}/embeddings.parquet/part-{i}.parquet",
+            )
+        print(f"embeddings: {src.num_rows} x {replicas} rows -> {out}")
+        print("done:", out)
+        return
+    if pair_budget or sf10 or word_tagged or exact:
         # documents only: the pair-budgeted fixtures exist for the
         # documents-table slope rows (dhash near-dup, substring family)
+        variant = (
+            "word-tagged" if word_tagged else ("exact" if exact else "suffix")
+        )
         replicas = REPLICAS * 10 if sf10 else REPLICAS
         src = pq.read_table(f"{SRC}/documents.parquet")
         os.makedirs(f"{out}/documents.parquet", exist_ok=True)
         for i in range(replicas):
             pq.write_table(
-                _replica(src, "documents", i, offset=PAIR_BUDGET_OFFSET),
+                _replica(
+                    src, "documents", i, offset=PAIR_BUDGET_OFFSET,
+                    doc_variant=variant,
+                ),
                 f"{out}/documents.parquet/part-{i}.parquet",
             )
         print(f"documents: {src.num_rows} x {replicas} rows "
-              f"(pair-budget offsets) -> {out}")
+              f"({variant} pair-budget offsets) -> {out}")
         print("done:", out)
         return
     for name in COPY_ONCE:
