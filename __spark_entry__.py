@@ -137,45 +137,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # the r12 head. A second late row (text_tokens_unigram, the encoder
 # sibling) takes the slot of text_weighted_reservoir — also re-verified
 # green at sf0.01 this round, also r12-head.
-# R12 BACKLOG: text_quality_sample, text_weighted_reservoir, then all
-# 45 r06-era rows,
-# staleness-ordered, then r07-era; the 30 r04-era judge-covered rows
-# re-enter the queue after them (driver evidence still oldest on the
-# books, but every one has r09/r10 judge evidence).
+# ROUND-12 ROTATION (VERDICT r11 item 1 — the standing rule): after the
+# green r11 window, staleness across the eleven CORRECTNESS files is
+# r04:30 / r05:2 / r06:45 / r07:44 / r09:43 / r10:41 / r11:50. Slots:
+# (a) the 2 r05 rows that yielded their r11 slots to the late-landing
+# changed-code rows (text_quality_sample, text_weighted_reservoir —
+# both re-verified green locally in r11 AND individually by the r11
+# judge); (b) every row whose code or oracle changed this round — the
+# ADVICE r11 fixes (shared Java-\s word splitter in the unigram
+# trainer/encoder mirrors; pca_invariants input validation) and the
+# dedup_simhash_pairs distinct-signature collapse (in the r06 cohort
+# anyway); (c) the FULL 45-row r06-era cohort, alphabetical. 2+3+45=50
+# exactly — zero spare slots. After a green window, zero registry rows'
+# latest driver evidence predates r06.
+# R13 BACKLOG (VERDICT r11 item 2): the 30 rows whose latest driver
+# evidence is still r04 re-enter the queue next, explicitly ordered
+# (alphabetical; all 30 carry fresh r09/r10/r11 judge evidence, so none
+# is dark — the driver file is the durable record being repaid):
+#   cdc_simulate_runs, emb_pq_topk, io_csv_roundtrip,
+#   multimodal_phash_dedup, rel_higher_order, rel_null_semantics,
+#   rel_pivot_native, rel_profile_orders, scd2_pit_join,
+#   sketch_countmin, sketch_histogram_quantiles, sketch_theta_kmv,
+#   streaming_cdc_historize, text_chunk_dedup, text_chunks_udtf,
+#   text_gopher_rules, text_hashed_bow, text_inverted_index,
+#   text_pack_sequences, text_pii_redact, text_source_mixture,
+#   text_tokens_pandas_udf, text_unigram_logprob, tpch_q8, tpch_q11,
+#   tpch_q12, tpch_q15, tpch_q16, tpch_q19, tpch_q22.
+# After them: the r07-era cohort (44 rows), then r09/r10, round-robin
+# by staleness as usual. New r13 rows and changed-code rows take their
+# landing-round slots first, as always.
 DRIVER_PRIORITY = [
-    # -- (a) new this round: PCA-path oracle gate (basis-invariant
-    #    integer quadratic forms + quantized spectrum), the
-    #    SentencePiece-style unigram-LM tokenizer trainer, and its
-    #    encoder (train->encode chain gated end-to-end) -----------------
-    "emb_pca_invariants", "text_unigram_train", "text_tokens_unigram",
-    # -- (b) changed this round: BM25 totals computed once per pipeline
-    #    (checkpointed dl; plan change) + exact per-doc overflow bound --
-    "text_bm25_topk", "text_bm25_incremental", "text_rrf_fusion",
-    "text_bm25_batch",
-    # -- (b) changed this round: foreachBatch artifact writes keyed by
-    #    batch_id (at-least-once replay idempotency, ADVICE r10) --------
-    "streaming_lines_incremental", "streaming_minhash_incremental",
-    "streaming_substrings_incremental",
-    # -- (b) changed this round: oracle row passes explicit
-    #    min_hot_rows=50 so the pinned decision is fixture-scale-free ---
-    "rel_auto_skew_join",
-    # -- (b) changed this round: banded Hamming join redesigned to band
-    #    over DISTINCT fingerprints (the sf10 17x super-linearity fix) --
-    "multimodal_dhash_neardup", "multimodal_dhash_neardup_capped",
-    # -- (c) the full 39-row r05-era cohort, alphabetical ----------------
-    "cdc_changed_columns", "data_split", "dedup_incremental",
-    "emb_covariance", "emb_neardup_pairs", "events_asof_nearest",
-    "events_cusum", "events_ewma", "events_funnel", "events_lttb",
-    "io_csv_corrupt_routing", "io_json_roundtrip", "io_orc_roundtrip",
-    "multimodal_audio_vad", "multimodal_decode_audio",
-    "rel_corr_quantized", "rel_except_all", "rel_full_outer_join",
-    "rel_fuzzy_join", "rel_intersect_all", "rel_percentiles",
-    "rel_salted_agg", "rel_sort_nulls", "rel_stratified_sample",
-    "rel_unpivot", "rel_window_distribution", "rel_window_range_frame",
-    "sql_shared_agg", "sql_shared_join", "streaming_enrich",
-    "text_bigram_logprob", "text_boilerplate", "text_bpe_pairs",
-    "text_classifier", "text_dup_spans",
-    "text_shuffle_shard", "text_tokens_bpe",
+    # -- (a) the 2 rows that yielded their r11 slots ---------------------
+    "text_quality_sample", "text_weighted_reservoir",
+    # -- (b) changed this round (ADVICE r11): unigram trainer + encoder
+    #    mirrors now split words via the shared Java-\s splitter;
+    #    pca_invariants validates full-width |x|<=1 embeddings ----------
+    "text_unigram_train", "text_tokens_unigram", "emb_pca_invariants",
+    # -- (c) the full 45-row r06-era cohort, alphabetical (includes the
+    #    two rows whose code also changed this round: dedup_simhash_pairs
+    #    — distinct-signature collapse — and text_bpe_train, whose
+    #    pure-Python oracle trainer now uses the shared word splitter) --
+    "cdc_historize_two_runs", "dedup_clusters", "dedup_jaccard_pairs",
+    "dedup_keeper_priority", "dedup_minhash_bands", "dedup_minhash_recall",
+    "dedup_simhash_pairs", "emb_ivf_recall_at_k", "emb_kmeans",
+    "emb_kmeans_inertia", "emb_knn_per_label", "emb_lsh_buckets",
+    "emb_norms", "emb_topk", "emb_topk_batch", "events_asof_tolerance",
+    "events_mad_outliers", "graph_khop", "graph_pagerank",
+    "io_jdbc_roundtrip", "io_read_current_hashes", "rel_case_when",
+    "rel_cross_join", "rel_having", "rel_key_skew_profile",
+    "rel_limit_offset", "rel_scalar_date_funcs", "rel_string_funcs",
+    "rel_window_first_last", "rel_window_ntile", "scd2_merge",
+    "sql_shared_recursive", "streaming_dedup_counts",
+    "streaming_interval_join", "streaming_scd2_merge",
+    "streaming_sessionize", "text_bpe_train", "text_domain_cap",
+    "text_fingerprint", "text_length_histogram", "text_oov_rate",
+    "text_token_entropy", "text_tokens", "text_winnow_fingerprint",
+    "versioned_store_lifecycle",
 ]
 
 
