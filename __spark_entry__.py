@@ -147,11 +147,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # ADVICE r11 fixes (shared Java-\s word splitter in the unigram
 # trainer/encoder mirrors; pca_invariants input validation) and the
 # dedup_simhash_pairs distinct-signature collapse (in the r06 cohort
-# anyway); (c) the FULL 45-row r06-era cohort, alphabetical. 2+3+45=50
-# exactly — zero spare slots. After a green window, zero registry rows'
-# latest driver evidence predates r06.
-# R13 BACKLOG (VERDICT r11 item 2): the 30 rows whose latest driver
-# evidence is still r04 re-enter the queue next, explicitly ordered
+# anyway) plus the PPJoin distinct-set collapse + prefix_cap rewrite
+# (dedup_jaccard_prefix, dedup_containment — the r11 item 4/5 ship);
+# (c) the r06-era cohort, alphabetical. 2+5+45 = 52 > 50, so TWO r06
+# rows yield to the changed-code rows (the standing rule ranks changed
+# code above staleness): cdc_historize_two_runs and scd2_merge — both
+# individually re-verified by the r11 judge on this tree AND covered by
+# the golden-scenario pytest suite, so they carry the freshest
+# independent evidence in the cohort; they head the r13 queue. After a
+# green window, zero registry rows' latest driver evidence predates
+# r06, and exactly those 2 rows remain at r06.
+# R13 BACKLOG (VERDICT r11 item 2): first the 2 r06 rows that yielded
+# their r12 slots (cdc_historize_two_runs, scd2_merge), then the 30
+# rows whose latest driver evidence is still r04, explicitly ordered
 # (alphabetical; all 30 carry fresh r09/r10/r11 judge evidence, so none
 # is dark — the driver file is the durable record being repaid):
 #   cdc_simulate_runs, emb_pq_topk, io_csv_roundtrip,
@@ -173,11 +181,19 @@ DRIVER_PRIORITY = [
     #    mirrors now split words via the shared Java-\s splitter;
     #    pca_invariants validates full-width |x|<=1 embeddings ----------
     "text_unigram_train", "text_tokens_unigram", "emb_pca_invariants",
-    # -- (c) the full 45-row r06-era cohort, alphabetical (includes the
-    #    two rows whose code also changed this round: dedup_simhash_pairs
+    # -- (b) changed this round (VERDICT r11 items 4/5): PPJoin family
+    #    redesigned to run candidate generation + verification over
+    #    DISTINCT token sets (id-level crashed the sf10 rehearsal with
+    #    >45 GB of candidate spill at multiplicity 100; set-level tracks
+    #    the output and is free on duplicate-light corpora) + the
+    #    prefix_cap hot-posting bound with its accounting twins ---------
+    "dedup_jaccard_prefix", "dedup_containment",
+    # -- (c) the 43-row r06-era cohort, alphabetical (includes the two
+    #    rows whose code also changed this round: dedup_simhash_pairs
     #    — distinct-signature collapse — and text_bpe_train, whose
-    #    pure-Python oracle trainer now uses the shared word splitter) --
-    "cdc_historize_two_runs", "dedup_clusters", "dedup_jaccard_pairs",
+    #    pure-Python oracle trainer now uses the shared word splitter;
+    #    cdc_historize_two_runs + scd2_merge yielded, see above) --------
+    "dedup_clusters", "dedup_jaccard_pairs",
     "dedup_keeper_priority", "dedup_minhash_bands", "dedup_minhash_recall",
     "dedup_simhash_pairs", "emb_ivf_recall_at_k", "emb_kmeans",
     "emb_kmeans_inertia", "emb_knn_per_label", "emb_lsh_buckets",
@@ -186,7 +202,7 @@ DRIVER_PRIORITY = [
     "io_jdbc_roundtrip", "io_read_current_hashes", "rel_case_when",
     "rel_cross_join", "rel_having", "rel_key_skew_profile",
     "rel_limit_offset", "rel_scalar_date_funcs", "rel_string_funcs",
-    "rel_window_first_last", "rel_window_ntile", "scd2_merge",
+    "rel_window_first_last", "rel_window_ntile",
     "sql_shared_recursive", "streaming_dedup_counts",
     "streaming_interval_join", "streaming_scd2_merge",
     "streaming_sessionize", "text_bpe_train", "text_domain_cap",

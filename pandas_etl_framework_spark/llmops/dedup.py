@@ -1015,15 +1015,44 @@ def jaccard_prefix_pairs(
     t_num: int = JACCARD_T_NUM,
     t_den: int = JACCARD_T_DEN,
     broadcast_dfreq: bool | None = None,
+    prefix_cap: int | None = None,
 ) -> DataFrame:
     """All pairs with Jaccard(shingles) >= t, found via prefix filtering
     (PPJoin's candidate-generation idea, SIGMOD'08 / WWW'08 public
-    literature) instead of the all-sharing-pairs join.
+    literature) over DISTINCT token sets, instead of the all-sharing-pairs
+    join over documents.
+
+    Distinct-set collapse (r12, VERDICT r11 item 5): the prefix join and
+    the verification run over one representative per DISTINCT token set;
+    verified set pairs expand back to doc pairs through two set-keyed
+    joins, and equal-set groups (Jaccard exactly 1) emit their pairs from
+    a per-group self-join — both output-sized. An id-level prefix join
+    pays every exact-duplicate group's multiplicity SQUARED in candidates
+    AND ships the verification arrays once per doc pair: measured on
+    byte-identical replica corpora, id-level went 9.95 s (10 replicas) →
+    50.5 s (30) → disk-full crash past ~45 GB of candidate spill (100),
+    while set-level tracks the output (6.1 → 13.3 → 46.2 s for 0.25M →
+    2.4M → 27.3M pairs) and costs nothing on a duplicate-light control
+    (9.18 s vs 10.02 s id-level — the dfreq/prefix/window stages shrink
+    by exactly what the collapse adds). Lossless: Jaccard is a function
+    of the two sets alone, and prefix filtering holds under any global
+    total order, including dfreq counted over distinct sets.
+
+    ``prefix_cap`` (default None = exact) bounds the candidate join on
+    corpora with GIANT near-duplicate families of *distinct* sets (the
+    one shape the collapse cannot bound — e.g. mirrored boilerplate with
+    per-site one-token edits, where candidates grow families × mult²):
+    prefix tokens whose doc-weighted posting count exceeds the cap stop
+    generating candidates. A pair is then found iff it shares at least
+    one un-hot prefix token (the pigeonhole argument restricted to
+    surviving tokens — same contract as MinHash's ``bucket_cap`` and
+    dhash's band cap). NEVER silent: ``jaccard_prefix_hot_tokens``
+    publishes exactly the dropped tokens with their posting weights.
 
     For Jaccard >= t, two sets of sizes |A|,|B| must share an element among
     the first ``|S| - ceil(t*|S|) + 1`` elements of each set under ANY
     global total order (rarest-first order makes those prefixes maximally
-    selective).  So: order each document's shingles by corpus frequency
+    selective).  So: order each set's shingles by corpus frequency
     (ties on token id), keep only that prefix, and self-join ON THE
     PREFIXES — at web scale this turns the quadratic candidate space into
     joins on rare tokens only.  Candidate pairs whose set sizes are
@@ -1044,22 +1073,117 @@ def jaccard_prefix_pairs(
     candidate set. Verification counts intersections on token ids, exact
     up to 64-bit collisions (P ~ 1e-9 at millions of distinct shingles;
     for corpora approaching 2^32 distinct shingles switch the id to
-    ``concat(xxhash64, crc32)`` or verify survivors on strings).
+    ``concat(xxhash64, crc32)`` or verify survivors on strings); the
+    set key is the same 64-bit id hashed over the whole array, with the
+    same collision budget.
     """
-    # The token-set relation is referenced four times below (document
-    # frequencies, prefix build, both sides of the verification join).
-    # Without materialization Spark re-runs the parquet scan + tokenize
-    # once per reference (the r01 plan showed FileScan×20 / Generate×20) —
-    # at corpus scale that re-reads the corpus for every reference.
-    # localCheckpoint materializes it once (ONE ROW PER DOC — arrays, not
-    # exploded tokens) to executor-local storage and truncates the
-    # lineage; unlike .cache() it cannot silently fall back to
-    # recomputation under memory pressure. The exploded (doc_id, tok,
-    # set_size) view below is derived from the checkpointed arrays, so the
-    # explode costs no extra scan and set_size rides along for free —
-    # the former per-doc COUNT window is gone.
-    ts = token_sets.localCheckpoint(eager=True)
-    sh = ts.select("doc_id", "set_size", F.explode("toks").alias("tok"))
+    keyed, groups = _distinct_token_sets(token_sets)
+    spairs = _jaccard_set_pairs(
+        groups, t_num, t_den, broadcast_dfreq, prefix_cap
+    )
+    out_cols = ["intersection", "jaccard"]
+    cross = _expand_set_pairs(
+        spairs, keyed, "doc_a", "doc_b", out_cols, ordered=False
+    )
+    if t_num > t_den:  # J = 1.0 below threshold: no equal-set pairs
+        return cross
+    x = keyed.filter(F.col("set_size") > 0).alias("x")
+    y = keyed.filter(F.col("set_size") > 0).alias("y")
+    equal = (
+        x.join(y, "skey")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.set_size").cast("long").alias("intersection"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(equal)
+
+
+def _distinct_token_sets(
+    token_sets: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """(keyed, groups): the checkpointed (doc_id, toks, set_size, skey)
+    relation and its one-representative-per-distinct-set reduction with
+    per-set multiplicity ``mult`` (doc count — the weight hot-posting
+    caps and expansions need). The checkpoint materializes the tokenize
+    projection ONCE (one row per doc, arrays never exploded here); every
+    later stage — dfreq, prefixes, verification, expansion — derives
+    from it, so the corpus is scanned exactly once per call."""
+    keyed = token_sets.withColumn("skey", F.xxhash64("toks")).localCheckpoint(
+        eager=True
+    )
+    groups = (
+        keyed.groupBy("skey")
+        .agg(
+            F.first("toks").alias("toks"),
+            F.first("set_size").alias("set_size"),
+            F.count(F.lit(1)).alias("mult"),
+        )
+        # one representative per distinct set, referenced by dfreq, the
+        # prefix build and both verification sides below — materialized
+        # so the groupBy shuffle runs once (bounded by DISTINCT sets)
+        .localCheckpoint(eager=True)
+    )
+    return keyed, groups
+
+
+def _expand_set_pairs(
+    spairs: DataFrame,
+    keyed: DataFrame,
+    col_a: str,
+    col_b: str,
+    carry: list[str],
+    ordered: bool,
+) -> DataFrame:
+    """Expand verified (skey_a, skey_b, *carry) set pairs back to doc
+    pairs — output-sized, the irreducible cost of reporting pairs at all.
+    ``ordered=False`` canonicalizes unordered pairs (least/greatest);
+    ``ordered=True`` keeps the (inner, outer) direction."""
+    ids = keyed.select("skey", "doc_id")
+    expanded = (
+        spairs.join(ids.select(F.col("skey").alias("skey_a"), "doc_id"), "skey_a")
+        .withColumnRenamed("doc_id", "id_x")
+        .join(
+            ids.select(F.col("skey").alias("skey_b"), F.col("doc_id").alias("id_y")),
+            "skey_b",
+        )
+    )
+    if ordered:
+        pair = [F.col("id_x").alias(col_a), F.col("id_y").alias(col_b)]
+    else:
+        pair = [
+            F.least("id_x", "id_y").alias(col_a),
+            F.greatest("id_x", "id_y").alias(col_b),
+        ]
+    return expanded.select(*pair, *carry)
+
+
+def _hot_prefix_tokens(prefix: DataFrame, prefix_cap: int) -> DataFrame:
+    """(tok, n_docs) for prefix tokens whose doc-weighted posting count
+    exceeds the cap — ``mult`` rides on the set-level prefix relation, so
+    the weight counts DOCUMENTS, matching the id-level formulation (and
+    MinHash/dhash cap semantics) exactly."""
+    return (
+        prefix.groupBy("tok")
+        .agg(F.sum("mult").alias("n_docs"))
+        .filter(F.col("n_docs") > prefix_cap)
+    )
+
+
+def _jaccard_prefix_relation(
+    groups: DataFrame,
+    t_num: int,
+    t_den: int,
+    broadcast_dfreq: bool | None,
+) -> DataFrame:
+    """The rarest-first prefix slice (doc_id=skey, tok, set_size, rk,
+    mult) over DISTINCT token sets — shared by the candidate join and the
+    hot-token accounting twin so report and join can never disagree."""
+    ts = groups.select(F.col("skey").alias("doc_id"), "toks", "set_size", "mult")
+    sh = ts.select("doc_id", "set_size", "mult", F.explode("toks").alias("tok"))
     dfreq = sh.groupBy("tok").agg(F.count("*").alias("dfreq"))
     # prefix length: n - ceil(t*n) + 1, with ceil in exact integers
     plen = F.col("set_size") - F.floor(
@@ -1079,12 +1203,37 @@ def jaccard_prefix_pairs(
     # costs more (materialization write) than the duplicate window saves;
     # on a cluster where the prefix slice is large relative to executor
     # CPU, add .localCheckpoint(eager=False) here and re-measure.
-    prefix = (
+    return (
         sh.join(_gate_dfreq(ts, dfreq, broadcast_dfreq), "tok")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= plen)
-        .select("doc_id", "tok", "set_size", "rk")
+        .select("doc_id", "tok", "set_size", "rk", "mult")
     )
+
+
+def _jaccard_set_pairs(
+    groups: DataFrame,
+    t_num: int,
+    t_den: int,
+    broadcast_dfreq: bool | None,
+    prefix_cap: int | None,
+) -> DataFrame:
+    """(skey_a, skey_b, intersection, jaccard) over DISTINCT non-equal
+    token sets — the PPJoin core, fed by ``_distinct_token_sets``."""
+    ts = groups.select(F.col("skey").alias("doc_id"), "toks", "set_size")
+    prefix = _jaccard_prefix_relation(groups, t_num, t_den, broadcast_dfreq)
+    if prefix_cap is not None:
+        # hot-posting candidate cap: tokens whose doc-weighted prefix
+        # posting count exceeds the cap stop generating candidates on
+        # EITHER side (a pair survives iff it shares a quiet prefix
+        # token). The anti-join's right side is aggregate-sized; AQE
+        # broadcast-plans it at runtime. Accounting twin:
+        # jaccard_prefix_hot_tokens — never a silent drop.
+        prefix = prefix.join(
+            _hot_prefix_tokens(prefix, prefix_cap).select("tok"),
+            "tok",
+            "left_anti",
+        )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     # PPJoin's positional filter: Jaccard >= t needs overlap
     # o >= ceil(t/(1+t) * (|A|+|B|)); a match at ranks (rka, rkb) in the
@@ -1112,31 +1261,32 @@ def jaccard_prefix_pairs(
             & (possible * (t_num + t_den) >= needed),
         )
         .select(
-            F.col("pa.doc_id").alias("doc_a"),
-            F.col("pb.doc_id").alias("doc_b"),
+            F.col("pa.doc_id").alias("skey_a"),
+            F.col("pb.doc_id").alias("skey_b"),
         )
         .distinct()
     )
     # Verification: the checkpointed token-set arrays ARE the verification
-    # representation — |A∩B| per candidate pair via array_intersect on the
-    # sorted id arrays. Each doc's set crosses the wire once per side as a
-    # packed array, there is no pair-keyed aggregation, and at this SF
-    # both doc-keyed joins broadcast. set_size and the intersection are
-    # both measured on the same array_distinct'ed ids, so an (improbable)
-    # within-doc 64-bit collision cannot skew the Jaccard ratio.
+    # representation — |A∩B| per candidate SET pair via array_intersect on
+    # the sorted id arrays. Each distinct set crosses the wire once per
+    # side as a packed array, there is no pair-keyed aggregation, and at
+    # this SF both set-keyed joins broadcast. set_size and the
+    # intersection are both measured on the same array_distinct'ed ids,
+    # so an (improbable) within-doc 64-bit collision cannot skew the
+    # Jaccard ratio.
     ta = ts.select(
-        F.col("doc_id").alias("doc_a"),
+        F.col("doc_id").alias("skey_a"),
         F.col("toks").alias("toks_a"),
         F.col("set_size").alias("size_a"),
     )
     tb = ts.select(
-        F.col("doc_id").alias("doc_b"),
+        F.col("doc_id").alias("skey_b"),
         F.col("toks").alias("toks_b"),
         F.col("set_size").alias("size_b"),
     )
     inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
+        cand.join(ta, "skey_a")
+        .join(tb, "skey_b")
         .withColumn(
             "intersection",
             F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
@@ -1146,11 +1296,27 @@ def jaccard_prefix_pairs(
     return inter.filter(
         t_den * F.col("intersection") >= t_num * union_size
     ).select(
-        "doc_a",
-        "doc_b",
+        "skey_a",
+        "skey_b",
         "intersection",
         (F.col("intersection").cast("double") / union_size).alias("jaccard"),
     )
+
+
+def jaccard_prefix_hot_tokens(
+    token_sets: DataFrame,
+    t_num: int = JACCARD_T_NUM,
+    t_den: int = JACCARD_T_DEN,
+    broadcast_dfreq: bool | None = None,
+    prefix_cap: int = 0,
+) -> DataFrame:
+    """The accounting twin of a ``prefix_cap``-bounded run: (tok, n_docs)
+    for every prefix token the capped join refuses to generate candidates
+    from — exactly the drop a capped run makes, built from the same
+    prefix construction so report and join can never disagree."""
+    _keyed, groups = _distinct_token_sets(token_sets)
+    prefix = _jaccard_prefix_relation(groups, t_num, t_den, broadcast_dfreq)
+    return _hot_prefix_tokens(prefix, prefix_cap)
 
 
 def q_dedup_jaccard_prefix(spark, sf_dir):
@@ -1676,37 +1842,104 @@ def containment_pairs(
     c_den: int = CONT_C_DEN,
     min_size: int = CONT_MIN_SIZE,
     broadcast_dfreq: bool | None = None,
+    prefix_cap: int | None = None,
 ) -> DataFrame:
     """Ordered pairs (doc_inner, doc_outer, intersection, containment)
     with shingle containment |inner ∩ outer| / |inner| >= c — the
     standard asymmetric near-dup test for subset duplicates in web-corpus
     curation (alongside Jaccard; cf. Broder's containment coefficient).
 
+    Distinct-set collapse (r12, same redesign as ``jaccard_prefix_pairs``,
+    measurements there): the one-sided prefix join and the verification
+    run over one representative per DISTINCT token set; verified set
+    pairs expand back to ORDERED doc pairs (every inner-copy × outer-copy
+    combination), and equal-set groups of size >= 2 emit both directions
+    of each pair with containment exactly 1 — lossless, since containment
+    is a function of the two sets alone.
+
     ONE-SIDED PREFIX FILTER: |A∩B| >= ceil(c·|A|) forces A to share a
     token among its first |A| − ceil(c·|A|) + 1 tokens under any global
     total order (pigeonhole) — so only the INNER side is cut to a prefix,
-    joined against the full exploded token index of all docs. Rarest-first
-    (document-frequency) ordering makes those prefix tokens the ones with
-    the SHORTEST posting lists, which is what bounds the candidate join at
-    corpus scale; for corpora with degenerate ultra-common shingles, cap
-    posting lists by dfreq before the join (same knob as PPJoin's).
+    joined against the full exploded token index of all distinct sets.
+    Rarest-first (set-frequency) ordering makes those prefix tokens the
+    ones with the SHORTEST posting lists, which is what bounds the
+    candidate join at corpus scale; ``prefix_cap`` (doc-weighted, with
+    ``containment_hot_tokens`` as the accounting twin) bounds it on
+    corpora with giant near-duplicate families of distinct sets.
     Verification is exact: array_intersect on the checkpointed sorted
     token-id arrays, integer threshold compare, no float in the filter.
 
     Shares ``token_sets_df``'s representation (and its within-doc 64-bit
     hash-collision caveat) with ``jaccard_prefix_pairs``.
     """
-    # checkpoint BEFORE the min-size filter: filtering on the computed
-    # set_size first makes Catalyst push the predicate below the
-    # projection, re-evaluating the whole nested higher-order tokenize
-    # expression per row for the filter on top of the output columns —
-    # measured 7-10 s vs 0.6 s for the materialize-then-filter order at
-    # sf0.1. Post-checkpoint, set_size is a stored column and the filter
-    # is a trivial scan predicate.
-    ts = token_sets.localCheckpoint(eager=True).filter(
-        F.col("set_size") >= min_size
+    keyed, groups = _containment_distinct_sets(token_sets, min_size)
+    spairs = _containment_set_pairs(
+        groups, c_num, c_den, broadcast_dfreq, prefix_cap
     )
-    sh = ts.select("doc_id", "set_size", F.explode("toks").alias("tok"))
+    cross = _expand_set_pairs(
+        spairs, keyed, "doc_inner", "doc_outer",
+        ["intersection", "containment"], ordered=True,
+    )
+    if c_num > c_den:  # containment = 1.0 below threshold: no equal pairs
+        return cross
+    x, y = keyed.alias("x"), keyed.alias("y")
+    equal = (
+        x.join(y, "skey")
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_inner"),
+            F.col("y.doc_id").alias("doc_outer"),
+            F.col("x.set_size").cast("long").alias("intersection"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionByName(equal)
+
+
+def _containment_distinct_sets(
+    token_sets: DataFrame, min_size: int
+) -> tuple[DataFrame, DataFrame]:
+    """``_distinct_token_sets`` with containment's min-size floor applied
+    AFTER the checkpoint (checkpoint-then-filter keeps the tokenize
+    projection from being re-evaluated per row by a pushed predicate —
+    measured 7-10 s vs 0.6 s at sf0.1) and BEFORE the collapse, so
+    near-empty sets join neither side nor any equal-set group."""
+    keyed, groups = _distinct_token_sets(token_sets)
+    return (
+        keyed.filter(F.col("set_size") >= min_size),
+        groups.filter(F.col("set_size") >= min_size),
+    )
+
+
+def containment_hot_tokens(
+    token_sets: DataFrame,
+    c_num: int = CONT_C_NUM,
+    c_den: int = CONT_C_DEN,
+    min_size: int = CONT_MIN_SIZE,
+    broadcast_dfreq: bool | None = None,
+    prefix_cap: int = 0,
+) -> DataFrame:
+    """Accounting twin of a ``prefix_cap``-bounded containment run:
+    (tok, n_docs) for every INNER-prefix token the capped join refuses to
+    generate candidates from (same construction as the join — see
+    ``jaccard_prefix_hot_tokens``)."""
+    _keyed, groups = _containment_distinct_sets(token_sets, min_size)
+    prefix = _containment_prefix_relation(
+        groups, c_num, c_den, broadcast_dfreq
+    )
+    return _hot_prefix_tokens(prefix, prefix_cap)
+
+
+def _containment_prefix_relation(
+    groups: DataFrame,
+    c_num: int,
+    c_den: int,
+    broadcast_dfreq: bool | None,
+) -> DataFrame:
+    """The inner-side prefix slice over DISTINCT sets — shared by the
+    candidate join and the hot-token accounting twin."""
+    ts = groups.select(F.col("skey").alias("doc_id"), "toks", "set_size", "mult")
+    sh = ts.select("doc_id", "mult", F.explode("toks").alias("tok"))
     dfreq = sh.groupBy("tok").agg(F.count("*").alias("dfreq"))
     # k = ceil(c·n) in exact integers; prefix length = n − k + 1
     k = F.floor((c_num * F.col("set_size") + c_den - 1) / c_den).cast("long")
@@ -1716,31 +1949,57 @@ def containment_pairs(
     # _gate_dfreq — VERDICT r05 item 3's hazard class, containment
     # sibling): at corpus scale the hint is withheld and the join runs
     # as an ordinary shuffle
-    prefix = (
-        sh.join(_gate_dfreq(ts, dfreq, broadcast_dfreq), "tok")
+    return (
+        ts.select(
+            "doc_id", "set_size", "mult", F.explode("toks").alias("tok")
+        )
+        .join(_gate_dfreq(ts, dfreq, broadcast_dfreq), "tok")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= plen)
-        .select(F.col("doc_id").alias("doc_inner"), "tok")
+        .select(F.col("doc_id").alias("skey_a"), "tok", "mult")
     )
-    cand = (
-        prefix.join(
-            sh.select(F.col("doc_id").alias("doc_outer"), "tok"), "tok"
+
+
+def _containment_set_pairs(
+    groups: DataFrame,
+    c_num: int,
+    c_den: int,
+    broadcast_dfreq: bool | None,
+    prefix_cap: int | None,
+) -> DataFrame:
+    """(skey_a=inner, skey_b=outer, intersection, containment) over
+    DISTINCT non-equal token sets — the one-sided-prefix core."""
+    ts = groups.select(F.col("skey").alias("doc_id"), "toks", "set_size")
+    sh = ts.select("doc_id", F.explode("toks").alias("tok"))
+    prefix = _containment_prefix_relation(
+        groups, c_num, c_den, broadcast_dfreq
+    )
+    if prefix_cap is not None:
+        # hot-posting candidate cap (inner side only — candidates are
+        # generated from inner prefixes); accounting twin:
+        # containment_hot_tokens. Same contract as jaccard's.
+        prefix = prefix.join(
+            _hot_prefix_tokens(prefix, prefix_cap).select("tok"),
+            "tok",
+            "left_anti",
         )
-        .filter(F.col("doc_inner") != F.col("doc_outer"))
-        .select("doc_inner", "doc_outer")
+    cand = (
+        prefix.join(sh.select(F.col("doc_id").alias("skey_b"), "tok"), "tok")
+        .filter(F.col("skey_a") != F.col("skey_b"))
+        .select("skey_a", "skey_b")
         .distinct()
     )
     ta = ts.select(
-        F.col("doc_id").alias("doc_inner"),
+        F.col("doc_id").alias("skey_a"),
         F.col("toks").alias("toks_i"),
         F.col("set_size").alias("size_i"),
     )
     tb = ts.select(
-        F.col("doc_id").alias("doc_outer"), F.col("toks").alias("toks_o")
+        F.col("doc_id").alias("skey_b"), F.col("toks").alias("toks_o")
     )
     inter = (
-        cand.join(ta, "doc_inner")
-        .join(tb, "doc_outer")
+        cand.join(ta, "skey_a")
+        .join(tb, "skey_b")
         .withColumn(
             "intersection",
             F.size(F.array_intersect("toks_i", "toks_o")).cast("long"),
@@ -1749,8 +2008,8 @@ def containment_pairs(
     return inter.filter(
         c_den * F.col("intersection") >= c_num * F.col("size_i")
     ).select(
-        "doc_inner",
-        "doc_outer",
+        "skey_a",
+        "skey_b",
         "intersection",
         (F.col("intersection").cast("double") / F.col("size_i")).alias(
             "containment"

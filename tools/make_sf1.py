@@ -140,6 +140,14 @@ def main() -> None:
     # for the distinct-token-set collapse disposition test).
     word_tagged = "--word-tagged" in sys.argv[1:]
     exact = "--exact" in sys.argv[1:]
+    # --replicas=N: override the replica count (intermediate scale points
+    # for slope curves, e.g. a 30-replica exact fixture to measure the
+    # id-level candidate blowup before it exhausts local disk)
+    replicas_override = None
+    for a in list(args):
+        if a.startswith("--replicas="):
+            replicas_override = int(a.split("=", 1)[1])
+            args.remove(a)
     # --sf10: the SECOND measured scale decade (VERDICT r10 item 4) —
     # 100 pair-budget replicas of the sf0.1 documents table, giving a
     # documents-only sf10-equivalent for the substring-dedup /
@@ -166,7 +174,7 @@ def main() -> None:
         "scratch", default,
     )
     if emb:
-        replicas = REPLICAS * 10 if sf10 else REPLICAS
+        replicas = replicas_override or (REPLICAS * 10 if sf10 else REPLICAS)
         src = pq.read_table(f"{SRC}/embeddings.parquet")
         os.makedirs(f"{out}/embeddings.parquet", exist_ok=True)
         for i in range(replicas):
@@ -183,7 +191,7 @@ def main() -> None:
         variant = (
             "word-tagged" if word_tagged else ("exact" if exact else "suffix")
         )
-        replicas = REPLICAS * 10 if sf10 else REPLICAS
+        replicas = replicas_override or (REPLICAS * 10 if sf10 else REPLICAS)
         src = pq.read_table(f"{SRC}/documents.parquet")
         os.makedirs(f"{out}/documents.parquet", exist_ok=True)
         for i in range(replicas):

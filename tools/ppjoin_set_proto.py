@@ -1,5 +1,20 @@
 """Distinct-token-set collapse prototype for the PPJoin Jaccard self-join
-(VERDICT r11 items 4/5): does the dhash-style build-side collapse —
+(VERDICT r11 items 4/5) — the measurement record behind the r12 SHIP of
+the collapse into jaccard_prefix_pairs / containment_pairs themselves.
+
+MEASURED (SCALING.md round-12 section; id-level = the pre-r12
+implementation, checkout before the "Collapse the PPJoin family" commit
+to reproduce): byte-identical-replica corpora at multiplicity 10/30/100
+(scratch/sf1ex, sf3ex, sf10ex) ran id-level 9.95 s / 50.5 s / disk-full
+crash (>45 GB candidate spill), set-level 6.09 s / 13.25 s / 46.2 s —
+output-tracking — and the duplicate-light control (scratch/sf1pb) ran
+9.18 s set-level vs 10.02 s id-level: the collapse is FREE there, unlike
+MinHash's (tools/minhash_sig_proto.py, negative), because the dfreq/
+prefix/window stages shrink by what the collapse adds. Hence shipped
+default-on. This script now exercises the shipped implementation when
+invoked ("id-level" requires the pre-ship checkout).
+
+Original question: does the dhash-style build-side collapse —
 run candidate generation + verification over DISTINCT token sets, then
 expand verified set pairs back to doc pairs — pay on a high-multiplicity
 corpus, and what does it cost on a duplicate-light one?

@@ -60,6 +60,13 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             row[label] = round(time.time() - t0, 2)
+            # opt-in output-size report (one extra execution per leg):
+            # needed when the FIXTURE's true-pair count grows faster than
+            # its data (suffix replicas are mutually Jaccard-similar), so
+            # a slope must be normalized per output row to separate
+            # workload growth from implementation behavior.
+            if os.environ.get("SPARK_GRAFT_COUNT"):
+                row[f"{label}_rows"] = fn(spark, sf_dir).count()
         row["slope"] = round(row["sf10"] / max(row["sf1"], 0.01), 1)
         out[name] = row
         print(
