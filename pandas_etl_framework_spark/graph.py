@@ -12,12 +12,15 @@ with S = 10^12. Overflow headroom: rank_q ≤ 10^12, edge weight ≤ 10^6 →
 products ≤ 10^18 < 2^63.
 
 Scale: each iteration shuffles the contribution sums once (groupBy dst);
-the loop-invariant relations (out-weighted edges, node set) are
-localCheckpointed once so no iteration re-reads or re-shuffles the input,
-and each iteration's ranks are lazily checkpointed so lineage (and with it
-planning time and the unrolled Exchange/FileScan cascade) stays flat in
-the iteration count. At 100 TB pre-partition edges on src so the
-per-iteration join reuses the partitioning.
+the loop-invariant relations are materialized once — the corpus-sized
+out-weighted edges as a SERIALIZED memory/disk persist (streaming build,
+no deserialized unroll: the r12 sf10 rehearsal OOM'd the old eager
+localCheckpoint there), the node set as a localCheckpoint — so no
+iteration re-reads or re-shuffles the input, and each iteration's ranks
+are lazily checkpointed so lineage (and with it planning time and the
+unrolled Exchange/FileScan cascade) stays flat in the iteration count.
+At 100 TB pre-partition edges on src so the per-iteration join reuses
+the partitioning.
 
 Related llmops operator: connected components (llmops/dedup.py) uses the
 same iterate-until-fixpoint join shape for near-dup clustering.
@@ -69,12 +72,37 @@ def pagerank_quantized(
     (False = pre-partitioned shuffle joins, the beyond-10^8-nodes plan)."""
     # Materialize the loop invariants once. The edge relation is often
     # itself a join/aggregate pipeline (purchase_edges is orders x lineitem),
-    # and it feeds the node set, the out-weight join, and every iteration —
-    # without truncation the unrolled plan re-derives it once per reference
-    # (the r01 audit measured Exchange x81 / FileScan x56 for 3 iterations).
-    # Checkpointing also keeps the per-iteration plan size constant, so
-    # planning cost doesn't grow with iteration depth.
-    edges = edges.localCheckpoint(eager=True)
+    # and it feeds the node set, the out-weight join, and the weighted-edge
+    # build — without materialization the plan re-derives it once per
+    # reference (the r01 audit measured Exchange x81 / FileScan x56 for 3
+    # iterations). But it is BUILD-TIME scratch: the loop only ever reads
+    # ``e`` (edges + out-weights) and ``nodes``. The r12 sf10 rehearsal
+    # showed why that distinction matters — an eager localCheckpoint here
+    # pinned a second full copy of a ~100M-row edge relation in executor
+    # storage next to ``e``'s, and the build OOM'd the heap while
+    # unrolling ``e`` (java.lang.OutOfMemoryError, then the truncated
+    # lineage turned block eviction into "Block rdd_N does not exist").
+    # SERIALIZED persist (memory with graceful disk overflow) for both:
+    # localCheckpoint stores deserialized MEMORY_AND_DISK blocks, and at
+    # ~100M edges 32 tasks unrolling ~120 MB deserialized partitions
+    # concurrently blew the heap even with ``edges`` off-heap (second
+    # r12 OOM, in UnsafeRow.readExternal during the checkpoint build).
+    # PySpark's StorageLevel.MEMORY_AND_DISK (the SERIALIZED variant —
+    # deserialized is the _DESER level) builds blocks by STREAMING
+    # serialization with
+    # incremental unroll accounting — a partition that stops fitting
+    # spills mid-build instead of OOMing — and reads back by iterator;
+    # at sf1 both relations fit in memory serialized (no slowdown vs the
+    # old checkpoint), at sf10 the overflow lands on disk and the job
+    # completes (measured: crash → 56 s). Like the checkpoint, the
+    # persist substitutes an InMemoryRelation into every iteration's
+    # plan, so planning cost stays constant with iteration depth. The
+    # node-sized relations (``nodes``, the per-iteration ``ranks``) keep
+    # localCheckpoint: small at any corpus scale, and truncation there
+    # is what stops lineage growth across rounds.
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -82,7 +110,9 @@ def pagerank_quantized(
         .localCheckpoint(eager=True)
     )
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    e = edges.join(out_w, "src").localCheckpoint(eager=True)
+    e = edges.join(out_w, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()  # materialize while the build-scratch blocks still exist
+    edges.unpersist()
     n_df = nodes.agg(F.count("*").alias("n"))
     # ranks/sums are one row per node — orders of magnitude smaller than
     # the edge relation. Broadcasting keeps `e` in place all rounds (no

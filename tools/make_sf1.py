@@ -212,15 +212,16 @@ def main() -> None:
             pq.read_table(f"{SRC}/{name}.parquet"),
             f"{out}/{name}.parquet/part-0.parquet",
         )
+    replicas = replicas_override or REPLICAS
     for name in KEYS:
         src = pq.read_table(f"{SRC}/{name}.parquet")
         os.makedirs(f"{out}/{name}.parquet", exist_ok=True)
-        for i in range(REPLICAS):
+        for i in range(replicas):
             pq.write_table(
                 _replica(src, name, i),
                 f"{out}/{name}.parquet/part-{i}.parquet",
             )
-        print(f"{name}: {src.num_rows} x {REPLICAS} rows -> {out}")
+        print(f"{name}: {src.num_rows} x {replicas} rows -> {out}")
     print("done:", out)
 
 
