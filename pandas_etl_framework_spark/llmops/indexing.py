@@ -363,6 +363,139 @@ def q_text_bigram_logprob(spark, sf_dir):
     return bigram_surprisal(_docs(spark, sf_dir))
 
 
+def kn_surprisal(docs: DataFrame) -> DataFrame:
+    """Per-document mean bigram surprisal under an interpolated
+    Kneser-Ney corpus bigram LM (Kneser & Ney 1995; the Chen & Goodman
+    1999 interpolated form) — the KenLM-shaped perplexity filter CCNet
+    runs over Common Crawl, with the corpus itself as the LM and the
+    standard fixed discount D = 3/4.
+
+        P_KN(w2|w1) = max(c(w1,w2) - D, 0)/c(w1·)
+                      + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+
+    With D = 3/4 the probability is the exact rational
+
+        num = max(4·c - 3, 0)·N1+(··) + 3·N1+(w1·)·N1+(·w2)
+        den = 4·c(w1·)·N1+(··)
+
+    and surp_q = FLOOR(ln(den/num)·LN_SCALE) — integer numerator and
+    denominator built in decimal(38,0) (counts multiply counts: bigint
+    would overflow near ~3e9 corpus bigrams), ONE double division, one
+    ln on the same exact integers in both engines, so the quantized
+    grid agrees bit-for-bit (the bigram_surprisal precedent). Every
+    scored bigram is observed (the corpus contains the document), so
+    c >= 1 and num >= N1+(··) > 0 — no log-of-zero branch.
+
+    Scale shape: identical to bigram_surprisal — the doc-bigram ⋈
+    corpus-bigram join shuffles on the bigram key (the right plan past
+    broadcast range); the left-context stats (c(w1·), N1+(w1·)), the
+    continuation stats (N1+(·w2)) and the bigram-type total N1+(··) are
+    all derived FROM the corpus aggregate, never a corpus re-scan; the
+    type total is a broadcast singleton. localCheckpoint cuts the
+    tokenize+count subtree to one execution across its three consumers.
+    """
+    db = bigram_freq(docs).localCheckpoint(eager=False)
+    corpus_b = (
+        db.groupBy("bigram")
+        .agg(F.sum("tfb").alias("cb"))
+        .withColumn("w1", F.substring_index(F.col("bigram"), " ", 1))
+        .withColumn("w2", F.substring_index(F.col("bigram"), " ", -1))
+        .localCheckpoint(eager=False)
+    )
+    left_stats = corpus_b.groupBy("w1").agg(
+        F.sum("cb").alias("cleft"), F.count(F.lit(1)).alias("n1p_left")
+    )
+    right_stats = corpus_b.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n1p_right")
+    )
+    n1p_all = corpus_b.agg(F.count(F.lit(1)).alias("n1p_all"))
+    dec = "decimal(38,0)"
+    num = (
+        F.greatest(4 * F.col("cb") - 3, F.lit(0)).cast(dec)
+        * F.col("n1p_all").cast(dec)
+        + F.lit(3).cast(dec)
+        * F.col("n1p_left").cast(dec)
+        * F.col("n1p_right").cast(dec)
+    )
+    den = (
+        F.lit(4).cast(dec) * F.col("cleft").cast(dec)
+        * F.col("n1p_all").cast(dec)
+    )
+    surp_q = F.floor(
+        F.log(den.cast("double") / num.cast("double")) * LN_SCALE
+    ).cast("long")
+    return (
+        db.join(corpus_b.select("bigram", "cb", "w1", "w2"), "bigram")
+        .join(left_stats, "w1")
+        .join(right_stats, "w2")
+        .crossJoin(F.broadcast(n1p_all))
+        .withColumn("kn_surp_q", F.col("tfb") * surp_q)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tfb").alias("n_bigrams"),
+            F.sum("kn_surp_q").alias("kn_surprisal_sum_q"),
+        )
+        .withColumn(
+            "mean_kn_surprisal_micro",
+            F.col("kn_surprisal_sum_q").cast("double")
+            / F.col("n_bigrams").cast("double"),
+        )
+    )
+
+
+def q_text_kn_logprob(spark, sf_dir):
+    return kn_surprisal(_docs(spark, sf_dir))
+
+
+def _sql_kn_logprob() -> str:
+    return rf"""
+WITH docs AS (SELECT doc_id, text FROM documents),
+tokd AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM docs
+),
+db AS (
+    SELECT doc_id, u.b AS bigram, COUNT(*) AS tfb
+    FROM tokd, UNNEST(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS u(b)
+    GROUP BY doc_id, u.b
+),
+corpus_b AS (
+    SELECT bigram, SUM(tfb) AS cb,
+           split_part(bigram, ' ', 1) AS w1,
+           split_part(bigram, ' ', 2) AS w2
+    FROM db GROUP BY bigram
+),
+left_stats AS (
+    SELECT w1, SUM(cb) AS cleft, COUNT(*) AS n1p_left
+    FROM corpus_b GROUP BY w1
+),
+right_stats AS (
+    SELECT w2, COUNT(*) AS n1p_right FROM corpus_b GROUP BY w2
+),
+n1p_all AS (SELECT COUNT(*) AS n1p_all FROM corpus_b),
+scored AS (
+    SELECT db.doc_id, db.tfb,
+           db.tfb * CAST(FLOOR(LN(
+               CAST(CAST(4 AS HUGEINT) * ls.cleft * na.n1p_all AS DOUBLE)
+               / CAST(GREATEST(CAST(4 AS HUGEINT) * cb.cb - 3, 0)
+                          * na.n1p_all
+                      + CAST(3 AS HUGEINT) * ls.n1p_left * rs.n1p_right
+                      AS DOUBLE)) * {LN_SCALE}) AS BIGINT) AS kn_surp_q
+    FROM db
+    JOIN corpus_b cb USING (bigram)
+    JOIN left_stats ls ON cb.w1 = ls.w1
+    JOIN right_stats rs ON cb.w2 = rs.w2
+    CROSS JOIN n1p_all na
+)
+SELECT doc_id,
+       CAST(SUM(tfb) AS BIGINT) AS n_bigrams,
+       CAST(SUM(kn_surp_q) AS BIGINT) AS kn_surprisal_sum_q,
+       CAST(SUM(kn_surp_q) AS DOUBLE) / CAST(SUM(tfb) AS DOUBLE)
+           AS mean_kn_surprisal_micro
+FROM scored GROUP BY doc_id
+"""
+
+
 def _sql_bigram_logprob() -> str:
     return rf"""
 WITH docs AS (SELECT doc_id, text FROM documents),
@@ -1278,5 +1411,7 @@ QUERIES = {
     "text_inverted_index": (q_text_inverted_index, _sql_inverted_index()),
     "text_unigram_logprob": (q_text_unigram_logprob, _sql_unigram_logprob()),
     "text_bigram_logprob": (q_text_bigram_logprob, _sql_bigram_logprob()),
+    # r12: interpolated Kneser-Ney bigram LM (KenLM/CCNet-style filter)
+    "text_kn_logprob": (q_text_kn_logprob, _sql_kn_logprob()),
     "dedup_cross_source": (q_dedup_cross_source, SQL_CROSS_SOURCE),
 }
