@@ -952,6 +952,166 @@ LEFT JOIN bg_top ON f.doc_id = bg_top.doc_id
 """
 
 
+# Gopher repetition thresholds (Rae et al. 2021 Table A1), applied to the
+# token-POSITION fractions below: top n-gram mass for n=2..4, duplicate
+# n-gram coverage for n=5 and n=10.
+REPETITION_THRESHOLDS = {
+    "top2": 0.20, "top3": 0.18, "top4": 0.16, "dup5": 0.15, "dup10": 0.10,
+}
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021 Table A1) — the
+    within-document repetition family q_text_gopher_rules leaves out:
+    for n = 2, 3, 4 the mass of the MOST FREQUENT n-gram, and for n = 5
+    and n = 10 the fraction of n-gram positions covered by DUPLICATED
+    n-grams (count > 1 within the document). Fractions are token-position
+    based (the paper's character-weighted variant needs per-gram char
+    sums; position fractions are the standard simplification, e.g. the
+    fixed-length-window forms in open reimplementations) — exact integer
+    numerators/denominators, one double division per fraction, identical
+    in both engines. ``repetitive`` fires when ANY threshold trips.
+
+    Scale shape: a ZERO-SHUFFLE scan projection like q_text_gopher_rules
+    — every fraction is ONE per-row array_sort + run-length fold
+    (O(n log n) in document tokens; no explode, no groupBy), so scoring
+    100 TB is a pure map over the document scan."""
+    toks = tokens_col()
+
+    def grams(n: int) -> F.Column:
+        # guard n_words < n: sequence(1, 0) counts DOWN (the gopher
+        # bigram trap), so gate on size first
+        return F.when(
+            F.size(F.col("t")) >= n,
+            F.expr(
+                f"transform(sequence(1, size(t) - {n} + 1),"
+                f" i -> concat_ws(' ', slice(t, i, {n})))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def run_stats(arr_sql: str) -> str:
+        """(top_count, singles) of a gram array via array_sort + ONE
+        run-length fold — O(n log n) per row where the counted-filter
+        alternative (gopher's top_ratio, fine for one bigram pass) is
+        O(distinct·n) and measured 10x slower across this row's five
+        gram sizes. State: (prev gram, current run, best run so far,
+        singleton runs so far); finish folds the trailing run in."""
+        return (
+            f"aggregate(array_sort({arr_sql}), "
+            "named_struct('prev', CAST(NULL AS string), 'run', 0L,"
+            " 'best', 0L, 'singles', 0L), "
+            "(s, x) -> IF(s.run = 0, named_struct('prev', x, 'run', 1L,"
+            " 'best', s.best, 'singles', s.singles), "
+            "IF(x = s.prev, named_struct('prev', x, 'run', s.run + 1,"
+            " 'best', s.best, 'singles', s.singles), "
+            "named_struct('prev', x, 'run', 1L,"
+            " 'best', greatest(s.best, s.run),"
+            " 'singles', s.singles + IF(s.run = 1, 1L, 0L)))), "
+            "s -> named_struct("
+            "'top_count', greatest(s.best, s.run),"
+            " 'singles', s.singles + IF(s.run = 1, 1L, 0L)))"
+        )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    ).select("doc_id", toks.alias("t"))
+    for n in (2, 3, 4, 5, 10):
+        base = base.withColumn(f"g{n}", grams(n)).withColumn(
+            f"rs{n}", F.expr(run_stats(f"g{n}"))
+        )
+    cols = [F.col("doc_id"), F.size("t").cast("long").alias("n_words")]
+    fracs = {}
+    for n in (2, 3, 4):
+        pos = F.size(f"g{n}")
+        cnt = F.col(f"rs{n}.top_count")
+        frac = F.when(pos > 0, cnt.cast("double") / pos).otherwise(F.lit(0.0))
+        cols += [
+            cnt.alias(f"top{n}_count"),
+            pos.cast("long").alias(f"pos{n}"),
+            frac.alias(f"top{n}_frac"),
+        ]
+        fracs[f"top{n}"] = frac
+    for n in (5, 10):
+        pos = F.size(f"g{n}")
+        cnt = (pos - F.col(f"rs{n}.singles")).cast("long")
+        frac = F.when(pos > 0, cnt.cast("double") / pos).otherwise(F.lit(0.0))
+        cols += [
+            cnt.alias(f"dup{n}_count"),
+            pos.cast("long").alias(f"pos{n}"),
+            frac.alias(f"dup{n}_frac"),
+        ]
+        fracs[f"dup{n}"] = frac
+    repetitive = F.lit(False)
+    for key, thr in REPETITION_THRESHOLDS.items():
+        repetitive = repetitive | (fracs[key] > F.lit(thr))
+    return base.select(*cols, repetitive.alias("repetitive"))
+
+
+def _sql_gram_block(n: int) -> str:
+    """DuckDB n-gram list for one document row (1-indexed inclusive
+    slices), empty below n tokens."""
+    return (
+        f"CASE WHEN LEN(t) >= {n} THEN "
+        f"list_transform(generate_series(1, LEN(t) - {n} + 1), "
+        f"i -> array_to_string(t[i:i + {n} - 1], ' ')) "
+        "ELSE [] END"
+    )
+
+
+def _sql_text_repetition() -> str:
+    # independent formulation on purpose: the oracle unnests each gram
+    # list and GROUPs BY (doc_id, gram) — the relational twin of the
+    # Spark side's per-row sort+fold
+    gram_cols = ", ".join(
+        f"{_sql_gram_block(n)} AS g{n}" for n in (2, 3, 4, 5, 10)
+    )
+    ctes, joins, outs = [], [], []
+    for n in (2, 3, 4, 5, 10):
+        agg = (
+            "CAST(MAX(c) AS BIGINT) AS top_count"
+            if n in (2, 3, 4)
+            else "CAST(COALESCE(SUM(c) FILTER (c > 1), 0) AS BIGINT)"
+            " AS dup_count"
+        )
+        ctes.append(
+            f"s{n} AS (SELECT doc_id, {agg} FROM ("
+            f"SELECT doc_id, w, COUNT(*) AS c FROM "
+            f"(SELECT doc_id, unnest(g{n}) AS w FROM gr) GROUP BY doc_id, w"
+            f") GROUP BY doc_id)"
+        )
+        joins.append(f"LEFT JOIN s{n} ON gr.doc_id = s{n}.doc_id")
+        key = f"top{n}" if n in (2, 3, 4) else f"dup{n}"
+        cname = "top_count" if n in (2, 3, 4) else "dup_count"
+        outs.append(
+            f"COALESCE(s{n}.{cname}, 0) AS {key}_count, "
+            f"CAST(LEN(g{n}) AS BIGINT) AS pos{n}, "
+            f"CASE WHEN LEN(g{n}) > 0 THEN "
+            f"CAST(COALESCE(s{n}.{cname}, 0) AS DOUBLE) / LEN(g{n}) "
+            f"ELSE 0.0 END AS {key}_frac"
+        )
+    thr = REPETITION_THRESHOLDS
+    return rf"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+gr AS (
+    SELECT doc_id, t, {gram_cols} FROM base
+),
+{', '.join(ctes)},
+feat AS (
+    SELECT gr.doc_id, CAST(LEN(t) AS BIGINT) AS n_words, {', '.join(outs)}
+    FROM gr {' '.join(joins)}
+)
+SELECT *,
+       (top2_frac > {thr['top2']} OR top3_frac > {thr['top3']}
+        OR top4_frac > {thr['top4']} OR dup5_frac > {thr['dup5']}
+        OR dup10_frac > {thr['dup10']}) AS repetitive
+FROM feat
+"""
+
+
 def q_text_contamination(spark, sf_dir):
     """Train/holdout contamination: for every holdout document, the
     fraction of its 3-gram shingles that also occur anywhere in the train
@@ -2063,6 +2223,8 @@ def _sql_text_tokens_wordpiece() -> str:
 QUERIES = {
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_gopher_rules": (q_text_gopher_rules, SQL_TEXT_GOPHER_RULES),
+    # r12: the within-document repetition family (Gopher Table A1)
+    "text_repetition": (q_text_repetition, _sql_text_repetition()),
     "text_token_entropy": (q_text_token_entropy, SQL_TEXT_TOKEN_ENTROPY),
     "text_contamination": (q_text_contamination, _sql_text_contamination()),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
