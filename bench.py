@@ -98,6 +98,11 @@ BENCH_QUERIES = [
     # removal stage — window hash + keep-first + owner protection +
     # reassembly). Outside core20.
     "dedup_substrings",
+    # r12 addition: the interpolated Kneser-Ney bigram LM scorer — the
+    # round's heavy new operator; tracks the corpus-LM scoring stack
+    # (doc-bigram ⋈ corpus-bigram shuffle join + three derived stats
+    # relations). Outside core20.
+    "text_kn_logprob",
 ]
 
 # the 20 queries (incl. streaming) benched since r01 — their sum is

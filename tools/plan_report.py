@@ -119,6 +119,10 @@ AUDIT = [
     # inside the trainer, shaped identically to the audited mapInPandas
     # scans)
     "emb_pca_invariants",
+    # r12 additions (text_wordpiece_train excluded for the same
+    # driver-local-VALUES reason as the other trainers)
+    "text_kn_logprob",
+    "text_repetition",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
