@@ -157,22 +157,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # independent evidence in the cohort; they head the r13 queue. After a
 # green window, zero registry rows' latest driver evidence predates
 # r06, and exactly those 2 rows remain at r06.
-# Mid-r12 addition: the round landed 4 NEW rows (text_wordpiece_train,
+# Mid-r12 addition: the round landed 5 NEW rows (text_wordpiece_train,
 # text_tokens_wordpiece — the WordPiece trainer/encoder completing the
 # tokenizer triad — text_kn_logprob, the interpolated Kneser-Ney
-# bigram-LM scorer, and text_repetition, the Gopher Table-A1 repetition
-# family), and the landing-round rule gives new rows their round's
-# slots. FOUR more r06 rows yield: sql_shared_recursive,
-# streaming_scd2_merge and emb_ivf_recall_at_k (all three in the r11
-# judge's individually-re-checked list on this tree, the freshest
-# independent evidence remaining in the cohort) plus emb_kmeans_inertia
-# (its library path is exactly emb_kmeans's kmeans_fit, which STAYS in
-# the window — the sibling row covers the shared code); they join the
-# r13 head.
-# R13 BACKLOG (VERDICT r11 item 2): first the 6 r06 rows that yielded
+# bigram-LM scorer, text_repetition, the Gopher Table-A1 repetition
+# family, and sketch_hll_merge, the grouped HLL merge contract), and
+# the landing-round rule gives new rows their round's slots. FIVE more
+# r06 rows yield: sql_shared_recursive, streaming_scd2_merge and
+# emb_ivf_recall_at_k (all three in the r11 judge's individually-
+# re-checked list on this tree, the freshest independent evidence
+# remaining in the cohort) plus emb_kmeans_inertia and emb_topk_batch
+# (their library paths are exactly emb_kmeans's kmeans_fit and
+# emb_topk's cosine kernel, and BOTH siblings stay in the window — the
+# shared code is covered); they join the r13 head.
+# R13 BACKLOG (VERDICT r11 item 2): first the 7 r06 rows that yielded
 # their r12 slots (cdc_historize_two_runs, scd2_merge,
 # sql_shared_recursive, streaming_scd2_merge, emb_ivf_recall_at_k,
-# emb_kmeans_inertia), then the 30
+# emb_kmeans_inertia, emb_topk_batch), then the 30
 # rows whose latest driver evidence is still r04, explicitly ordered
 # (alphabetical; all 30 carry fresh r09/r10/r11 judge evidence, so none
 # is dark — the driver file is the durable record being repaid):
@@ -206,7 +207,7 @@ DRIVER_PRIORITY = [
     #    and its train->vocab->MaxMatch chain row, and the interpolated
     #    Kneser-Ney bigram-LM scorer (KenLM/CCNet-style filter) --------
     "text_wordpiece_train", "text_tokens_wordpiece", "text_kn_logprob",
-    "text_repetition",
+    "text_repetition", "sketch_hll_merge",
     # -- (c) the 43-row r06-era cohort, alphabetical (includes the two
     #    rows whose code also changed this round: dedup_simhash_pairs
     #    — distinct-signature collapse — and text_bpe_train, whose
@@ -216,7 +217,7 @@ DRIVER_PRIORITY = [
     "dedup_keeper_priority", "dedup_minhash_bands", "dedup_minhash_recall",
     "dedup_simhash_pairs", "emb_kmeans",
     "emb_knn_per_label", "emb_lsh_buckets",
-    "emb_norms", "emb_topk", "emb_topk_batch", "events_asof_tolerance",
+    "emb_norms", "emb_topk", "events_asof_tolerance",
     "events_mad_outliers", "graph_khop", "graph_pagerank",
     "io_jdbc_roundtrip", "io_read_current_hashes", "rel_case_when",
     "rel_cross_join", "rel_having", "rel_key_skew_profile",

@@ -161,6 +161,73 @@ FROM est, exact
 """
 
 
+def q_sketch_hll_merge(spark, sf_dir):
+    """The MERGE contract — the property that makes HLL the 100-TB
+    distinct-count tool (per-partition/per-day partial sketches folded
+    into one): per-priority distinct customer counts computed by
+    building registers over two DISJOINT splits of orders
+    (o_orderkey % 2) and folding one into the other with
+    ``incremental_hll_update``. Registers are max-mergeable, so the
+    folded estimate must equal a direct single-pass build bit-for-bit —
+    and the oracle IS that direct build (the grouped twin of
+    SQL_SKETCH_HLL_DISTINCT over the full table): a wrong merge shows up
+    as a hash mismatch, not a tolerance miss. Exact per-group distinct
+    and relative error ride along as the accuracy contract (module
+    caveat applies per GROUP here: below n ~ m=256 distincts the raw
+    formula's small-range bias dominates — at the sf0.01 gate every
+    priority group holds ~1300 distinct customers, rel_error 0.7-5.5%)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = ["o_orderpriority"]
+    half_a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    half_b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    regs = hll_registers(half_a, "o_custkey", keys)
+    merged = incremental_hll_update(regs, half_b, "o_custkey", keys)
+    est = hll_estimate_from_registers(merged, keys)
+    exact = orders.groupBy(*keys).agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, keys)
+        .select(
+            *keys,
+            "exact_distinct",
+            "hll_estimate",
+            (
+                F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+            ).alias("rel_error"),
+        )
+    )
+
+
+SQL_SKETCH_HLL_MERGE = f"""
+WITH regs AS (
+    SELECT o_orderpriority, {_sql_hex_to_long(_H, 1, 2)} AS reg,
+           MAX(CASE WHEN {_X} = 0 THEN 53
+                    ELSE 53 - LENGTH(bin({_X})) END) AS m_j
+    FROM orders
+    GROUP BY o_orderpriority, reg
+),
+est AS (
+    SELECT o_orderpriority,
+           CAST({HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)!r} AS DOUBLE)
+           / CAST(SUM(1::BIGINT << (53 - m_j))
+                  + ({HLL_M} - COUNT(*)) * (1::BIGINT << 53) AS DOUBLE)
+               AS hll_estimate
+    FROM regs
+    GROUP BY o_orderpriority
+),
+exact AS (
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_distinct
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT est.o_orderpriority, exact_distinct, hll_estimate,
+       abs(hll_estimate - exact_distinct) / exact_distinct AS rel_error
+FROM est JOIN exact ON est.o_orderpriority = exact.o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # Count-min sketch (frequency estimation)
 # --------------------------------------------------------------------------
@@ -647,6 +714,8 @@ FROM s
 
 QUERIES = {
     "sketch_hll_distinct": (q_sketch_hll_distinct, SQL_SKETCH_HLL_DISTINCT),
+    # r12: the grouped merge contract (split-build-fold == direct build)
+    "sketch_hll_merge": (q_sketch_hll_merge, SQL_SKETCH_HLL_MERGE),
     "sketch_theta_kmv": (q_sketch_theta_kmv, SQL_SKETCH_THETA_KMV),
     "sketch_bloom_prune": (q_sketch_bloom_prune, SQL_SKETCH_BLOOM_PRUNE),
     "sketch_countmin": (q_sketch_countmin, SQL_SKETCH_COUNTMIN),

@@ -118,3 +118,32 @@ def test_incremental_hll_matches_rebuild(spark):
         incremental_hll_update(regs, feed_del, "v")
     ).first()["hll_estimate"]
     assert same == hll_estimate_from_registers(regs).first()["hll_estimate"]
+
+
+def test_grouped_merge_chop_invariance(spark):
+    """The r12 sketch_hll_merge contract, register-exact and grouped:
+    folding ANY disjoint chopping of the data into registers equals the
+    single-pass build — per group, for a 3-way chop with a group absent
+    from one chop."""
+    from pandas_etl_framework_spark.sketches import (
+        hll_registers,
+        incremental_hll_update,
+    )
+
+    rows = spark.range(6_000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") % 1_100).alias("v")
+    )
+    # chop 0 lacks group 6 entirely (id % 3 == 0 and id % 7 == 6 overlap,
+    # so drop it explicitly from the first chop)
+    chops = [
+        rows.filter((F.col("id") % 3 == 0) & (F.col("g") != 6)),
+        rows.filter((F.col("id") % 3 == 1) | ((F.col("id") % 3 == 0) & (F.col("g") == 6))),
+        rows.filter(F.col("id") % 3 == 2),
+    ]
+    regs = hll_registers(chops[0], "v", ["g"])
+    for c in chops[1:]:
+        regs = incremental_hll_update(regs, c, "v", ["g"])
+    full = hll_registers(rows, "v", ["g"])
+    merged = {(r["g"], r["reg"]): r["m_j"] for r in regs.collect()}
+    direct = {(r["g"], r["reg"]): r["m_j"] for r in full.collect()}
+    assert merged == direct
