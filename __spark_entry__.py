@@ -157,23 +157,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # independent evidence in the cohort; they head the r13 queue. After a
 # green window, zero registry rows' latest driver evidence predates
 # r06, and exactly those 2 rows remain at r06.
-# Mid-r12 addition: the round landed 5 NEW rows (text_wordpiece_train,
+# Mid-r12 addition: the round landed 6 NEW rows (text_wordpiece_train,
 # text_tokens_wordpiece — the WordPiece trainer/encoder completing the
 # tokenizer triad — text_kn_logprob, the interpolated Kneser-Ney
 # bigram-LM scorer, text_repetition, the Gopher Table-A1 repetition
-# family, and sketch_hll_merge, the grouped HLL merge contract), and
-# the landing-round rule gives new rows their round's slots. FIVE more
-# r06 rows yield: sql_shared_recursive, streaming_scd2_merge and
+# family, sketch_hll_merge, the grouped HLL merge contract, and
+# graph_hyperball, the HLL-register neighborhood-function estimator),
+# and the landing-round rule gives new rows their round's slots. SIX
+# more r06 rows yield: sql_shared_recursive, streaming_scd2_merge and
 # emb_ivf_recall_at_k (all three in the r11 judge's individually-
 # re-checked list on this tree, the freshest independent evidence
-# remaining in the cohort) plus emb_kmeans_inertia and emb_topk_batch
-# (their library paths are exactly emb_kmeans's kmeans_fit and
-# emb_topk's cosine kernel, and BOTH siblings stay in the window — the
+# remaining in the cohort) plus emb_kmeans_inertia, emb_topk_batch and
+# text_fingerprint (their library paths are emb_kmeans's kmeans_fit,
+# emb_topk's cosine kernel and the md5-prefix fingerprint shared with
+# text_winnow_fingerprint, and ALL siblings stay in the window — the
 # shared code is covered); they join the r13 head.
-# R13 BACKLOG (VERDICT r11 item 2): first the 7 r06 rows that yielded
+# R13 BACKLOG (VERDICT r11 item 2): first the 8 r06 rows that yielded
 # their r12 slots (cdc_historize_two_runs, scd2_merge,
 # sql_shared_recursive, streaming_scd2_merge, emb_ivf_recall_at_k,
-# emb_kmeans_inertia, emb_topk_batch), then the 30
+# emb_kmeans_inertia, emb_topk_batch, text_fingerprint), then the 30
 # rows whose latest driver evidence is still r04, explicitly ordered
 # (alphabetical; all 30 carry fresh r09/r10/r11 judge evidence, so none
 # is dark — the driver file is the durable record being repaid):
@@ -207,7 +209,7 @@ DRIVER_PRIORITY = [
     #    and its train->vocab->MaxMatch chain row, and the interpolated
     #    Kneser-Ney bigram-LM scorer (KenLM/CCNet-style filter) --------
     "text_wordpiece_train", "text_tokens_wordpiece", "text_kn_logprob",
-    "text_repetition", "sketch_hll_merge",
+    "text_repetition", "sketch_hll_merge", "graph_hyperball",
     # -- (c) the 43-row r06-era cohort, alphabetical (includes the two
     #    rows whose code also changed this round: dedup_simhash_pairs
     #    — distinct-signature collapse — and text_bpe_train, whose
@@ -226,7 +228,7 @@ DRIVER_PRIORITY = [
     "streaming_dedup_counts",
     "streaming_interval_join",
     "streaming_sessionize", "text_bpe_train", "text_domain_cap",
-    "text_fingerprint", "text_length_histogram", "text_oov_rate",
+    "text_length_histogram", "text_oov_rate",
     "text_token_entropy", "text_tokens", "text_winnow_fingerprint",
     "versioned_store_lifecycle",
 ]

@@ -809,8 +809,168 @@ FROM e{rounds} GROUP BY src
 SQL_GRAPH_KCORE = _sql_kcore()
 
 
+# --------------------------------------------------------------------------
+# HyperBall: HLL-register neighborhood-function estimation
+# --------------------------------------------------------------------------
+
+def hyperball_registers(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): per-node HLL registers of the
+    radius-``rounds`` ball, computed by the register-max fixpoint —
+    round t folds every neighbor's round-(t-1) registers into each
+    node's own by per-register MAX. Returns (node, reg, m_j).
+
+    This is THE bounded-memory way to estimate per-node reachable-set
+    sizes (the neighborhood function, and from it effective diameter /
+    closeness) on graphs where exact per-node BFS sets are impossibly
+    large: state per node is <= m = 256 registers whatever the ball
+    size, rounds are one edge-keyed shuffle join + one (node, reg)
+    aggregate each, and register merge is the same max-fold
+    ``sketch_hll_merge`` gates — the billion-node shape. Reuses the
+    engine-portable HLL primitives from sketches.py, so the DuckDB twin
+    agrees bit-for-bit."""
+    from .sketches import hll_registers
+
+    sym = edges.selectExpr("u AS src", "v AS dst").unionByName(
+        edges.selectExpr("v AS src", "u AS dst")
+    ).localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    regs = hll_registers(nodes, "node", ["node"])
+    for _ in range(rounds):
+        pulled = sym.join(regs, sym.src == regs.node).select(
+            F.col("dst").alias("node"), "reg", "m_j"
+        )
+        regs = (
+            regs.select("node", "reg", "m_j")
+            .unionByName(pulled)
+            .groupBy("node", "reg")
+            .agg(F.max("m_j").alias("m_j"))
+            .localCheckpoint(eager=False)
+        )
+    return regs
+
+
+def q_graph_hyperball(spark, sf_dir):
+    """Per-supplier 2-ball size over the co-supply backbone: the
+    HyperBall HLL estimate next to the EXACT 2-hop reachable count
+    (self + neighbors + neighbors-of-neighbors) and the relative error.
+    The oracle replays both legs — register fixpoint and exact ball —
+    in SQL, so a wrong register merge or a wrong join direction is a
+    value-hash mismatch. The raw-formula small-range caveat applies per
+    node (sketches.py module docstring); the error column is the
+    documented contract, not a hidden tolerance."""
+    from .sketches import hll_estimate_from_registers
+
+    edges = cosupply_backbone(spark, sf_dir).localCheckpoint(eager=True)
+    regs = hyperball_registers(edges, rounds=2)
+    est = hll_estimate_from_registers(regs, ["node"]).withColumnRenamed(
+        "hll_estimate", "hll_ball2"
+    )
+    sym = edges.selectExpr("u AS src", "v AS dst").unionByName(
+        edges.selectExpr("v AS src", "u AS dst")
+    )
+    a, b = sym.alias("a"), sym.alias("b")
+    ball = (
+        sym.select(F.col("src").alias("node"), F.col("src").alias("x"))
+        .unionByName(sym.select(F.col("src").alias("node"),
+                                F.col("dst").alias("x")))
+        .unionByName(
+            a.join(b, F.col("a.dst") == F.col("b.src")).select(
+                F.col("a.src").alias("node"), F.col("b.dst").alias("x")
+            )
+        )
+        .distinct()
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("exact_ball2"))
+    )
+    return est.join(ball, "node").select(
+        F.col("node").cast("long").alias("node"),
+        "exact_ball2",
+        "hll_ball2",
+        (
+            F.abs(F.col("hll_ball2") - F.col("exact_ball2"))
+            / F.col("exact_ball2")
+        ).alias("rel_error"),
+    )
+
+
+def _sql_hyperball(rounds: int = 2) -> str:
+    from .sketches import HLL_ALPHA, HLL_M, _sql_hex_to_long
+
+    h = "md5(CAST(node AS VARCHAR))"
+    x = _sql_hex_to_long(h, 3, 13)
+    head = """
+WITH ps AS MATERIALIZED (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+),
+pairs AS MATERIALIZED (
+    SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    GROUP BY a.s, b.s
+),
+stats AS (
+    SELECT CAST(SUM(shared) AS BIGINT) AS s_sum,
+           CAST(COUNT(*) AS BIGINT) AS p_cnt
+    FROM pairs
+),
+eb AS MATERIALIZED (
+    SELECT u, v FROM pairs, stats
+    WHERE shared * p_cnt > s_sum
+      AND 4 * (shared * p_cnt - s_sum) * (shared * p_cnt - s_sum)
+            > 9 * s_sum * p_cnt
+),
+e AS MATERIALIZED (
+    SELECT u AS src, v AS dst FROM eb
+    UNION ALL
+    SELECT v AS src, u AS dst FROM eb
+),
+nodes AS (SELECT DISTINCT src AS node FROM e),"""
+    regs = f"""
+r0 AS (
+    SELECT node, {_sql_hex_to_long(h, 1, 2)} AS reg,
+           MAX(CASE WHEN {x} = 0 THEN 53
+                    ELSE 53 - LENGTH(bin({x})) END) AS m_j
+    FROM nodes GROUP BY node, reg
+)"""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f""",
+r{k} AS (
+    SELECT node, reg, MAX(m_j) AS m_j FROM (
+        SELECT e.dst AS node, r.reg, r.m_j
+        FROM e JOIN r{k - 1} r ON e.src = r.node
+        UNION ALL
+        SELECT node, reg, m_j FROM r{k - 1}
+    ) GROUP BY node, reg
+)""")
+    tail = f""",
+est AS (
+    SELECT node,
+           CAST({HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)!r} AS DOUBLE)
+           / CAST(SUM(1::BIGINT << (53 - m_j))
+                  + ({HLL_M} - COUNT(*)) * (1::BIGINT << 53) AS DOUBLE)
+               AS hll_ball2
+    FROM r{rounds} GROUP BY node
+),
+exact AS (
+    SELECT node, CAST(COUNT(DISTINCT x) AS BIGINT) AS exact_ball2 FROM (
+        SELECT src AS node, src AS x FROM e
+        UNION ALL
+        SELECT src AS node, dst AS x FROM e
+        UNION ALL
+        SELECT e1.src AS node, e2.dst AS x
+        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+    ) GROUP BY node
+)
+SELECT CAST(est.node AS BIGINT) AS node, exact_ball2, hll_ball2,
+       abs(hll_ball2 - exact_ball2) / exact_ball2 AS rel_error
+FROM est JOIN exact ON est.node = exact.node
+"""
+    return head + regs + "".join(steps) + tail
+
+
 QUERIES = {
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    "graph_hyperball": (q_graph_hyperball, _sql_hyperball()),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_khop": (q_graph_khop, SQL_GRAPH_KHOP),
     "graph_label_propagation": (

@@ -162,3 +162,44 @@ def test_kcore_fixed_rounds_equal_fixpoint(spark):
     got = {r["node"]: r["core_deg"]
            for r in q_graph_kcore(spark, sf).collect()}
     assert got == expect and got
+
+
+def test_hyperball_registers_equal_direct_ball_registers(spark):
+    """The defining HyperBall invariant: after t rounds, a node's
+    registers are EXACTLY the HLL registers of its radius-t ball
+    membership set — checked register-for-register on a graph with a
+    path, a triangle, and an isolated edge."""
+    from pandas_etl_framework_spark.graph import hyperball_registers
+    from pandas_etl_framework_spark.sketches import hll_registers
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "u long, v long",
+    )
+    adj = {}
+    for u, v in [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+                 (20, 21)]:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    balls = {n: {n} for n in adj}
+    for _ in range(2):
+        balls = {
+            n: b | {x for m in b for x in adj[m]} for n, b in balls.items()
+        }
+    membership = spark.createDataFrame(
+        [(n, m) for n, b in balls.items() for m in b],
+        "node long, member long",
+    )
+    expected = {
+        (r["node"], r["reg"]): r["m_j"]
+        for r in hll_registers(membership, "member", ["node"]).collect()
+    }
+    got = {
+        (r["node"], r["reg"]): r["m_j"]
+        for r in hyperball_registers(edges, rounds=2).collect()
+    }
+    assert got == expected
+    # sanity on the balls themselves: path end sees 3 nodes, triangle
+    # sees all 3, isolated edge sees 2
+    assert balls[1] == {1, 2, 3} and balls[10] == {10, 11, 12}
+    assert balls[20] == {20, 21}
