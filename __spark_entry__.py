@@ -157,25 +157,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # independent evidence in the cohort; they head the r13 queue. After a
 # green window, zero registry rows' latest driver evidence predates
 # r06, and exactly those 2 rows remain at r06.
-# Mid-r12 addition: the round landed 6 NEW rows (text_wordpiece_train,
+# Mid-r12 addition: the round landed 8 NEW rows (text_wordpiece_train,
 # text_tokens_wordpiece — the WordPiece trainer/encoder completing the
 # tokenizer triad — text_kn_logprob, the interpolated Kneser-Ney
 # bigram-LM scorer, text_repetition, the Gopher Table-A1 repetition
 # family, sketch_hll_merge, the grouped HLL merge contract, and
-# graph_hyperball, the HLL-register neighborhood-function estimator),
-# and the landing-round rule gives new rows their round's slots. SIX
-# more r06 rows yield: sql_shared_recursive, streaming_scd2_merge and
-# emb_ivf_recall_at_k (all three in the r11 judge's individually-
-# re-checked list on this tree, the freshest independent evidence
-# remaining in the cohort) plus emb_kmeans_inertia, emb_topk_batch and
-# text_fingerprint (their library paths are emb_kmeans's kmeans_fit,
-# emb_topk's cosine kernel and the md5-prefix fingerprint shared with
-# text_winnow_fingerprint, and ALL siblings stay in the window — the
-# shared code is covered); they join the r13 head.
-# R13 BACKLOG (VERDICT r11 item 2): first the 8 r06 rows that yielded
+# graph_hyperball, the HLL-register neighborhood-function estimator,
+# graph_trustrank, the seed-teleport personalized PageRank, and
+# streaming_hll_registers, the HLL twin through the micro-batch
+# engine), and the landing-round rule gives new rows their round's
+# slots. EIGHT r06 rows yield: sql_shared_recursive,
+# streaming_scd2_merge and emb_ivf_recall_at_k (all three in the r11
+# judge's individually-re-checked list on this tree, the freshest
+# independent evidence remaining in the cohort) plus five rows whose
+# library paths are exactly an in-window sibling's: emb_kmeans_inertia
+# (emb_kmeans's kmeans_fit), emb_topk_batch (emb_topk's cosine
+# kernel), text_fingerprint (text_winnow_fingerprint's md5-prefix
+# fingerprint), dedup_minhash_bands (the banding relation
+# dedup_minhash_recall and dedup_clusters consume in-window), and
+# rel_window_first_last (rel_window_ntile's window path); they join
+# the r13 head.
+# R13 BACKLOG (VERDICT r11 item 2): first the 10 r06 rows that yielded
 # their r12 slots (cdc_historize_two_runs, scd2_merge,
 # sql_shared_recursive, streaming_scd2_merge, emb_ivf_recall_at_k,
-# emb_kmeans_inertia, emb_topk_batch, text_fingerprint), then the 30
+# emb_kmeans_inertia, emb_topk_batch, text_fingerprint,
+# dedup_minhash_bands, rel_window_first_last), then the 30
 # rows whose latest driver evidence is still r04, explicitly ordered
 # (alphabetical; all 30 carry fresh r09/r10/r11 judge evidence, so none
 # is dark — the driver file is the durable record being repaid):
@@ -210,13 +216,14 @@ DRIVER_PRIORITY = [
     #    Kneser-Ney bigram-LM scorer (KenLM/CCNet-style filter) --------
     "text_wordpiece_train", "text_tokens_wordpiece", "text_kn_logprob",
     "text_repetition", "sketch_hll_merge", "graph_hyperball",
+    "graph_trustrank", "streaming_hll_registers",
     # -- (c) the 43-row r06-era cohort, alphabetical (includes the two
     #    rows whose code also changed this round: dedup_simhash_pairs
     #    — distinct-signature collapse — and text_bpe_train, whose
     #    pure-Python oracle trainer now uses the shared word splitter;
     #    cdc_historize_two_runs + scd2_merge yielded, see above) --------
     "dedup_clusters", "dedup_jaccard_pairs",
-    "dedup_keeper_priority", "dedup_minhash_bands", "dedup_minhash_recall",
+    "dedup_keeper_priority", "dedup_minhash_recall",
     "dedup_simhash_pairs", "emb_kmeans",
     "emb_knn_per_label", "emb_lsh_buckets",
     "emb_norms", "emb_topk", "events_asof_tolerance",
@@ -224,7 +231,7 @@ DRIVER_PRIORITY = [
     "io_jdbc_roundtrip", "io_read_current_hashes", "rel_case_when",
     "rel_cross_join", "rel_having", "rel_key_skew_profile",
     "rel_limit_offset", "rel_scalar_date_funcs", "rel_string_funcs",
-    "rel_window_first_last", "rel_window_ntile",
+    "rel_window_ntile",
     "streaming_dedup_counts",
     "streaming_interval_join",
     "streaming_sessionize", "text_bpe_train", "text_domain_cap",

@@ -810,6 +810,163 @@ SQL_GRAPH_KCORE = _sql_kcore()
 
 
 # --------------------------------------------------------------------------
+# TrustRank / personalized PageRank (seed-teleport damped walk)
+# --------------------------------------------------------------------------
+
+def trustrank_quantized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """(node, rank_q) after ``iterations`` damped rounds where the
+    teleport mass goes ONLY to ``seeds`` (node) — TrustRank (Gyongyi,
+    Garcia-Molina & Pedersen 2004), the personalized-PageRank quality/
+    spam-propagation recipe: trust flows outward from a vetted seed set
+    instead of raining uniformly. rank' = [node in seeds] * (3*S)//(20*ns)
+    + (17*contrib)//20 with ns = |seeds ∩ nodes|; initial mass S//ns on
+    seeds, 0 elsewhere. Same exact integer arithmetic, same loop shape
+    and persist discipline as :func:`pagerank_quantized` (kept separate
+    on purpose: that function's sf10-tuned path stays untouched); the
+    teleport relation is seed-sized and localCheckpointed once."""
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = edges.join(out_w, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    edges.unpersist()
+    seed_nodes = nodes.join(seeds, "node", "semi").localCheckpoint(eager=True)
+    ns_df = seed_nodes.agg(F.count("*").alias("ns"))
+    bc = _node_hinter(e.sparkSession, broadcast, nodes.count)
+    tele = (
+        seed_nodes.crossJoin(F.broadcast(ns_df))
+        .select(
+            "node",
+            F.expr(f"div({PR_SCALE}, ns)").alias("t0"),
+            F.expr(f"div(3 * {PR_SCALE}, 20 * ns)").alias("tk"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.join(bc(tele), "node", "left").select(
+        "node", F.coalesce("t0", F.lit(0)).alias("rank_q")
+    )
+    for _ in range(iterations):
+        contrib = e.join(bc(ranks), e.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            F.expr("div(rank_q * w, out_w)").alias("c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(bc(sums), "node", "left")
+            .join(bc(tele), "node", "left")
+            .select(
+                "node",
+                (
+                    F.coalesce("tk", F.lit(0))
+                    + F.expr("div(17 * coalesce(s, 0), 20)")
+                ).alias("rank_q"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def q_graph_trustrank(spark, sf_dir):
+    """Top-50 purchase-graph nodes by 3-iteration TrustRank from the
+    sparse vetted-customer seed set c_custkey % 97 == 0 (the khop seed
+    pattern): trust mass concentrates on seeds and the suppliers they
+    buy from, the spam-demotion shape. is_seed rides along."""
+    edges = purchase_edges(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    seeds = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") * 2).cast("long").alias("node")
+    )
+    ranks = trustrank_quantized(edges, seeds, iterations=3)
+    return (
+        ranks.select(
+            decode_node(F.col("node")).alias("node"),
+            (F.col("rank_q").cast("double") / PR_SCALE).alias("rank"),
+            (
+                (F.col("node") % 2 == 0)
+                & (F.expr("div(node, 2)") % 97 == 0)
+            ).alias("is_seed"),
+        )
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(50)
+    )
+
+
+def _sql_trustrank(iterations: int = 3) -> str:
+    head = f"""
+WITH pairs AS (
+    SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+           's' || CAST(l_suppkey AS VARCHAR) AS s,
+           COUNT(*) AS w
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT c AS src, s AS dst, w FROM pairs
+    UNION ALL
+    SELECT s AS src, c AS dst, w FROM pairs
+),
+nodes AS (
+    SELECT DISTINCT src AS node FROM edges
+    UNION
+    SELECT DISTINCT dst AS node FROM edges
+),
+outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, edges.w, outw.out_w
+      FROM edges JOIN outw ON edges.src = outw.src),
+seed AS (
+    SELECT node FROM nodes
+    WHERE node LIKE 'c%' AND CAST(SUBSTR(node, 2) AS BIGINT) % 97 = 0
+),
+nn AS (SELECT COUNT(*) AS ns FROM seed),
+r0 AS (
+    SELECT nodes.node,
+           CASE WHEN seed.node IS NOT NULL THEN {PR_SCALE} // ns
+                ELSE 0 END AS rank_q
+    FROM nodes CROSS JOIN nn LEFT JOIN seed ON nodes.node = seed.node
+)"""
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(f""",
+c{k} AS (
+    SELECT dst AS node, SUM((rank_q * w) // out_w) AS s
+    FROM e JOIN r{k - 1} ON e.src = r{k - 1}.node
+    GROUP BY dst
+),
+r{k} AS (
+    SELECT nodes.node,
+           CASE WHEN seed.node IS NOT NULL
+                THEN (3 * {PR_SCALE}) // (20 * nn.ns) ELSE 0 END
+           + (17 * COALESCE(c{k}.s, 0)) // 20 AS rank_q
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN seed ON nodes.node = seed.node
+    LEFT JOIN c{k} ON nodes.node = c{k}.node
+)""")
+    tail = f"""
+SELECT r{iterations}.node,
+       CAST(rank_q AS DOUBLE) / {PR_SCALE} AS rank,
+       seed.node IS NOT NULL AS is_seed
+FROM r{iterations} LEFT JOIN seed ON r{iterations}.node = seed.node
+ORDER BY rank DESC, r{iterations}.node LIMIT 50
+"""
+    return head + "".join(steps) + tail
+
+
+SQL_GRAPH_TRUSTRANK = _sql_trustrank(3)
+
+
+# --------------------------------------------------------------------------
 # HyperBall: HLL-register neighborhood-function estimation
 # --------------------------------------------------------------------------
 
@@ -971,6 +1128,7 @@ FROM est JOIN exact ON est.node = exact.node
 QUERIES = {
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "graph_hyperball": (q_graph_hyperball, _sql_hyperball()),
+    "graph_trustrank": (q_graph_trustrank, SQL_GRAPH_TRUSTRANK),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_khop": (q_graph_khop, SQL_GRAPH_KHOP),
     "graph_label_propagation": (

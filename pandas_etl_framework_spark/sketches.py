@@ -228,6 +228,96 @@ FROM est JOIN exact ON est.o_orderpriority = exact.o_orderpriority
 """
 
 
+def q_streaming_hll_registers(
+    spark,
+    sf_dir,
+    *,
+    max_files_per_trigger=None,
+    src_files=None,
+    replay_each_batch=False,
+):
+    """sketch_hll_merge's micro-batch twin — streaming distinct-count
+    maintenance THROUGH the real engine: orders stream in (availableNow,
+    file source) and each micro-batch's foreachBatch appends exactly one
+    chop-invariant artifact, the batch's grouped register partials
+    (``hll_registers``), keyed by batch_id so an at-least-once replay
+    overwrites its own partition (the r11 idempotency discipline). The
+    estimate is resolved at READ time against the max-folded store, so
+    the result is identical however the engine chops ingestion — the
+    steady-state shape of a distinct-users dashboard fed by a stream at
+    any scale (state per group is <= m = 256 register rows per batch,
+    never raw ids). The oracle is the DIRECT single-pass grouped build
+    (SQL_SKETCH_HLL_MERGE): a chop-dependent or replay-dependent result
+    is a value-hash mismatch.
+
+    ``max_files_per_trigger``/``src_files``/``replay_each_batch`` exist
+    for the chopping/redelivery pytest only; driver paths leave them
+    unset."""
+    import shutil
+    import tempfile
+
+    from .llmops.dedup import _idempotent_batch_write
+
+    keys = ["o_orderpriority"]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        *keys, "o_custkey"
+    )
+    tmp = tempfile.mkdtemp(prefix="etl_stream_hll_")
+    src, store, ckpt = f"{tmp}/src", f"{tmp}/store", f"{tmp}/ckpt"
+
+    def handle(batch_df, bid):
+        regs = hll_registers(batch_df, "o_custkey", keys)
+        _idempotent_batch_write(regs, store, bid)
+        if replay_each_batch:
+            _idempotent_batch_write(regs, store, bid)
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        w = orders.repartition(src_files) if src_files else orders
+        w.write.mode("overwrite").parquet(src)
+        reader = spark.readStream.schema(orders.schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+        q = (
+            reader.parquet(src)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        merged = (
+            spark.read.parquet(store)
+            .drop("batch_id")
+            .groupBy(*keys, "reg")
+            .agg(F.max("m_j").alias("m_j"))
+        )
+        est = hll_estimate_from_registers(merged, keys)
+        exact = orders.groupBy(*keys).agg(
+            F.countDistinct("o_custkey").alias("exact_distinct")
+        )
+        out = (
+            est.join(exact, keys)
+            .select(
+                *keys,
+                "exact_distinct",
+                "hll_estimate",
+                (
+                    F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                    / F.col("exact_distinct")
+                ).alias("rel_error"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Count-min sketch (frequency estimation)
 # --------------------------------------------------------------------------
@@ -716,6 +806,12 @@ QUERIES = {
     "sketch_hll_distinct": (q_sketch_hll_distinct, SQL_SKETCH_HLL_DISTINCT),
     # r12: the grouped merge contract (split-build-fold == direct build)
     "sketch_hll_merge": (q_sketch_hll_merge, SQL_SKETCH_HLL_MERGE),
+    # r12: its micro-batch twin — same direct-build oracle, registers
+    # maintained through the real streaming engine
+    "streaming_hll_registers": (
+        q_streaming_hll_registers,
+        SQL_SKETCH_HLL_MERGE,
+    ),
     "sketch_theta_kmv": (q_sketch_theta_kmv, SQL_SKETCH_THETA_KMV),
     "sketch_bloom_prune": (q_sketch_bloom_prune, SQL_SKETCH_BLOOM_PRUNE),
     "sketch_countmin": (q_sketch_countmin, SQL_SKETCH_COUNTMIN),

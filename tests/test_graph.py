@@ -203,3 +203,31 @@ def test_hyperball_registers_equal_direct_ball_registers(spark):
     # sees all 3, isolated edge sees 2
     assert balls[1] == {1, 2, 3} and balls[10] == {10, 11, 12}
     assert balls[20] == {20, 21}
+
+
+def test_trustrank_teleports_only_to_seeds(spark):
+    """TrustRank invariants on a hand graph: (a) total mass stays ~S
+    (up to integer-floor loss); (b) a node UNREACHABLE from the seed set
+    ends at rank 0 while uniform PageRank gives it mass; (c) seeds hold
+    the teleport floor."""
+    from pandas_etl_framework_spark.graph import (
+        PR_SCALE,
+        pagerank_quantized,
+        trustrank_quantized,
+    )
+
+    # two components: seeds live in {1,2,3}; {10,11} is unreachable
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 1, 1), (10, 11, 1), (11, 10, 1)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    tr = {r["node"]: r["rank_q"] for r in
+          trustrank_quantized(edges, seeds, iterations=3).collect()}
+    pr = {r["node"]: r["rank_q"] for r in
+          pagerank_quantized(edges, iterations=3).collect()}
+    assert tr[10] == 0 and tr[11] == 0            # no seed path -> no trust
+    assert pr[10] > 0 and pr[11] > 0              # uniform teleport differs
+    assert tr[1] >= (3 * PR_SCALE) // 20          # seed keeps its teleport
+    assert sum(tr.values()) <= PR_SCALE           # mass conserved (floors)
+    assert sum(tr.values()) >= PR_SCALE - 100     # ...up to floor loss

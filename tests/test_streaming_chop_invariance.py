@@ -88,3 +88,26 @@ def test_replayed_chopped_streams_match_batch(spark):
         )
         batch = batch_q(spark, SF_DIR)
         assert _rows(replayed) == _rows(batch), streaming_q.__name__
+
+
+def test_chopped_replayed_hll_stream_matches_direct_build(spark):
+    """The r12 streaming HLL twin: register partials appended per
+    micro-batch and max-folded at read time must equal the direct
+    single-pass grouped build (sketch_hll_merge's own query) — chopped
+    one file per micro-batch, AND with every batch delivered twice
+    (batch_id-keyed overwrite makes the replay a no-op; a blind append
+    could not corrupt max-folded registers, but the discipline is
+    uniform across every streaming twin)."""
+    from pandas_etl_framework_spark.sketches import (
+        q_sketch_hll_merge,
+        q_streaming_hll_registers,
+    )
+
+    for kwargs in (
+        {"max_files_per_trigger": 1, "src_files": 3},
+        {"max_files_per_trigger": 1, "src_files": 2,
+         "replay_each_batch": True},
+    ):
+        streamed = q_streaming_hll_registers(spark, SF_DIR, **kwargs)
+        direct = q_sketch_hll_merge(spark, SF_DIR)
+        assert _rows(streamed) == _rows(direct), kwargs
