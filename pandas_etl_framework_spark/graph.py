@@ -974,36 +974,73 @@ def hyperball_registers(edges: DataFrame, rounds: int = 2) -> DataFrame:
     """HyperBall (Boldi & Vigna 2013): per-node HLL registers of the
     radius-``rounds`` ball, computed by the register-max fixpoint —
     round t folds every neighbor's round-(t-1) registers into each
-    node's own by per-register MAX. Returns (node, reg, m_j).
+    node's own by per-register MAX. Returns the long form
+    (node, reg, m_j), present registers only.
 
     This is THE bounded-memory way to estimate per-node reachable-set
     sizes (the neighborhood function, and from it effective diameter /
     closeness) on graphs where exact per-node BFS sets are impossibly
     large: state per node is <= m = 256 registers whatever the ball
-    size, rounds are one edge-keyed shuffle join + one (node, reg)
-    aggregate each, and register merge is the same max-fold
-    ``sketch_hll_merge`` gates — the billion-node shape. Reuses the
-    engine-portable HLL primitives from sketches.py, so the DuckDB twin
-    agrees bit-for-bit."""
-    from .sketches import hll_registers
+    size. Registers are carried as a DENSE per-node array — the layout
+    real HyperBall uses — so each round's neighbor pull is ONE row per
+    edge and the merge is m max-aggregates per node. The first cut
+    carried (node, reg, m_j) rows through the loop instead, and the
+    sf10full rehearsal killed it: the pull join multiplies |edges| by
+    registers-per-node (~10^9 intermediate rows at 8M edges, GC death);
+    dense arrays bound the round's shuffle at (|edges| + |nodes|) rows
+    — measured 46 s where the row form died. Register arithmetic (md5
+    register index / first-1-bit rank) reuses sketches.py's
+    engine-portable definitions, so the DuckDB twin agrees bit-for-bit.
+    """
+    from .sketches import HLL_M, _rank_col
 
     sym = edges.selectExpr("u AS src", "v AS dst").unionByName(
         edges.selectExpr("v AS src", "u AS dst")
     ).localCheckpoint(eager=True)
     nodes = sym.select(F.col("src").alias("node")).distinct()
-    regs = hll_registers(nodes, "node", ["node"])
+    h = F.md5(F.col("node").cast("string"))
+    reg0 = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rank0 = _rank_col(h).cast("int")
+    regs = nodes.select(
+        "node",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(HLL_M - 1)),
+            lambda i: F.when(i == reg0, rank0).otherwise(F.lit(0)),
+        ).alias("regs"),
+    ).localCheckpoint(eager=True)
+    maxes = [
+        F.max(F.element_at("regs", i + 1)).alias(f"r{i}")
+        for i in range(HLL_M)
+    ]
+    rebuild = F.array(*[F.col(f"r{i}") for i in range(HLL_M)]).alias("regs")
+    # the pulled relation is |edges| rows each ~HLL_M ints wide — size the
+    # merge shuffle to THAT (64 MB targets), not the session's default
+    # partition count: at 8M sym edges the default 32 partitions put
+    # ~250 MB of wide rows into every task's agg buffer and the sf10full
+    # rehearsal GC-thrashed to death; 4 bytes/register + row overhead
+    n_edges = sym.count()
+    n_parts = max(
+        sym.sparkSession.sparkContext.defaultParallelism,
+        int(n_edges * (4 * HLL_M + 64) / (64 << 20)) + 1,
+    )
     for _ in range(rounds):
         pulled = sym.join(regs, sym.src == regs.node).select(
-            F.col("dst").alias("node"), "reg", "m_j"
+            F.col("dst").alias("node"), "regs"
         )
         regs = (
-            regs.select("node", "reg", "m_j")
-            .unionByName(pulled)
-            .groupBy("node", "reg")
-            .agg(F.max("m_j").alias("m_j"))
+            regs.unionByName(pulled)
+            .repartition(n_parts, "node")
+            .groupBy("node")
+            .agg(*maxes)
+            .select("node", rebuild)
             .localCheckpoint(eager=False)
         )
-    return regs
+    return regs.select(
+        "node", F.posexplode("regs").alias("reg", "m_j")
+    ).filter(F.col("m_j") > 0).select(
+        "node", F.col("reg").cast("long").alias("reg"),
+        F.col("m_j").cast("long").alias("m_j"),
+    )
 
 
 def q_graph_hyperball(spark, sf_dir):
@@ -1014,7 +1051,15 @@ def q_graph_hyperball(spark, sf_dir):
     in SQL, so a wrong register merge or a wrong join direction is a
     value-hash mismatch. The raw-formula small-range caveat applies per
     node (sketches.py module docstring); the error column is the
-    documented contract, not a hidden tolerance."""
+    documented contract, not a hidden tolerance.
+
+    GATE-SCALE ROW: the exact-ball column is a Σdeg² wedge expansion —
+    the very quantity HyperBall exists to avoid — and the sf10full
+    rehearsal OOM'd exactly there (640M wedge pairs into a 32-partition
+    distinct) while the register path cruised (1.5x wall on 10x data,
+    SCALING.md). At scale, consume :func:`hyperball_registers` +
+    :func:`~.sketches.hll_estimate_from_registers` directly; the exact
+    column exists to verify the estimate where exactness is feasible."""
     from .sketches import hll_estimate_from_registers
 
     edges = cosupply_backbone(spark, sf_dir).localCheckpoint(eager=True)

@@ -120,9 +120,14 @@ AUDIT = [
     # scans)
     "emb_pca_invariants",
     # r12 additions (text_wordpiece_train excluded for the same
-    # driver-local-VALUES reason as the other trainers)
+    # driver-local-VALUES reason as the other trainers;
+    # streaming_hll_registers executes a real micro-batch stream on
+    # call — its artifact plans are the audited hll shapes)
     "text_kn_logprob",
     "text_repetition",
+    "sketch_hll_merge",
+    "graph_hyperball",
+    "graph_trustrank",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
