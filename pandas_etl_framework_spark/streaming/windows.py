@@ -667,6 +667,117 @@ JOIN events r
 """
 
 
+def q_streaming_interval_join_outer(spark, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM **LEFT OUTER** interval join through the micro-batch
+    engine — the semantics the inner row can't exercise: a view with no
+    purchase in its window emits a NULL-padded row only when the
+    watermark has passed its expiration (no future right row can match),
+    i.e. when join-state eviction fires. availableNow over one parquet
+    file runs ONE data micro-batch (initial watermark, all matches
+    found, nothing padded) and then the no-data FINALIZATION batch the
+    engine schedules once the watermark advances — the same machinery
+    streaming_sessionize's timeout branch drives — which evicts and
+    pads every unmatched view older than the final watermark minus the
+    join bound. Views younger than that remain in state and are
+    discarded unpadded at query end: that tail is NOT emitted, exactly
+    as a real continuous run would still be holding them.
+
+    The oracle mirrors the engine's eviction arithmetic exactly: the
+    final global watermark is min over both sides of (ms-FLOORED max
+    event time − 10 min) — Spark tracks event-time stats in
+    milliseconds — and a view pads iff unmatched AND
+    view_ts < watermark − 30 min (the max_delay bound), computed in
+    exact integer microseconds in both engines. Same HARNESS-ONLY
+    memory-sink boundary as the inner row."""
+    import shutil
+    import tempfile
+    import uuid
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(event_type: str, id_alias: str, ts_alias: str):
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        s = normalize_event_time(s, "ts")
+        return s.filter(F.col("event_type") == event_type).select(
+            "user_id",
+            F.col("event_id").alias(id_alias),
+            F.col("ts").alias(ts_alias),
+        )
+
+    joined = interval_join_streams(
+        side("view", "view_id", "view_ts"),
+        side("purchase", "purchase_id", "purchase_ts"),
+        ["user_id"],
+        "view_ts",
+        "purchase_ts",
+        max_delay="30 minutes",
+        watermark_delay="10 minutes",
+        how="left_outer",
+    )
+    name = f"stream_loj_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="q_stream_loj_ckpt_")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        sink = spark.table(name)
+        rows = sink.collect()
+        schema = sink.schema
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+# the final watermark in exact integer MICROseconds, mirroring Spark's
+# ms-floored event-time stats: min over both sides of
+# (floor(max_us / 1000) - 600000 ms) * 1000; a view pads iff unmatched
+# and view_ts_us < wm_us - 30 min
+SQL_STREAMING_INTERVAL_JOIN_OUTER = """
+WITH v AS (
+    SELECT user_id, event_id AS view_id, ts AS view_ts
+    FROM events WHERE event_type = 'view'
+),
+p AS (
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+),
+m AS (
+    SELECT v.user_id, v.view_id, v.view_ts, p.purchase_id, p.purchase_ts
+    FROM v JOIN p ON v.user_id = p.user_id
+     AND p.purchase_ts >= v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+),
+wm AS (
+    SELECT LEAST(
+        (SELECT (epoch_us(MAX(view_ts)) // 1000 - 600000) * 1000 FROM v),
+        (SELECT (epoch_us(MAX(purchase_ts)) // 1000 - 600000) * 1000 FROM p)
+    ) AS wm_us
+)
+SELECT user_id, view_id, view_ts, purchase_id, purchase_ts FROM m
+UNION ALL
+SELECT v.user_id, v.view_id, v.view_ts,
+       CAST(NULL AS BIGINT) AS purchase_id,
+       CAST(NULL AS TIMESTAMP) AS purchase_ts
+FROM v CROSS JOIN wm
+WHERE v.view_id NOT IN (SELECT view_id FROM m)
+  AND epoch_us(v.view_ts) < wm.wm_us - 1800000000
+"""
+
+
 def q_streaming_enrich(spark, sf_dir: str) -> DataFrame:
     """STREAM-STATIC JOIN through the real micro-batch engine,
     oracle-checkable: the events stream is enriched per micro-batch
@@ -773,6 +884,11 @@ def register_all() -> None:
         "streaming_interval_join",
         q_streaming_interval_join,
         SQL_STREAMING_INTERVAL_JOIN,
+    )
+    harness.register(
+        "streaming_interval_join_outer",
+        q_streaming_interval_join_outer,
+        SQL_STREAMING_INTERVAL_JOIN_OUTER,
     )
     harness.register(
         "streaming_enrich",

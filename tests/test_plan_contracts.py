@@ -59,6 +59,7 @@ SKIP = {
     "streaming_dedup_counts",
     "streaming_sessionize",
     "streaming_interval_join",
+    "streaming_interval_join_outer",
     "streaming_enrich",
 }
 

@@ -543,3 +543,56 @@ def test_streaming_enrich_registry_query_matches_batch_and_cleans_up(spark):
         t for t in views_after - views_before if t.startswith("stream_enrich_")
     }
     assert set(glob.glob(ckpt_glob)) - dirs_before == set()
+
+
+def test_interval_join_outer_eviction_decomposition(spark):
+    """The r12 left-outer interval join row decomposes exactly as the
+    watermark semantics dictate: streamed = (all inner matches) UNION
+    (unmatched views older than final_watermark - max_delay, padded),
+    and NO padded row is younger than that bound — the in-state tail is
+    held, not emitted."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from pandas_etl_framework_spark.relational import normalize_event_time
+    from pandas_etl_framework_spark.streaming.windows import (
+        q_streaming_interval_join_outer,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_streaming_interval_join_outer(spark, sf)
+    padded = out.filter(F.col("purchase_id").isNull())
+    matched = out.filter(F.col("purchase_id").isNotNull())
+
+    ev = normalize_event_time(spark.read.parquet(f"{sf}/events.parquet"), "ts")
+    v = ev.filter("event_type = 'view'").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    inner = v.join(
+        p,
+        (v.user_id == p.user_id)
+        & (p.purchase_ts >= v.view_ts)
+        & (p.purchase_ts <= v.view_ts + F.expr("INTERVAL 30 minutes")),
+    )
+    assert matched.count() == inner.count()
+
+    # ms-floored final watermark, exactly as the oracle computes it
+    max_v = v.agg(F.max("view_ts")).first()[0]
+    max_p = p.agg(F.max("purchase_ts")).first()[0]
+    def wm_us(t):
+        us = t.replace(tzinfo=datetime.timezone.utc).timestamp()
+        return (int(us * 1_000_000) // 1000 - 600_000) * 1000
+    bound_us = min(wm_us(max_v), wm_us(max_p)) - 1_800_000_000
+    unmatched = v.join(inner.select("view_id").distinct(), "view_id", "left_anti")
+    expected_padded = unmatched.filter(
+        F.unix_micros("view_ts") < F.lit(bound_us)
+    ).count()
+    assert padded.count() == expected_padded
+    assert padded.filter(F.unix_micros("view_ts") >= F.lit(bound_us)).count() == 0
+    # the young tail exists and is deliberately NOT emitted
+    assert unmatched.count() > expected_padded
