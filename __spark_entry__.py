@@ -157,7 +157,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # independent evidence in the cohort; they head the r13 queue. After a
 # green window, zero registry rows' latest driver evidence predates
 # r06, and exactly those 2 rows remain at r06.
-# Mid-r12 addition: the round landed 9 NEW rows (text_wordpiece_train,
+# Mid-r12 addition: the round landed 10 NEW rows (text_wordpiece_train,
 # text_tokens_wordpiece — the WordPiece trainer/encoder completing the
 # tokenizer triad — text_kn_logprob, the interpolated Kneser-Ney
 # bigram-LM scorer, text_repetition, the Gopher Table-A1 repetition
@@ -165,10 +165,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # graph_hyperball, the HLL-register neighborhood-function estimator,
 # graph_trustrank, the seed-teleport personalized PageRank, and
 # streaming_hll_registers, the HLL twin through the micro-batch
-# engine, and streaming_interval_join_outer, the left-outer
-# stream-stream interval join with watermark-evicted NULL padding),
-# and the landing-round rule gives new rows their round's
-# slots. NINE r06 rows yield: sql_shared_recursive,
+# engine, streaming_interval_join_outer, the left-outer
+# stream-stream interval join with watermark-evicted NULL padding,
+# and graph_harmonic, truncated harmonic centrality from the
+# HyperBall per-round ball estimates), and the landing-round rule
+# gives new rows their round's slots. TEN r06 rows yield: sql_shared_recursive,
 # streaming_scd2_merge and emb_ivf_recall_at_k (all three in the r11
 # judge's individually-re-checked list on this tree, the freshest
 # independent evidence remaining in the cohort) plus five rows whose
@@ -179,12 +180,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_minhash_recall and dedup_clusters consume in-window), and
 # rel_window_first_last (rel_window_ntile's window path); they join
 # the r13 head.
-# R13 BACKLOG (VERDICT r11 item 2): first the 11 r06 rows that yielded
+# R13 BACKLOG (VERDICT r11 item 2): first the 12 r06 rows that yielded
 # their r12 slots (cdc_historize_two_runs, scd2_merge,
 # sql_shared_recursive, streaming_scd2_merge, emb_ivf_recall_at_k,
 # emb_kmeans_inertia, emb_topk_batch, text_fingerprint,
-# dedup_minhash_bands, rel_window_first_last, rel_case_when), then
-# the 30
+# dedup_minhash_bands, rel_window_first_last, rel_case_when,
+# emb_norms), then the 30
 # rows whose latest driver evidence is still r04, explicitly ordered
 # (alphabetical; all 30 carry fresh r09/r10/r11 judge evidence, so none
 # is dark — the driver file is the durable record being repaid):
@@ -220,7 +221,7 @@ DRIVER_PRIORITY = [
     "text_wordpiece_train", "text_tokens_wordpiece", "text_kn_logprob",
     "text_repetition", "sketch_hll_merge", "graph_hyperball",
     "graph_trustrank", "streaming_hll_registers",
-    "streaming_interval_join_outer",
+    "streaming_interval_join_outer", "graph_harmonic",
     # -- (c) the 43-row r06-era cohort, alphabetical (includes the two
     #    rows whose code also changed this round: dedup_simhash_pairs
     #    — distinct-signature collapse — and text_bpe_train, whose
@@ -230,7 +231,7 @@ DRIVER_PRIORITY = [
     "dedup_keeper_priority", "dedup_minhash_recall",
     "dedup_simhash_pairs", "emb_kmeans",
     "emb_knn_per_label", "emb_lsh_buckets",
-    "emb_norms", "emb_topk", "events_asof_tolerance",
+    "emb_topk", "events_asof_tolerance",
     "events_mad_outliers", "graph_khop", "graph_pagerank",
     "io_jdbc_roundtrip", "io_read_current_hashes",
     "rel_cross_join", "rel_having", "rel_key_skew_profile",

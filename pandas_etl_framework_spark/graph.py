@@ -992,6 +992,22 @@ def hyperball_registers(edges: DataFrame, rounds: int = 2) -> DataFrame:
     register index / first-1-bit rank) reuses sketches.py's
     engine-portable definitions, so the DuckDB twin agrees bit-for-bit.
     """
+    regs = None
+    for _t, dense in _hyperball_rounds(edges, rounds):
+        regs = dense
+    return regs.select(
+        "node", F.posexplode("regs").alias("reg", "m_j")
+    ).filter(F.col("m_j") > 0).select(
+        "node", F.col("reg").cast("long").alias("reg"),
+        F.col("m_j").cast("long").alias("m_j"),
+    )
+
+
+def _hyperball_rounds(edges: DataFrame, rounds: int):
+    """The HyperBall register-max fixpoint over dense per-node register
+    arrays, yielding (t, dense regs) for t = 0..rounds (t = 0 is the
+    {self} initialization). Shared by :func:`hyperball_registers` (final
+    long form) and :func:`hyperball_estimates` (per-round ball sizes)."""
     from .sketches import HLL_M, _rank_col
 
     sym = edges.selectExpr("u AS src", "v AS dst").unionByName(
@@ -1008,6 +1024,7 @@ def hyperball_registers(edges: DataFrame, rounds: int = 2) -> DataFrame:
             lambda i: F.when(i == reg0, rank0).otherwise(F.lit(0)),
         ).alias("regs"),
     ).localCheckpoint(eager=True)
+    yield 0, regs
     maxes = [
         F.max(F.element_at("regs", i + 1)).alias(f"r{i}")
         for i in range(HLL_M)
@@ -1023,7 +1040,7 @@ def hyperball_registers(edges: DataFrame, rounds: int = 2) -> DataFrame:
         sym.sparkSession.sparkContext.defaultParallelism,
         int(n_edges * (4 * HLL_M + 64) / (64 << 20)) + 1,
     )
-    for _ in range(rounds):
+    for t in range(1, rounds + 1):
         pulled = sym.join(regs, sym.src == regs.node).select(
             F.col("dst").alias("node"), "regs"
         )
@@ -1035,12 +1052,41 @@ def hyperball_registers(edges: DataFrame, rounds: int = 2) -> DataFrame:
             .select("node", rebuild)
             .localCheckpoint(eager=False)
         )
-    return regs.select(
-        "node", F.posexplode("regs").alias("reg", "m_j")
-    ).filter(F.col("m_j") > 0).select(
-        "node", F.col("reg").cast("long").alias("reg"),
-        F.col("m_j").cast("long").alias("m_j"),
+        yield t, regs
+
+
+def _dense_ball_est() -> F.Column:
+    """The raw HLL estimate as a per-row fold over a DENSE register array
+    (0 = empty cell contributes 2^53, exactly like the absent-register
+    term in ``hll_estimate_from_registers``): one integer sum, one double
+    division — no explode, no shuffle."""
+    from .sketches import HLL_ALPHA, HLL_M
+
+    denom = F.expr(
+        "aggregate(regs, CAST(0 AS BIGINT),"
+        " (acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), 53 - x))"
     )
+    return (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M * float(1 << 53))
+        / denom.cast("double")
+    )
+
+
+def hyperball_estimates(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """(node, t, ball_est) for t = 0..rounds: the per-node radius-t ball
+    size estimates, one row per round — the HyperBall neighborhood
+    function. The estimate is a zero-shuffle per-row fold over the dense
+    registers, so each extra round costs exactly one edge join + one
+    node aggregate and nothing more."""
+    outs = [
+        dense.select("node", F.lit(t).alias("t"),
+                     _dense_ball_est().alias("ball_est"))
+        for t, dense in _hyperball_rounds(edges, rounds)
+    ]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
 
 
 def q_graph_hyperball(spark, sf_dir):
@@ -1170,9 +1216,159 @@ FROM est JOIN exact ON est.node = exact.node
     return head + regs + "".join(steps) + tail
 
 
+def q_graph_harmonic(spark, sf_dir):
+    """Truncated harmonic centrality via HyperBall — the application the
+    sketch was published FOR (Boldi & Vigna 2013 compute centralities on
+    billion-node web graphs this way): per supplier,
+    est = (B(1) - B(0)) + (B(2) - B(1))/2 from the per-round ball-size
+    estimates, next to the EXACT radius-2 harmonic centrality
+    n1 + n2/2 (n1 = neighbors, n2 = nodes at distance exactly 2). Each
+    extra radius costs one edge join + one node aggregate; the exact leg
+    is the same gate-scale-only wedge expansion as q_graph_hyperball's.
+    The oracle replays the register fixpoint per round AND the exact
+    distances in SQL; the raw-formula small-range bias (B(0) estimates a
+    1-element set) flows through the differences identically in both
+    engines — the gate is determinism and plumbing, the error column is
+    the documented accuracy contract."""
+    edges = cosupply_backbone(spark, sf_dir).localCheckpoint(eager=True)
+    ests = hyperball_estimates(edges, rounds=2)
+    b = ests.groupBy("node").agg(
+        *[
+            F.max(F.when(F.col("t") == t, F.col("ball_est"))).alias(f"b{t}")
+            for t in (0, 1, 2)
+        ]
+    )
+    est_harm = (F.col("b1") - F.col("b0")) + (F.col("b2") - F.col("b1")) / 2
+    sym = edges.selectExpr("u AS src", "v AS dst").unionByName(
+        edges.selectExpr("v AS src", "u AS dst")
+    )
+    n1 = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count_distinct("dst").alias("n1")
+    )
+    a2, b2_ = sym.alias("a"), sym.alias("b")
+    ball2 = (
+        sym.select(F.col("src").alias("node"), F.col("src").alias("x"))
+        .unionByName(sym.select(F.col("src").alias("node"),
+                                F.col("dst").alias("x")))
+        .unionByName(
+            a2.join(b2_, F.col("a.dst") == F.col("b.src")).select(
+                F.col("a.src").alias("node"), F.col("b.dst").alias("x")
+            )
+        )
+        .distinct()
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("ball2"))
+    )
+    exact_harm = (
+        F.col("n1") + (F.col("ball2") - F.col("n1") - 1) / F.lit(2.0)
+    )
+    return (
+        b.join(n1, "node")
+        .join(ball2, "node")
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("n1").cast("long").alias("n1"),
+            (F.col("ball2") - F.col("n1") - 1).cast("long").alias("n2"),
+            est_harm.alias("est_harmonic"),
+            exact_harm.alias("exact_harmonic"),
+            (F.abs(est_harm - exact_harm) / exact_harm).alias("rel_error"),
+        )
+    )
+
+
+def _sql_harmonic(rounds: int = 2) -> str:
+    from .sketches import HLL_ALPHA, HLL_M, _sql_hex_to_long
+
+    h = "md5(CAST(node AS VARCHAR))"
+    x = _sql_hex_to_long(h, 3, 13)
+    alpha = f"CAST({HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)!r} AS DOUBLE)"
+    head = """
+WITH ps AS MATERIALIZED (
+    SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+),
+pairs AS MATERIALIZED (
+    SELECT a.s AS u, b.s AS v, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    GROUP BY a.s, b.s
+),
+stats AS (
+    SELECT CAST(SUM(shared) AS BIGINT) AS s_sum,
+           CAST(COUNT(*) AS BIGINT) AS p_cnt
+    FROM pairs
+),
+eb AS MATERIALIZED (
+    SELECT u, v FROM pairs, stats
+    WHERE shared * p_cnt > s_sum
+      AND 4 * (shared * p_cnt - s_sum) * (shared * p_cnt - s_sum)
+            > 9 * s_sum * p_cnt
+),
+e AS MATERIALIZED (
+    SELECT u AS src, v AS dst FROM eb
+    UNION ALL
+    SELECT v AS src, u AS dst FROM eb
+),
+nodes AS (SELECT DISTINCT src AS node FROM e),"""
+    regs = f"""
+r0 AS (
+    SELECT node, {_sql_hex_to_long(h, 1, 2)} AS reg,
+           MAX(CASE WHEN {x} = 0 THEN 53
+                    ELSE 53 - LENGTH(bin({x})) END) AS m_j
+    FROM nodes GROUP BY node, reg
+)"""
+    steps, ests = [], []
+    for k in range(1, rounds + 1):
+        steps.append(f""",
+r{k} AS (
+    SELECT node, reg, MAX(m_j) AS m_j FROM (
+        SELECT e.dst AS node, r.reg, r.m_j
+        FROM e JOIN r{k - 1} r ON e.src = r.node
+        UNION ALL
+        SELECT node, reg, m_j FROM r{k - 1}
+    ) GROUP BY node, reg
+)""")
+    for k in range(rounds + 1):
+        ests.append(f""",
+b{k} AS (
+    SELECT node,
+           {alpha}
+           / CAST(SUM(1::BIGINT << (53 - m_j))
+                  + ({HLL_M} - COUNT(*)) * (1::BIGINT << 53) AS DOUBLE)
+               AS est
+    FROM r{k} GROUP BY node
+)""")
+    tail = """,
+n1 AS (SELECT src AS node, COUNT(DISTINCT dst) AS n1 FROM e GROUP BY src),
+ball2 AS (
+    SELECT node, CAST(COUNT(DISTINCT x) AS BIGINT) AS ball2 FROM (
+        SELECT src AS node, src AS x FROM e
+        UNION ALL
+        SELECT src AS node, dst AS x FROM e
+        UNION ALL
+        SELECT e1.src AS node, e2.dst AS x
+        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+    ) GROUP BY node
+)
+SELECT CAST(b0.node AS BIGINT) AS node,
+       CAST(n1.n1 AS BIGINT) AS n1,
+       CAST(ball2.ball2 - n1.n1 - 1 AS BIGINT) AS n2,
+       (b1.est - b0.est) + (b2.est - b1.est) / 2 AS est_harmonic,
+       n1.n1 + (ball2.ball2 - n1.n1 - 1) / 2.0 AS exact_harmonic,
+       abs((b1.est - b0.est) + (b2.est - b1.est) / 2
+           - (n1.n1 + (ball2.ball2 - n1.n1 - 1) / 2.0))
+       / (n1.n1 + (ball2.ball2 - n1.n1 - 1) / 2.0) AS rel_error
+FROM b0
+JOIN b1 ON b0.node = b1.node
+JOIN b2 ON b0.node = b2.node
+JOIN n1 ON b0.node = n1.node
+JOIN ball2 ON b0.node = ball2.node
+"""
+    return head + regs + "".join(steps) + "".join(ests) + tail
+
+
 QUERIES = {
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "graph_hyperball": (q_graph_hyperball, _sql_hyperball()),
+    "graph_harmonic": (q_graph_harmonic, _sql_harmonic()),
     "graph_trustrank": (q_graph_trustrank, SQL_GRAPH_TRUSTRANK),
     "graph_triangles": (q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_khop": (q_graph_khop, SQL_GRAPH_KHOP),

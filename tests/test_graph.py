@@ -231,3 +231,40 @@ def test_trustrank_teleports_only_to_seeds(spark):
     assert tr[1] >= (3 * PR_SCALE) // 20          # seed keeps its teleport
     assert sum(tr.values()) <= PR_SCALE           # mass conserved (floors)
     assert sum(tr.values()) >= PR_SCALE - 100     # ...up to floor loss
+
+
+def test_hyperball_estimates_per_round_match_direct_ball_estimates(spark):
+    """hyperball_estimates' per-round ball sizes must equal the HLL
+    estimate of the exact ball membership at every t — the per-round
+    extension of the register invariant, on the same hand graph."""
+    from pandas_etl_framework_spark.graph import hyperball_estimates
+    from pandas_etl_framework_spark.sketches import (
+        hll_distinct,
+    )
+
+    edge_list = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+                 (20, 21)]
+    edges = spark.createDataFrame(edge_list, "u long, v long")
+    adj = {}
+    for u, v in edge_list:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    balls = {n: {n} for n in adj}
+    got = {
+        (r["node"], r["t"]): r["ball_est"]
+        for r in hyperball_estimates(edges, rounds=2).collect()
+    }
+    for t in range(3):
+        membership = spark.createDataFrame(
+            [(n, m) for n, b in balls.items() for m in b],
+            "node long, member long",
+        )
+        exp = {
+            r["node"]: r["hll_estimate"]
+            for r in hll_distinct(membership, "member", ["node"]).collect()
+        }
+        for n, e in exp.items():
+            assert got[(n, t)] == e, (n, t)
+        balls = {
+            n: b | {x for m in b for x in adj[m]} for n, b in balls.items()
+        }
