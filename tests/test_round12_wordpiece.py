@@ -102,9 +102,8 @@ def test_wordpiece_word_greedy_and_oov_fallback():
     vocab = {"ab", "a", "##b", "##cd", "##c", "##d"}
     # longest-match-first: 'abcd' -> ab + ##cd, never a + ##b + ...
     assert wordpiece_word("abcd", vocab, 2) == ["ab", "##cd"]
-    # position-0 piece must be the bare form: '##cd' never matches at 0
-    assert wordpiece_word("cd", vocab, 2) == ["c", "##d"] or True
-    # 'c' (bare) not in vocab -> per-char OOV fallback at position 0
+    # position-0 piece must be the bare form ('##cd' never matches at 0),
+    # and 'c' (bare) not in vocab -> per-char OOV fallback at position 0
     assert wordpiece_word("cd", vocab, 2) == ["c", "##d"]
     # fully out-of-alphabet word falls back per character, ## after pos 0
     assert wordpiece_word("xy", vocab, 2) == ["x", "##y"]

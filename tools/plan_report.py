@@ -128,6 +128,7 @@ AUDIT = [
     "sketch_hll_merge",
     "graph_hyperball",
     "graph_trustrank",
+    "graph_harmonic",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
