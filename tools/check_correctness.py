@@ -101,7 +101,18 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from pandas_etl_framework_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    # accept space- AND comma-separated names, tolerate a `--queries`
+    # flag word, and FAIL on unknown names: the old `set(sys.argv[1:])`
+    # silently matched nothing when given `--queries a,b` (one comma-
+    # joined argv element), so a filtered run could report 'all checks
+    # passed' having checked ZERO queries — a vacuous green
+    only = {
+        n
+        for a in sys.argv[1:]
+        if a != "--queries"
+        for n in a.split(",")
+        if n
+    }
     # showConsoleProgress is build-time-static; off so the progress bar's
     # \r-terminated stage lines can't interleave with the OK/FAIL records
     # and silently drop rows from anchored greps over captured output
@@ -119,6 +130,10 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"UNKNOWN QUERY NAMES (nothing checked): {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
