@@ -2220,6 +2220,143 @@ def _sql_text_tokens_wordpiece() -> str:
     )
 
 
+def q_text_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer selection metrics — the eval a pipeline runs to pick a
+    tokenizer: one row per trained tokenizer (bpe / unigram / wordpiece)
+    with corpus totals and the two standard ratios, fertility (tokens
+    per word) and compression (chars per token), floor-quantized on the
+    1e6 grid from exact integer totals. Chains all three train→encode
+    paths through ONE gate: a drift in any trainer, vocabulary
+    induction, or encoder flips its tokenizer's row. Gate-only
+    VALUES-oracle row pinned to ``_oracle_sf_dir()`` like the trainers;
+    the encodes are the zero-shuffle Arrow passes, the totals one
+    aggregate each."""
+    oracle_dir = _oracle_sf_dir()
+    if sf_dir != oracle_dir:
+        import warnings
+
+        warnings.warn(
+            f"q_text_tokenizer_fertility ignores sf_dir={sf_dir!r}: its "
+            f"VALUES oracle is corpus-specific, so the corpus is pinned "
+            f"to {oracle_dir!r}; use the trainers/encoders directly for "
+            f"other scales",
+            stacklevel=2,
+        )
+    docs = _docs(spark, oracle_dir)
+    base = docs.select(F.explode(tokens_col()).alias("w")).filter(
+        F.length("w") > 0
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).alias("total_words"),
+        F.sum(F.length("w")).alias("total_chars"),
+    ).first()
+    t_words, t_chars = int(totals["total_words"]), int(totals["total_chars"])
+
+    def n_tokens(encoded: DataFrame) -> int:
+        return int(encoded.agg(F.sum("n_tokens")).first()[0])
+
+    merges, _ = bpe_train(docs, n_merges=10)
+    bpe_n = n_tokens(bpe_encode(docs, merges))
+    trained = unigram_train(docs)
+    uni_n = n_tokens(unigram_encode(docs, {p: c + 1 for p, c in trained}))
+    _, wp_vocab_df = wordpiece_train(docs)
+    wp_n = n_tokens(wordpiece_encode(docs, wordpiece_vocab(wp_vocab_df)))
+
+    rows = [
+        (name, n, t_words, t_chars,
+         n * 1_000_000 // t_words, t_chars * 1_000_000 // n)
+        for name, n in (("bpe", bpe_n), ("unigram", uni_n),
+                        ("wordpiece", wp_n))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "tokenizer string, total_tokens long, total_words long,"
+        " total_chars long, fertility_micro long, chars_per_token_micro long",
+    )
+
+
+def _sql_text_tokenizer_fertility() -> str:
+    """VALUES oracle from the three independent pure-Python twins: each
+    tokenizer's token total is computed over the distinct-word table
+    (Σ freq × |encode(word)| — encoders are word-local, so this equals
+    the per-document sum) with the same MaxMatch/Viterbi/merge-replay
+    encoders the per-tokenizer chain gates use."""
+    from collections import Counter
+    from fractions import Fraction
+
+    import pyarrow.parquet as pq
+
+    sf_dir = _oracle_sf_dir()
+    texts = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    freqs = Counter()
+    for t in texts:
+        for w in split_words(t):
+            freqs[w] += 1
+    t_words = sum(freqs.values())
+    t_chars = sum(len(w) * c for w, c in freqs.items())
+
+    # bpe: replaying the merge list over a word reproduces its training
+    # segmentation; use the encoder for independence from that property
+    merges, _ = bpe_train_python(texts, 10)
+    bpe_n = sum(
+        len(toks) * freqs[w]
+        for w, toks in zip(freqs, bpe_encode_batch(list(freqs), merges))
+    )
+
+    trained = unigram_train_python(texts)
+    weights = {p: c + 1 for p, c in trained}
+    total = sum(weights.values())
+    ml = UNIGRAM_MAX_PIECE_LEN
+
+    def uni_len(word):
+        n = len(word)
+        best = [None] * (n + 1)
+        best[0] = (Fraction(1), 0)
+        for i in range(1, n + 1):
+            for j in range(max(0, i - ml), i):
+                if best[j] is None or word[j:i] not in weights:
+                    continue
+                lik = best[j][0] * Fraction(weights[word[j:i]], total)
+                cand = (lik, best[j][1] + 1)
+                cur = best[i]
+                if (
+                    cur is None
+                    or cand[0] > cur[0]
+                    or (cand[0] == cur[0] and cand[1] < cur[1])
+                ):
+                    best[i] = cand
+        return best[n][1] if best[n] is not None else n
+
+    uni_n = sum(uni_len(w) * c for w, c in freqs.items())
+
+    _, wp_segs = wordpiece_train_python(texts)
+    wp_vocab = {s for v in wp_segs.values() for s in v}
+    wp_max = max((_wp_piece_chars(p) for p in wp_vocab), default=1)
+    wp_n = sum(
+        len(wordpiece_word(w, wp_vocab, wp_max)) * c
+        for w, c in freqs.items()
+    )
+
+    rows = ", ".join(
+        f"('{name}', CAST({n} AS BIGINT), CAST({t_words} AS BIGINT),"
+        f" CAST({t_chars} AS BIGINT),"
+        f" CAST({n * 1_000_000 // t_words} AS BIGINT),"
+        f" CAST({t_chars * 1_000_000 // n} AS BIGINT))"
+        for name, n in (("bpe", bpe_n), ("unigram", uni_n),
+                        ("wordpiece", wp_n))
+    )
+    return (
+        "SELECT tokenizer, total_tokens, total_words, total_chars,"
+        " fertility_micro, chars_per_token_micro FROM (VALUES "
+        f"{rows}) AS t(tokenizer, total_tokens, total_words, total_chars,"
+        " fertility_micro, chars_per_token_micro)"
+    )
+
+
 QUERIES = {
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_gopher_rules": (q_text_gopher_rules, SQL_TEXT_GOPHER_RULES),
@@ -2257,5 +2394,11 @@ QUERIES = {
     "text_tokens_wordpiece": (
         q_text_tokens_wordpiece,
         _sql_text_tokens_wordpiece,
+    ),
+    # r12: the cross-tokenizer eval — all three train→encode chains
+    # through one fertility/compression gate
+    "text_tokenizer_fertility": (
+        q_text_tokenizer_fertility,
+        _sql_text_tokenizer_fertility,
     ),
 }

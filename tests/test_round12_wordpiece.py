@@ -122,3 +122,31 @@ def test_wordpiece_merge_strips_continuation_marker(spark):
         assert right.startswith("##")
         assert piece == left + right[2:]
         assert not piece.startswith("####")
+
+
+def test_tokenizer_fertility_invariants(spark):
+    """Subword tokenizers never merge across word boundaries, so tokens
+    per word >= 1 (fertility_micro >= 1e6) for all three; and totals are
+    consistent (chars_per_token * tokens ~ chars within floor error)."""
+    from pandas_etl_framework_spark.llmops.text import (
+        q_text_tokenizer_fertility,
+    )
+
+    rows = {
+        r["tokenizer"]: r
+        for r in q_text_tokenizer_fertility(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {"bpe", "unigram", "wordpiece"}
+    for name, r in rows.items():
+        assert r["fertility_micro"] >= 1_000_000, name
+        assert r["total_tokens"] >= r["total_words"] > 0, name
+        assert (
+            r["fertility_micro"]
+            == r["total_tokens"] * 1_000_000 // r["total_words"]
+        ), name
+        assert (
+            r["chars_per_token_micro"]
+            == r["total_chars"] * 1_000_000 // r["total_tokens"]
+        ), name
