@@ -157,7 +157,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # independent evidence in the cohort; they head the r13 queue. After a
 # green window, zero registry rows' latest driver evidence predates
 # r06, and exactly those 2 rows remain at r06.
-# Mid-r12 addition: the round landed 11 NEW rows (text_wordpiece_train,
+# Mid-r12 addition: the round landed 12 NEW rows (text_wordpiece_train,
 # text_tokens_wordpiece — the WordPiece trainer/encoder completing the
 # tokenizer triad — text_kn_logprob, the interpolated Kneser-Ney
 # bigram-LM scorer, text_repetition, the Gopher Table-A1 repetition
@@ -170,8 +170,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # graph_harmonic, truncated harmonic centrality from the HyperBall
 # per-round ball estimates, and text_tokenizer_fertility, the
 # cross-tokenizer fertility/compression eval gating all three
-# train→encode chains in one row), and the landing-round rule gives
-# new rows their round's slots. ELEVEN r06 rows yield: sql_shared_recursive,
+# train→encode chains in one row, and text_ccnet_buckets, CCNet's
+# head/middle/tail perplexity terciles over the KN LM), and the
+# landing-round rule gives new rows their round's slots. TWELVE r06
+# rows yield: sql_shared_recursive,
 # streaming_scd2_merge and emb_ivf_recall_at_k (all three in the r11
 # judge's individually-re-checked list on this tree, the freshest
 # independent evidence remaining in the cohort) plus five rows whose
@@ -182,12 +184,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_minhash_recall and dedup_clusters consume in-window), and
 # rel_window_first_last (rel_window_ntile's window path); they join
 # the r13 head.
-# R13 BACKLOG (VERDICT r11 item 2): first the 13 r06 rows that yielded
+# R13 BACKLOG (VERDICT r11 item 2): first the 14 r06 rows that yielded
 # their r12 slots (cdc_historize_two_runs, scd2_merge,
 # sql_shared_recursive, streaming_scd2_merge, emb_ivf_recall_at_k,
 # emb_kmeans_inertia, emb_topk_batch, text_fingerprint,
 # dedup_minhash_bands, rel_window_first_last, rel_case_when,
-# emb_norms, text_length_histogram), then the 30
+# emb_norms, text_length_histogram, text_oov_rate), then the 30
 # rows whose latest driver evidence is still r04, explicitly ordered
 # (alphabetical; all 30 carry fresh r09/r10/r11 judge evidence, so none
 # is dark — the driver file is the durable record being repaid):
@@ -224,7 +226,7 @@ DRIVER_PRIORITY = [
     "text_repetition", "sketch_hll_merge", "graph_hyperball",
     "graph_trustrank", "streaming_hll_registers",
     "streaming_interval_join_outer", "graph_harmonic",
-    "text_tokenizer_fertility",
+    "text_tokenizer_fertility", "text_ccnet_buckets",
     # -- (c) the 43-row r06-era cohort, alphabetical (includes the two
     #    rows whose code also changed this round: dedup_simhash_pairs
     #    — distinct-signature collapse — and text_bpe_train, whose
@@ -243,7 +245,6 @@ DRIVER_PRIORITY = [
     "streaming_dedup_counts",
     "streaming_interval_join",
     "streaming_sessionize", "text_bpe_train", "text_domain_cap",
-    "text_oov_rate",
     "text_token_entropy", "text_tokens", "text_winnow_fingerprint",
     "versioned_store_lifecycle",
 ]

@@ -447,6 +447,48 @@ def q_text_kn_logprob(spark, sf_dir):
     return kn_surprisal(_docs(spark, sf_dir))
 
 
+def q_text_ccnet_buckets(spark, sf_dir):
+    """CCNet's perplexity bucketing (Wenzek et al. 2020): rank every
+    document by its LM surprisal — here the interpolated Kneser-Ney
+    corpus bigram LM of :func:`kn_surprisal` — and split the corpus into
+    head / middle / tail terciles (bucket 1 = most fluent), the standard
+    keep-head/sample-middle/drop-tail curation stage. Ordering is
+    (mean surprisal, doc_id): the mean is ONE double division of exact
+    integers in both engines, so the global order and therefore every
+    NTILE edge is engine-identical.
+
+    SCALE NOTE: the exact global NTILE is a single-partition window —
+    correct at gate scale, not the 100-TB plan. At corpus scale compute
+    the two tercile CUTOFFS once (approx or sampled quantiles of the
+    quantized mean), broadcast them, and assign buckets in the scan —
+    the filter is threshold-based there; the exact tercile here is what
+    the oracle can pin bit-for-bit."""
+    from pyspark.sql import Window
+
+    kn = kn_surprisal(_docs(spark, sf_dir))
+    w = Window.orderBy(
+        F.col("mean_kn_surprisal_micro").asc(), F.col("doc_id")
+    )
+    return kn.select(
+        "doc_id",
+        "n_bigrams",
+        "mean_kn_surprisal_micro",
+        F.ntile(3).over(w).alias("ppl_bucket"),
+    )
+
+
+def _sql_ccnet_buckets() -> str:
+    kn = _sql_kn_logprob()
+    return f"""
+WITH kn AS ({kn})
+SELECT doc_id, n_bigrams, mean_kn_surprisal_micro,
+       CAST(NTILE(3) OVER (
+           ORDER BY mean_kn_surprisal_micro, doc_id
+       ) AS INTEGER) AS ppl_bucket
+FROM kn
+"""
+
+
 def _sql_kn_logprob() -> str:
     return rf"""
 WITH docs AS (SELECT doc_id, text FROM documents),
@@ -1413,5 +1455,7 @@ QUERIES = {
     "text_bigram_logprob": (q_text_bigram_logprob, _sql_bigram_logprob()),
     # r12: interpolated Kneser-Ney bigram LM (KenLM/CCNet-style filter)
     "text_kn_logprob": (q_text_kn_logprob, _sql_kn_logprob()),
+    # r12: CCNet head/middle/tail perplexity terciles over the KN LM
+    "text_ccnet_buckets": (q_text_ccnet_buckets, _sql_ccnet_buckets()),
     "dedup_cross_source": (q_dedup_cross_source, SQL_CROSS_SOURCE),
 }

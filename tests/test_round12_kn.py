@@ -105,3 +105,23 @@ def test_kn_conditional_sums_to_one_over_vocab(corpus):
                 * Fraction(n1p_right[w2], n1p_all)
             )
         assert total == 1
+
+
+def test_ccnet_buckets_balanced_and_ordered(spark):
+    """NTILE terciles are balanced (sizes differ by <= 1) and ordered:
+    every head-bucket surprisal <= every tail-bucket surprisal."""
+    from pandas_etl_framework_spark.llmops.indexing import (
+        q_text_ccnet_buckets,
+    )
+
+    rows = q_text_ccnet_buckets(spark, "/root/testdata/sf0.001").collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["ppl_bucket"], []).append(
+            r["mean_kn_surprisal_micro"]
+        )
+    assert set(by_bucket) == {1, 2, 3}
+    sizes = sorted(len(v) for v in by_bucket.values())
+    assert sizes[-1] - sizes[0] <= 1
+    assert max(by_bucket[1]) <= min(by_bucket[3])
+    assert max(by_bucket[1]) <= min(by_bucket[2]) or len(by_bucket[2]) == 0
