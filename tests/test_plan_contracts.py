@@ -45,6 +45,7 @@ BNLJ_SINGLETON_OK = {
     "text_rrf_fusion",         # inherits the BM25/LM totals singletons
     "text_unigram_logprob", "text_bigram_logprob",      # LM totals
     "text_kn_logprob",         # 1-row bigram-type-total N1+(..) singleton
+    "text_ccnet_buckets",      # inherits the KN type-total singleton
     "text_contamination",      # split-context singleton
     "curation_pipeline",
     "graph_triangles",         # n_edges x tri x wedges one-row census rows
