@@ -457,12 +457,22 @@ def q_text_ccnet_buckets(spark, sf_dir):
     integers in both engines, so the global order and therefore every
     NTILE edge is engine-identical.
 
-    SCALE NOTE: the exact global NTILE is a single-partition window —
-    correct at gate scale, not the 100-TB plan. At corpus scale compute
-    the two tercile CUTOFFS once (approx or sampled quantiles of the
-    quantized mean), broadcast them, and assign buckets in the scan —
-    the filter is threshold-based there; the exact tercile here is what
-    the oracle can pin bit-for-bit."""
+    CONTRACT (ADVICE r12): documents with fewer than 2 tokens have no
+    bigrams, are unscoreable under a bigram LM, and are EXCLUDED — the
+    terciles partition the scoreable corpus only (kn_surprisal's inner
+    joins drop them in both engines, so the gate exercises the same
+    shape). CCNet itself buckets the whole corpus; a caller needing
+    that contract should left-join the document relation and route
+    zero-bigram rows to a sentinel bucket before filtering.
+
+    SCALE NOTE (r13): the exact global NTILE is a single-partition
+    window — a GATE-SCALE DIAGNOSTIC in the hyperball-exact-leg class,
+    NOT the 100-TB plan. The production form ships as its own oracle
+    row, :func:`q_text_ccnet_cutoffs`: tercile cutoffs computed by
+    distributed selection (or approxQuantile at corpus scale),
+    broadcast, and assigned in the scan — same output, same oracle, no
+    single-partition stage. Scale consumers use that row; this one
+    exists to pin the NTILE edges bit-for-bit."""
     from pyspark.sql import Window
 
     kn = kn_surprisal(_docs(spark, sf_dir))
@@ -487,6 +497,167 @@ SELECT doc_id, n_bigrams, mean_kn_surprisal_micro,
        ) AS INTEGER) AS ppl_bucket
 FROM kn
 """
+
+
+def _ntile_boundary_ranks(n: int, buckets: int) -> list[int]:
+    """1-based ranks of the LAST row of buckets 1..buckets-1 under SQL
+    NTILE semantics: sizes are q = n // buckets with the first n % buckets
+    buckets taking one extra row, so boundary i sits at i*q + min(i, r).
+    Empty input yields no boundaries; n < buckets collapses boundaries
+    onto shared ranks (NTILE then leaves trailing buckets empty)."""
+    if n <= 0:
+        return []
+    q, r = divmod(n, buckets)
+    return [i * q + min(i, r) for i in range(1, buckets)]
+
+
+def exact_rank_select(
+    df: DataFrame, order_cols: list[str], ranks_fn
+) -> tuple[int, dict[int, tuple]]:
+    """Distributed exact order-statistic selection: the rows at the
+    1-based ranks ``ranks_fn(n_rows)`` of ``df`` ordered by
+    ``order_cols``, WITHOUT a single-partition global sort. ``ranks_fn``
+    is a callable because the interesting ranks (quantile edges) depend
+    on the total count, which this helper's first pass establishes.
+    Returns ``(n_rows, {rank: row_tuple})``.
+
+    Shape: range-repartition on the order key (equal keys co-locate, so
+    partition-local ranks + broadcast partition offsets compose to exact
+    global ranks), per-partition counts collected (<= #shuffle-partitions
+    driver rows), then one Window PARTITIONED BY the partition id — never
+    a single-partition window — filters to the requested ranks. The
+    repartitioned relation is localCheckpointed once so the count job and
+    the rank job observe identical partition ids.
+    """
+    from pyspark.sql.window import Window as W
+
+    base = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in base.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    n = sum(counts.values())
+    want = sorted({r for r in ranks_fn(n) if 1 <= r <= n})
+    if not want:
+        return n, {}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = W.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    hits = (
+        base.withColumn(
+            "_rn", F.row_number().over(w) + off[F.col("_pid")]
+        )
+        .filter(F.col("_rn").isin(want))
+        .select("_rn", *order_cols)
+        .collect()  # <= len(ranks) rows by construction
+    )
+    by_rank = {r["_rn"]: tuple(r[c] for c in order_cols) for r in hits}
+    return n, by_rank
+
+
+def ccnet_bucket_cutoffs(
+    kn: DataFrame, buckets: int = 3, exact: bool = True,
+    relative_error: float = 1e-3,
+) -> tuple[int, list[tuple]]:
+    """The CCNet production form of perplexity bucketing (VERDICT r12
+    item 2): compute the ``buckets - 1`` tercile CUTOFFS once, broadcast
+    them, and assign buckets in the scan — replacing
+    :func:`q_text_ccnet_buckets`' exact global NTILE, which is a
+    single-partition window and therefore a gate-scale diagnostic only.
+
+    Returns ``(n_scoreable_docs, cutoffs)`` where each cutoff is the
+    ``(mean_kn_surprisal_micro, doc_id)`` pair closing bucket i — a
+    bounded driver-side relation (``buckets - 1`` rows) whatever the
+    corpus size.
+
+    ``exact=True`` (the oracle-pinnable form) runs the distributed
+    order-statistic selection of :func:`exact_rank_select` — one extra
+    range shuffle of the doc-level score relation, no single-partition
+    stage, exact NTILE edges. ``exact=False`` is the at-scale variant
+    CCNet itself ships (Wenzek et al. 2020 compute cutoffs from a
+    sample): ``approxQuantile`` on the mean with ``relative_error``,
+    one pass, no shuffle at all; doc_id tiebreaks are meaningless at
+    epsilon precision so each cutoff carries the max-string sentinel.
+    """
+    cols = ["mean_kn_surprisal_micro", "doc_id"]
+    if exact:
+        n, by_rank = exact_rank_select(
+            kn, cols, lambda n: _ntile_boundary_ranks(n, buckets)
+        )
+        return n, [
+            by_rank[k] for k in _ntile_boundary_ranks(n, buckets)
+        ]
+    qs = [i / buckets for i in range(1, buckets)]
+    vals = kn.approxQuantile("mean_kn_surprisal_micro", qs, relative_error)
+    # an approx cutoff never needs the doc_id tiebreak (epsilon-rank
+    # precision dwarfs tie groups): None = "every doc at this mean lands
+    # at or below the cutoff", which ccnet_assign_buckets compiles to a
+    # plain mean <= cutoff comparison
+    return kn.count(), [(v, None) for v in vals]
+
+
+def ccnet_assign_buckets(
+    kn: DataFrame, cutoffs: list[tuple]
+) -> DataFrame:
+    """Scan-side bucket assignment from broadcast cutoffs: a CASE over
+    ``(mean, doc_id) <= cutoff_i`` struct comparisons on LITERALS — zero
+    joins, zero windows, zero shuffles beyond what produced ``kn``. This
+    is the plan that survives 100 TB: the cutoff relation is
+    ``len(cutoffs)`` driver rows however large the corpus."""
+    key = F.struct(F.col("mean_kn_surprisal_micro"), F.col("doc_id"))
+    types = {f.name: f.dataType for f in kn.schema.fields}
+    bucket = F.lit(len(cutoffs) + 1)
+    for i in range(len(cutoffs) - 1, -1, -1):
+        m, d = cutoffs[i]
+        if d is None:  # approx cutoff: no tiebreak, compare mean alone
+            cond = F.col("mean_kn_surprisal_micro") <= F.lit(m).cast(
+                types["mean_kn_surprisal_micro"]
+            )
+        else:
+            cond = key <= F.struct(
+                F.lit(m).cast(types["mean_kn_surprisal_micro"]),
+                F.lit(d).cast(types["doc_id"]),
+            )
+        bucket = F.when(cond, F.lit(i + 1)).otherwise(bucket)
+    return kn.select(
+        "doc_id",
+        "n_bigrams",
+        "mean_kn_surprisal_micro",
+        bucket.cast("int").alias("ppl_bucket"),
+    )
+
+
+def q_text_ccnet_cutoffs(spark, sf_dir):
+    """CCNet perplexity bucketing, PRODUCTION SHAPE (VERDICT r12 item 2):
+    tercile cutoffs computed once by distributed exact order-statistic
+    selection (:func:`ccnet_bucket_cutoffs` — range shuffle +
+    partition-id-partitioned window, never a single-partition stage),
+    broadcast to the driver as 2 literal rows, and buckets assigned in
+    the scan (:func:`ccnet_assign_buckets` — a pure CASE projection).
+    Output and oracle are byte-identical to q_text_ccnet_buckets' exact
+    global NTILE, which this row retires to the documented-diagnostic
+    class (the hyperball exact-leg precedent): the gate therefore proves
+    broadcast-cutoff assignment == exact NTILE on every edge, including
+    tie groups split by the doc_id tiebreak. Same scoreable-docs-only
+    contract as q_text_ccnet_buckets (zero-bigram docs excluded).
+
+    At corpus scale swap ``exact=True`` for ``exact=False``
+    (approxQuantile cutoffs — CCNet's own sampled form); the assignment
+    scan is IDENTICAL, only the 2-row cutoff computation changes."""
+    kn = kn_surprisal(_docs(spark, sf_dir)).localCheckpoint(eager=False)
+    _n, cuts = ccnet_bucket_cutoffs(kn, buckets=3, exact=True)
+    return ccnet_assign_buckets(kn, cuts)
 
 
 def _sql_kn_logprob() -> str:
@@ -1457,5 +1628,9 @@ QUERIES = {
     "text_kn_logprob": (q_text_kn_logprob, _sql_kn_logprob()),
     # r12: CCNet head/middle/tail perplexity terciles over the KN LM
     "text_ccnet_buckets": (q_text_ccnet_buckets, _sql_ccnet_buckets()),
+    # r13: the production shape — broadcast tercile cutoffs + scan-side
+    # CASE assignment; same oracle (must equal the exact NTILE edge-
+    # for-edge), no single-partition window anywhere in its plan
+    "text_ccnet_cutoffs": (q_text_ccnet_cutoffs, _sql_ccnet_buckets()),
     "dedup_cross_source": (q_dedup_cross_source, SQL_CROSS_SOURCE),
 }

@@ -1919,16 +1919,22 @@ def wordpiece_train(
     ).localCheckpoint(eager=True)
 
     def champion(batches):
+        # `best` hoisted above the batch loop (ADVICE r12): the generator
+        # runs once per PARTITION, so folding across every Arrow batch and
+        # yielding once after the loop keeps the collected relation at
+        # <= one row per partition — previously it yielded one champion
+        # per Arrow batch (correct, the driver reduce re-folds, but more
+        # driver rows than the contract promised).
+        best = None
         for pdf in batches:
-            best = None
             for row in zip(pdf["l"], pdf["r"], pdf["c"], pdf["cl"], pdf["cr"]):
                 row = (row[0], row[1], int(row[2]), int(row[3]), int(row[4]))
                 if best is None or _wp_better(row, best):
                     best = row
-            if best is not None:
-                yield pd.DataFrame(
-                    {k: [v] for k, v in zip("l r c cl cr".split(), best)}
-                )
+        if best is not None:
+            yield pd.DataFrame(
+                {k: [v] for k, v in zip("l r c cl cr".split(), best)}
+            )
 
     merges: list[tuple[str, str, str, int, int, int]] = []
     for _ in range(n_merges):

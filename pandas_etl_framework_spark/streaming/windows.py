@@ -773,7 +773,7 @@ SELECT v.user_id, v.view_id, v.view_ts,
        CAST(NULL AS BIGINT) AS purchase_id,
        CAST(NULL AS TIMESTAMP) AS purchase_ts
 FROM v CROSS JOIN wm
-WHERE v.view_id NOT IN (SELECT view_id FROM m)
+WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.view_id)
   AND epoch_us(v.view_ts) < wm.wm_us - 1800000000
 """
 
