@@ -173,7 +173,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # train→encode chains in one row, and text_ccnet_buckets, CCNet's
 # head/middle/tail perplexity terciles over the KN LM), and the
 # landing-round rule gives new rows their round's slots. TWELVE r06
-# rows yield: sql_shared_recursive,
+# rows yield (ADVICE r12: all twelve named, so the arithmetic matches
+# the list edits): sql_shared_recursive,
 # streaming_scd2_merge and emb_ivf_recall_at_k (all three in the r11
 # judge's individually-re-checked list on this tree, the freshest
 # independent evidence remaining in the cohort) plus five rows whose
@@ -182,71 +183,84 @@ def entry(spark: SparkSession) -> DataFrame:
 # kernel), text_fingerprint (text_winnow_fingerprint's md5-prefix
 # fingerprint), dedup_minhash_bands (the banding relation
 # dedup_minhash_recall and dedup_clusters consume in-window), and
-# rel_window_first_last (rel_window_ntile's window path); they join
-# the r13 head.
-# R13 BACKLOG (VERDICT r11 item 2): first the 14 r06 rows that yielded
-# their r12 slots (cdc_historize_two_runs, scd2_merge,
-# sql_shared_recursive, streaming_scd2_merge, emb_ivf_recall_at_k,
-# emb_kmeans_inertia, emb_topk_batch, text_fingerprint,
-# dedup_minhash_bands, rel_window_first_last, rel_case_when,
-# emb_norms, text_length_histogram, text_oov_rate), then the 30
-# rows whose latest driver evidence is still r04, explicitly ordered
-# (alphabetical; all 30 carry fresh r09/r10/r11 judge evidence, so none
-# is dark — the driver file is the durable record being repaid):
-#   cdc_simulate_runs, emb_pq_topk, io_csv_roundtrip,
-#   multimodal_phash_dedup, rel_higher_order, rel_null_semantics,
-#   rel_pivot_native, rel_profile_orders, scd2_pit_join,
-#   sketch_countmin, sketch_histogram_quantiles, sketch_theta_kmv,
-#   streaming_cdc_historize, text_chunk_dedup, text_chunks_udtf,
-#   text_gopher_rules, text_hashed_bow, text_inverted_index,
-#   text_pack_sequences, text_pii_redact, text_source_mixture,
-#   text_tokens_pandas_udf, text_unigram_logprob, tpch_q8, tpch_q11,
-#   tpch_q12, tpch_q15, tpch_q16, tpch_q19, tpch_q22.
-# After them: the r07-era cohort (44 rows), then r09/r10, round-robin
-# by staleness as usual. New r13 rows and changed-code rows take their
-# landing-round slots first, as always.
+# rel_window_first_last (rel_window_ntile's window path); plus FOUR
+# cohort-overflow yields displaced when the round's new-row set grew
+# mid-round from 8 to 12 — rel_case_when, emb_norms,
+# text_length_histogram, text_oov_rate — carrying no individual
+# rationale beyond the landing-round rule outranking staleness. All
+# twelve join the r13 head.
+# ROUND-13 ROTATION (VERDICT r12 item 1 — the standing rule, executed
+# as the r12 verdict recorded it): window = (a) the 1 NEW r13 row
+# (text_ccnet_cutoffs — the CCNet broadcast-cutoff scan assignment,
+# landing-round rule); (b) every row whose code or oracle changed this
+# round — the WordPiece champion fold hoist (ADVICE r12 item 1)
+# touches wordpiece_train, shared by text_wordpiece_train,
+# text_tokens_wordpiece AND text_tokenizer_fertility; the
+# interval-join oracle's NOT IN -> NOT EXISTS (ADVICE r12 item 3,
+# streaming_interval_join_outer); and graph_kcore + graph_khop, whose
+# edge-sized localCheckpoints moved to SERIALIZED MEMORY_AND_DISK
+# blocks (VERDICT r12 item 4, the pagerank Hazard-3 recipe); (c) the
+# 14 r06-era rows that yielded their r12 slots; (d) the r04-era
+# backlog in its recorded alphabetical order. 1+6+14+30 = 51 > 50, so
+# per the verdict's own spill rule ("44 slots cover 14+30 exactly if
+# the round adds <=6 new rows; spill the overflow to the r14 head
+# comment") ONE r04 row spills: tpch_q22, the alphabetical tail of the
+# recorded order, green in the judge's full r12 sweep and carrying
+# fresh r09/r10/r11 judge evidence — it heads the R14 queue.
+# Mid-r13 note: the r13 streaming decade rehearsal exposed that all six
+# batch-parquet streaming rows read their source via
+# pathGlobFilter="events.parquet", which matches ZERO files when the
+# fixture stores events.parquet as a DIRECTORY (every Spark-written
+# fixture does) — a vacuous empty stream off the driver's single-file
+# testdata layout. Fixed by the shared layout-agnostic
+# events_stream_source (streaming/windows.py). All six rows re-verified
+# green at sf0.01 locally (CORRECTNESS_LOCAL.md r13); the window keeps
+# streaming_interval_join_outer (already in-window as changed code),
+# which exercises the shared helper for the other five — the
+# in-window-sibling precedent (r12) — because 5 more slots would evict
+# backlog rows the verdict ordered first; the five siblings stay in
+# their staleness cohorts.
+# R14 BACKLOG: tpch_q22 first (the r13 spill), then the r07-era cohort
+# (44 rows), then r09/r10, round-robin by staleness as usual. New r14
+# rows and changed-code rows take their landing-round slots first, as
+# always.
 DRIVER_PRIORITY = [
-    # -- (a) the 2 rows that yielded their r11 slots ---------------------
-    "text_quality_sample", "text_weighted_reservoir",
-    # -- (b) changed this round (ADVICE r11): unigram trainer + encoder
-    #    mirrors now split words via the shared Java-\s splitter;
-    #    pca_invariants validates full-width |x|<=1 embeddings ----------
-    "text_unigram_train", "text_tokens_unigram", "emb_pca_invariants",
-    # -- (b) changed this round (VERDICT r11 items 4/5): PPJoin family
-    #    redesigned to run candidate generation + verification over
-    #    DISTINCT token sets (id-level crashed the sf10 rehearsal with
-    #    >45 GB of candidate spill at multiplicity 100; set-level tracks
-    #    the output and is free on duplicate-light corpora) + the
-    #    prefix_cap hot-posting bound with its accounting twins ---------
-    "dedup_jaccard_prefix", "dedup_containment",
-    # -- (b') NEW this round (landing-round rule): the WordPiece trainer
-    #    and its train->vocab->MaxMatch chain row, and the interpolated
-    #    Kneser-Ney bigram-LM scorer (KenLM/CCNet-style filter) --------
-    "text_wordpiece_train", "text_tokens_wordpiece", "text_kn_logprob",
-    "text_repetition", "sketch_hll_merge", "graph_hyperball",
-    "graph_trustrank", "streaming_hll_registers",
-    "streaming_interval_join_outer", "graph_harmonic",
-    "text_tokenizer_fertility", "text_ccnet_buckets",
-    # -- (c) the 43-row r06-era cohort, alphabetical (includes the two
-    #    rows whose code also changed this round: dedup_simhash_pairs
-    #    — distinct-signature collapse — and text_bpe_train, whose
-    #    pure-Python oracle trainer now uses the shared word splitter;
-    #    cdc_historize_two_runs + scd2_merge yielded, see above) --------
-    "dedup_clusters", "dedup_jaccard_pairs",
-    "dedup_keeper_priority", "dedup_minhash_recall",
-    "dedup_simhash_pairs", "emb_kmeans",
-    "emb_knn_per_label", "emb_lsh_buckets",
-    "emb_topk", "events_asof_tolerance",
-    "events_mad_outliers", "graph_khop", "graph_pagerank",
-    "io_jdbc_roundtrip", "io_read_current_hashes",
-    "rel_cross_join", "rel_having", "rel_key_skew_profile",
-    "rel_limit_offset", "rel_scalar_date_funcs", "rel_string_funcs",
-    "rel_window_ntile",
-    "streaming_dedup_counts",
-    "streaming_interval_join",
-    "streaming_sessionize", "text_bpe_train", "text_domain_cap",
-    "text_token_entropy", "text_tokens", "text_winnow_fingerprint",
-    "versioned_store_lifecycle",
+    # -- (a) NEW this round (landing-round rule): CCNet bucketing in its
+    #    production shape — distributed exact cutoff selection +
+    #    broadcast-literal CASE assignment in the scan; shares the exact
+    #    NTILE's oracle so the gate proves the two forms agree ----------
+    "text_ccnet_cutoffs",
+    # -- (b) changed this round (ADVICE r12 item 1): the WordPiece
+    #    per-partition champion fold hoisted above the Arrow batch loop
+    #    (one collected row per partition, as the contract promised);
+    #    wordpiece_train is shared by all three rows -------------------
+    "text_wordpiece_train", "text_tokens_wordpiece",
+    "text_tokenizer_fertility",
+    # -- (b) changed this round (ADVICE r12 item 3): oracle's
+    #    NULL-fragile NOT IN replaced with NOT EXISTS ------------------
+    "streaming_interval_join_outer",
+    # -- (b) changed this round (VERDICT r12 item 4): edge-sized
+    #    localCheckpoints now store SERIALIZED MEMORY_AND_DISK blocks
+    #    (pagerank Hazard-3 recipe via localCheckpoint's storageLevel
+    #    seam); re-rehearsed at sf10full, slopes in SCALING.md ---------
+    "graph_kcore", "graph_khop",
+    # -- (c) the 14 r06-era rows that yielded their r12 slots ----------
+    "cdc_historize_two_runs", "scd2_merge", "sql_shared_recursive",
+    "streaming_scd2_merge", "emb_ivf_recall_at_k", "emb_kmeans_inertia",
+    "emb_topk_batch", "text_fingerprint", "dedup_minhash_bands",
+    "rel_window_first_last", "rel_case_when", "emb_norms",
+    "text_length_histogram", "text_oov_rate",
+    # -- (d) the r04-era backlog, recorded alphabetical order; tpch_q22
+    #    spills to the r14 head (see rotation comment) -----------------
+    "cdc_simulate_runs", "emb_pq_topk", "io_csv_roundtrip",
+    "multimodal_phash_dedup", "rel_higher_order", "rel_null_semantics",
+    "rel_pivot_native", "rel_profile_orders", "scd2_pit_join",
+    "sketch_countmin", "sketch_histogram_quantiles", "sketch_theta_kmv",
+    "streaming_cdc_historize", "text_chunk_dedup", "text_chunks_udtf",
+    "text_gopher_rules", "text_hashed_bow", "text_inverted_index",
+    "text_pack_sequences", "text_pii_redact", "text_source_mixture",
+    "text_tokens_pandas_udf", "text_unigram_logprob", "tpch_q8",
+    "tpch_q11", "tpch_q12", "tpch_q15", "tpch_q16", "tpch_q19",
 ]
 
 

@@ -33,6 +33,12 @@ PAR_OVER_SINGLE_MAX (pinned from idle measurements with headroom) flags
 contention even when the co-tenant is steady across the whole run.
 (b) the loadavg_start trigger tightened to >1.5 absolute (r11's miss
 entered at 3.06). Both feed the same warn + one-rerun + record path.
+
+Trigger identity (VERDICT r12 item 3): contention_trigger /
+contention_trigger_values record WHICH predicate(s) fired and the
+firing values, so an idle-but-flagged run (a cold first-pass probe
+tripping a divergence check at loadavg ~0) is distinguishable from a
+genuine co-tenant in the artifact. SCALING.md has the reading rule.
 """
 
 from __future__ import annotations
@@ -307,19 +313,30 @@ def main() -> None:
     # loadavg and mid-vs-post triggers cover arrivals and departures.
     # One re-run, then per-query minima across both runs — still
     # min-based, so re-running can only remove inflation.
+    # Record WHICH predicate fired and with what value (VERDICT r12 item
+    # 3): an idle-but-flagged run (e.g. a cold first-pass probe tripping
+    # a divergence check) and a genuinely contended one were previously
+    # indistinguishable in the artifact — the flag carried no identity.
     par_over_single_max = 13.0
-    contended = (
-        loadavg_start[0] > 1.5
-        or max(calib, calib_mid) > 1.25 * min(calib, calib_mid)
-        or max(calib_par, calib_par_mid)
-        > 1.25 * min(calib_par, calib_par_mid)
-        or calib_par / calib > par_over_single_max
+    triggers: dict[str, float] = {}
+    if loadavg_start[0] > 1.5:
+        triggers["loadavg"] = loadavg_start[0]
+    single_div = max(calib, calib_mid) / max(min(calib, calib_mid), 1e-9)
+    if single_div > 1.25:
+        triggers["single_calib_div"] = round(single_div, 3)
+    par_div = max(calib_par, calib_par_mid) / max(
+        min(calib_par, calib_par_mid), 1e-9
     )
+    if par_div > 1.25:
+        triggers["par_calib_div"] = round(par_div, 3)
+    if calib_par / calib > par_over_single_max:
+        triggers["par_over_single"] = round(calib_par / calib, 2)
+    contended = bool(triggers)
     rerun = False
     if contended:
         print(
-            "bench: host contention detected "
-            f"(loadavg_start={loadavg_start}, calib_mid={calib_mid}, "
+            f"bench: host contention detected (triggers={triggers}, "
+            f"loadavg_start={loadavg_start}, calib_mid={calib_mid}, "
             f"calib_post={calib}, calib_par_mid={calib_par_mid}, "
             f"calib_par_post={calib_par}); re-running timed passes once",
             file=sys.stderr,
@@ -353,6 +370,8 @@ def main() -> None:
                 "loadavg_start": loadavg_start,
                 "loadavg_end": loadavg_end,
                 "contended": contended,
+                "contention_trigger": "|".join(sorted(triggers)) or None,
+                "contention_trigger_values": triggers or None,
                 "contention_rerun": rerun,
                 "core20_sec": core20,
             }

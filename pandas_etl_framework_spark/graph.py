@@ -471,7 +471,14 @@ def khop_distances(
     ``broadcast`` gate (None = auto on node count vs session threshold,
     False = always shuffle joins).
     """
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    # the one corpus-sized relation: serialized blocks (the pagerank
+    # recipe, SCALING.md Hazard 3) so the 32-way unroll can't OOM; the
+    # per-round frontier/visited stay node-sized deserialized checkpoints
+    from pyspark import StorageLevel
+
+    edges = edges.select("src", "dst").localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     # frontier/visited are bounded by the FULL node set (src ∪ dst —
     # counting sources alone would undercount arbitrarily on a directed
     # sink-heavy graph, e.g. a star with one source and 10^9 sinks, and
@@ -723,10 +730,20 @@ def kcore(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS):
 
     ``edges``: canonical undirected (u, v) pairs, e.g. cosupply_backbone.
     """
+    # Edge-sized relations checkpoint with SERIALIZED MEMORY_AND_DISK
+    # blocks (r13, the pagerank recipe via localCheckpoint's storageLevel
+    # seam): lineage still truncates per round, but block build streams
+    # serialization with incremental unroll accounting — a partition that
+    # stops fitting spills mid-build instead of OOMing the heap the way
+    # pagerank's deserialized checkpoints did at sf10 (SCALING.md
+    # Hazard 3). kcore survived its sf10full decade with ONE deserialized
+    # copy (6.1x); this removes the remaining unroll hazard for free.
+    from pyspark import StorageLevel
+
     sym = (
         edges.selectExpr("u AS src", "v AS dst")
         .unionByName(edges.selectExpr("v AS src", "u AS dst"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     alive = sym
     for _ in range(rounds):
@@ -740,7 +757,9 @@ def kcore(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS):
             alive.join(keep, "src")
             .join(keep.withColumnRenamed("src", "dst"), "dst")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
         )
     return alive.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("core_deg")

@@ -1319,6 +1319,102 @@ def jaccard_prefix_hot_tokens(
     return _hot_prefix_tokens(prefix, prefix_cap)
 
 
+def jaccard_hot_family_docs(
+    token_sets: DataFrame,
+    t_num: int = JACCARD_T_NUM,
+    t_den: int = JACCARD_T_DEN,
+    broadcast_dfreq: bool | None = None,
+    prefix_cap: int = 0,
+) -> DataFrame:
+    """(doc_id) for every document whose rarest-first prefix contains at
+    least one hot token — the ROUTING SIGNAL a ``prefix_cap``-bounded run
+    publishes (VERDICT r12 item 6): these are exactly the members of the
+    giant distinct-near-dup families the capped join refuses to
+    enumerate, and the set the MinHash/clustering path should take over.
+
+    Coverage guarantee (what makes the capped+routed composition sound):
+    a qualifying pair MISSED by the capped join shares only hot prefix
+    tokens, so BOTH its endpoints appear here — capped pairs plus any
+    exact-or-probabilistic recovery over this doc set jointly cover
+    every qualifying pair. Built from the SAME prefix construction as
+    the join and the hot-token report, so the three can never disagree.
+    The relation is family-member-sized (drop-side only), never
+    corpus-sized on a duplicate-light corpus.
+    """
+    keyed, groups = _distinct_token_sets(token_sets)
+    prefix = _jaccard_prefix_relation(groups, t_num, t_den, broadcast_dfreq)
+    hot = _hot_prefix_tokens(prefix, prefix_cap)
+    hot_skeys = (
+        prefix.join(hot.select("tok"), "tok", "semi")
+        .select(F.col("doc_id").alias("skey"))  # prefix keys are skeys
+        .distinct()
+    )
+    return keyed.join(hot_skeys, "skey", "semi").select("doc_id")
+
+
+def minhash_band_star_edges(bands: DataFrame) -> DataFrame:
+    """Bucket-STAR candidate edges: per (band, band_key) bucket, one edge
+    from the bucket's minimum doc_id to every other member — LINEAR in
+    band rows where ``minhash_band_pairs``' bucket self-join is quadratic
+    in bucket size. Connected components over the stars equal components
+    over the full bucket cliques (every member touches the hub), which is
+    all the clustering path consumes; use this, never the pair join, for
+    the giant families ``jaccard_hot_family_docs`` routes here — their
+    pair enumeration is the exact cost the routing exists to avoid."""
+    bands = bands.localCheckpoint(eager=True)
+    hubs = bands.groupBy("band", "band_key").agg(
+        F.min("doc_id").alias("doc_a")
+    )
+    return (
+        bands.join(hubs, ["band", "band_key"])
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_prefix_with_cluster_routing(
+    docs: DataFrame,
+    prefix_cap: int,
+    t_num: int = JACCARD_T_NUM,
+    t_den: int = JACCARD_T_DEN,
+    broadcast_dfreq: bool | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The documented recipe for corpora with giant families of DISTINCT
+    near-identical sets (SCALING.md Hazard 2's remaining exposure):
+    returns ``(pairs, routed_clusters)`` where
+
+    - ``pairs`` is the ``prefix_cap``-bounded PPJoin — exact on every
+      pair sharing a quiet prefix token, i.e. everything outside the
+      giant families;
+    - ``routed_clusters`` is (doc_id, keeper_doc_id, is_keeper) over the
+      hot-family docs only, via MinHash banding + bucket-star edges +
+      connected components — keeper assignments at banding cost
+      (O(routed docs × bands)), NOT the families × mult² pair
+      enumeration the exact join dies on.
+
+    The split is the honest contract at 100 TB: quiet pairs exactly,
+    giant families as clusters (their all-pairs report is output-sized
+    quadratic and belongs to no production pipeline). The hot-token
+    report (``jaccard_prefix_hot_tokens``) remains the audit trail for
+    what was routed. A/B measured on the sf10pb suffix fixture — see
+    SCALING.md "Routing the capped families to the clustering path".
+    """
+    ts = token_sets_df(docs)
+    pairs = jaccard_prefix_pairs(
+        ts, t_num, t_den, broadcast_dfreq, prefix_cap
+    )
+    routed = jaccard_hot_family_docs(
+        ts, t_num, t_den, broadcast_dfreq, prefix_cap
+    )
+    hot_docs = docs.join(routed, "doc_id", "semi").localCheckpoint(
+        eager=True
+    )
+    edges = minhash_band_star_edges(minhash_bands(hot_docs))
+    clusters = dedup_clusters(hot_docs, edges)
+    return pairs, clusters
+
+
 def q_dedup_jaccard_prefix(spark, sf_dir):
     # no .cache() — jaccard_prefix_pairs localCheckpoints the token sets
     return jaccard_prefix_pairs(token_sets_df(_docs(spark, sf_dir)))

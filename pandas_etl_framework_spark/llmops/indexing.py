@@ -588,7 +588,8 @@ def ccnet_bucket_cutoffs(
     CCNet itself ships (Wenzek et al. 2020 compute cutoffs from a
     sample): ``approxQuantile`` on the mean with ``relative_error``,
     one pass, no shuffle at all; doc_id tiebreaks are meaningless at
-    epsilon precision so each cutoff carries the max-string sentinel.
+    epsilon precision so each cutoff carries ``None`` there, which the
+    assigner compiles to a plain mean-only comparison.
     """
     cols = ["mean_kn_surprisal_micro", "doc_id"]
     if exact:

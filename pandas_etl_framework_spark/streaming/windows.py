@@ -199,6 +199,31 @@ def sessionize_stream(
 # Oracle-gated streaming query: the driver correctness surface
 # --------------------------------------------------------------------------
 
+def events_stream_source(spark, sf_dir: str) -> DataFrame:
+    """The raw events micro-batch source, layout-agnostic (r13): the
+    driver's testdata stores ``events.parquet`` as a SINGLE FILE inside
+    ``sf_dir`` (read via ``pathGlobFilter`` — the file source requires a
+    directory basePath), while every Spark-written fixture (the scratch
+    scale-rehearsal replicas, any real deployment) stores it as a
+    DIRECTORY of part files, which the glob filter silently matched ZERO
+    files of — a vacuous empty stream that surfaced as an impossible
+    0.8 s "sf10full" leg in the r13 streaming decade rehearsal. One
+    Hadoop-FS stat picks the branch; both branches read the identical
+    file set their layout holds."""
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.getFileStatus(hpath).isDirectory():
+        return spark.readStream.schema(raw_schema).parquet(path)
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def q_streaming_windowed_counts(spark, sf_dir: str) -> DataFrame:
     """Tumbling-window counts THROUGH THE REAL MICRO-BATCH ENGINE, returned
     as a batch DataFrame so the driver can oracle-check it: file-stream
@@ -226,12 +251,7 @@ def q_streaming_windowed_counts(spark, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = events_stream_source(spark, sf_dir)
     stream = normalize_event_time(stream, "ts")
     agg = (
         stream.withWatermark("ts", "10 minutes")
@@ -318,12 +338,7 @@ def q_streaming_dedup(spark, sf_dir: str) -> DataFrame:
 
     from .historize import streaming_dedup
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = events_stream_source(spark, sf_dir)
     deduped = streaming_dedup(
         stream, ["user_id", "event_type"], event_time_col="ts"
     )
@@ -503,12 +518,7 @@ def q_streaming_sessionize(spark, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = events_stream_source(spark, sf_dir)
     stream = normalize_event_time(stream, "ts")
     sessions = sessionize_stream(stream)
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
@@ -600,15 +610,8 @@ def q_streaming_interval_join(spark, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
     def side(event_type: str, id_alias: str, ts_alias: str, extra=None):
-        s = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        s = normalize_event_time(s, "ts")
+        s = normalize_event_time(events_stream_source(spark, sf_dir), "ts")
         cols = [
             F.col("user_id"),
             F.col("event_id").alias(id_alias),
@@ -693,15 +696,8 @@ def q_streaming_interval_join_outer(spark, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
     def side(event_type: str, id_alias: str, ts_alias: str):
-        s = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        s = normalize_event_time(s, "ts")
+        s = normalize_event_time(events_stream_source(spark, sf_dir), "ts")
         return s.filter(F.col("event_type") == event_type).select(
             "user_id",
             F.col("event_id").alias(id_alias),
@@ -799,12 +795,7 @@ def q_streaming_enrich(spark, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = events_stream_source(spark, sf_dir)
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey").alias("user_id"), "c_nationkey"
     )
