@@ -109,6 +109,11 @@ BENCH_QUERIES = [
     # (doc-bigram ⋈ corpus-bigram shuffle join + three derived stats
     # relations). Outside core20.
     "text_kn_logprob",
+    # r13 addition: CCNet bucketing in its production shape (distributed
+    # exact tercile-cutoff selection + broadcast-literal scan
+    # assignment) — tracks the corpus-curation bucketing stack end to
+    # end on top of the KN scorer. Outside core20.
+    "text_ccnet_cutoffs",
 ]
 
 # the 20 queries (incl. streaming) benched since r01 — their sum is

@@ -661,6 +661,37 @@ def q_text_ccnet_cutoffs(spark, sf_dir):
     return ccnet_assign_buckets(kn, cuts)
 
 
+def ccnet_buckets_full(
+    docs: DataFrame, buckets: int = 3, exact: bool = True
+) -> DataFrame:
+    """CCNet bucketing over the WHOLE corpus (the contract CCNet itself
+    ships, closing the scoreable-docs-only exclusion documented on
+    q_text_ccnet_buckets): terciles are computed over the scoreable docs
+    (>= 2 tokens — a bigram LM cannot score anything shorter), then the
+    document relation is LEFT-joined back so zero-bigram docs appear
+    with ``ppl_bucket = 0`` (the sentinel: "unscoreable", for the caller
+    to route — CCNet pipelines typically drop them as degenerate) and
+    NULL score columns. Not a registry row: the gate fixtures contain no
+    zero-bigram documents, so the sentinel branch would be dead at gate
+    scale — it is pinned by pytest on a synthetic corpus instead
+    (tests/test_round13_ccnet.py)."""
+    kn = kn_surprisal(docs).localCheckpoint(eager=False)
+    _n, cuts = ccnet_bucket_cutoffs(kn, buckets=buckets, exact=exact)
+    scored = ccnet_assign_buckets(kn, cuts)
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "mean_kn_surprisal_micro",
+            F.coalesce("ppl_bucket", F.lit(0)).cast("int").alias(
+                "ppl_bucket"
+            ),
+        )
+    )
+
+
 def _sql_kn_logprob() -> str:
     return rf"""
 WITH docs AS (SELECT doc_id, text FROM documents),

@@ -99,6 +99,32 @@ def test_ccnet_cutoffs_plan_has_no_window(spark):
     assert "Window" not in plan, plan
 
 
+def test_ccnet_buckets_full_sentinels_zero_bigram_docs(spark):
+    """The whole-corpus variant: zero-bigram docs (< 2 tokens) surface
+    with the sentinel bucket 0 and NULL score; scoreable docs carry the
+    same terciles the scoreable-only rows compute."""
+    from pandas_etl_framework_spark.llmops.indexing import (
+        ccnet_buckets_full,
+    )
+
+    rows = [(i, f"tok{i} tok{i + 1} tok{i + 2}") for i in range(9)]
+    rows += [(100, "solo"), (101, ""), (102, "   ")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in ccnet_buckets_full(docs).collect()}
+    assert set(got) == {i for i in range(9)} | {100, 101, 102}
+    for d in (100, 101, 102):
+        assert got[d]["ppl_bucket"] == 0
+        assert got[d]["n_bigrams"] == 0
+        assert got[d]["mean_kn_surprisal_micro"] is None
+    scoreable = sorted(
+        (got[i]["mean_kn_surprisal_micro"], i, got[i]["ppl_bucket"])
+        for i in range(9)
+    )
+    buckets = [b for _m, _i, b in scoreable]
+    assert buckets == sorted(buckets) and set(buckets) == {1, 2, 3}
+    assert buckets.count(1) == buckets.count(2) == buckets.count(3) == 3
+
+
 def test_ccnet_approx_cutoffs_give_contiguous_buckets(spark):
     """The at-scale variant (approxQuantile cutoffs, CCNet's own sampled
     form): buckets must be CONTIGUOUS in the (mean, doc_id) order (a

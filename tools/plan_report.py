@@ -129,6 +129,11 @@ AUDIT = [
     "graph_hyperball",
     "graph_trustrank",
     "graph_harmonic",
+    # r13 additions: the CCNet production row (its returned plan must
+    # show NO Window — the cutoff selection runs as separate bounded
+    # jobs) next to the exact-NTILE diagnostic it retires
+    "text_ccnet_cutoffs",
+    "text_ccnet_buckets",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
