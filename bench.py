@@ -166,14 +166,14 @@ def _bench_streaming_body(spark, sf_dir: str) -> float:
 
     from pandas_etl_framework_spark.relational import normalize_event_time
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file stream source needs a DIRECTORY; events.parquet is one file,
-    # so stream the sf dir with a glob pinned to it
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    # layout-agnostic source (r13): the glob-pinned read matched ZERO
+    # files when events.parquet is a directory of part files — the same
+    # vacuous-empty-stream hazard fixed for the six registry rows
+    from pandas_etl_framework_spark.streaming.windows import (
+        events_stream_source,
     )
+
+    stream = events_stream_source(spark, sf_dir)
     # watermarks require plain TIMESTAMP event time (bigint-nanos and
     # TIMESTAMP_NTZ both drift in via the parquet physical type)
     stream = normalize_event_time(stream, "ts")

@@ -579,7 +579,8 @@ def ccnet_bucket_cutoffs(
     Returns ``(n_scoreable_docs, cutoffs)`` where each cutoff is the
     ``(mean_kn_surprisal_micro, doc_id)`` pair closing bucket i — a
     bounded driver-side relation (``buckets - 1`` rows) whatever the
-    corpus size.
+    corpus size. The approx path returns ``n = -1``: its one-pass
+    contract forbids the extra corpus-sized count.
 
     ``exact=True`` (the oracle-pinnable form) runs the distributed
     order-statistic selection of :func:`exact_rank_select` — one extra
@@ -604,8 +605,10 @@ def ccnet_bucket_cutoffs(
     # an approx cutoff never needs the doc_id tiebreak (epsilon-rank
     # precision dwarfs tie groups): None = "every doc at this mean lands
     # at or below the cutoff", which ccnet_assign_buckets compiles to a
-    # plain mean <= cutoff comparison
-    return kn.count(), [(v, None) for v in vals]
+    # plain mean <= cutoff comparison. n = -1: counting would cost a
+    # SECOND corpus-sized pass on exactly the path documented as
+    # one-pass; callers needing the count already have kn.
+    return -1, [(v, None) for v in vals]
 
 
 def ccnet_assign_buckets(

@@ -144,10 +144,11 @@ def test_ccnet_approx_cutoffs_give_contiguous_buckets(spark):
     n, cuts = ccnet_bucket_cutoffs(
         kn, buckets=3, exact=False, relative_error=eps
     )
+    assert n == -1  # one-pass contract: no extra corpus-sized count
     got = ccnet_assign_buckets(kn, cuts).collect()
     got.sort(key=lambda r: (r["mean_kn_surprisal_micro"], r["doc_id"]))
     buckets = [r["ppl_bucket"] for r in got]
-    assert len(buckets) == n
+    n = len(buckets)
     assert buckets == sorted(buckets)  # contiguous / monotone
     # each cutoff rank within eps*n of the exact tercile edge
     for i in (1, 2):
