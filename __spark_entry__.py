@@ -207,6 +207,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # comment") ONE r04 row spills: tpch_q22, the alphabetical tail of the
 # recorded order, green in the judge's full r12 sweep and carrying
 # fresh r09/r10/r11 judge evidence — it heads the R14 queue.
+# Mid-r13 addition: a SECOND new row landed —
+# text_contamination_bloom, the Bloom-prefiltered contamination probe
+# (the 100-TB shape q_text_contamination's docstring promised; shipped
+# as an oracle row on the text_ccnet_cutoffs precedent, sharing the
+# exact row's oracle so the gate proves prefilter+confirm == exact).
+# Landing-round rule: it takes a slot, so tpch_q19 also spills to the
+# r14 head (same staleness class and evidence posture as tpch_q22).
+# 2 new + 6 changed + 14 r06 yields + 28 r04 rows = 50.
 # Mid-r13 note: the r13 streaming decade rehearsal exposed that all six
 # batch-parquet streaming rows read their source via
 # pathGlobFilter="events.parquet", which matches ZERO files when the
@@ -220,16 +228,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # in-window-sibling precedent (r12) — because 5 more slots would evict
 # backlog rows the verdict ordered first; the five siblings stay in
 # their staleness cohorts.
-# R14 BACKLOG: tpch_q22 first (the r13 spill), then the r07-era cohort
-# (44 rows), then r09/r10, round-robin by staleness as usual. New r14
-# rows and changed-code rows take their landing-round slots first, as
-# always.
+# R14 BACKLOG: tpch_q19 and tpch_q22 first (the r13 spills), then the
+# r07-era cohort (44 rows), then r09/r10, round-robin by staleness as
+# usual. New r14 rows and changed-code rows take their landing-round
+# slots first, as always.
 DRIVER_PRIORITY = [
     # -- (a) NEW this round (landing-round rule): CCNet bucketing in its
     #    production shape — distributed exact cutoff selection +
     #    broadcast-literal CASE assignment in the scan; shares the exact
     #    NTILE's oracle so the gate proves the two forms agree ----------
     "text_ccnet_cutoffs",
+    # -- (a) NEW this round (landing-round rule, mid-r13): the Bloom-
+    #    prefiltered contamination probe — prefilter + exact confirm is
+    #    lossless, pinned by sharing the exact row's oracle ------------
+    "text_contamination_bloom",
     # -- (b) changed this round (ADVICE r12 item 1): the WordPiece
     #    per-partition champion fold hoisted above the Arrow batch loop
     #    (one collected row per partition, as the contract promised);
@@ -260,7 +272,7 @@ DRIVER_PRIORITY = [
     "text_gopher_rules", "text_hashed_bow", "text_inverted_index",
     "text_pack_sequences", "text_pii_redact", "text_source_mixture",
     "text_tokens_pandas_udf", "text_unigram_logprob", "tpch_q8",
-    "tpch_q11", "tpch_q12", "tpch_q15", "tpch_q16", "tpch_q19",
+    "tpch_q11", "tpch_q12", "tpch_q15", "tpch_q16",
 ]
 
 

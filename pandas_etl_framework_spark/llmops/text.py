@@ -1158,6 +1158,73 @@ def q_text_contamination(spark, sf_dir):
     )
 
 
+def q_text_contamination_bloom(spark, sf_dir):
+    """Train/holdout contamination with the BLOOM-PREFILTERED probe —
+    the 100-TB shape q_text_contamination's docstring promises (shipped
+    as its own oracle row on the text_ccnet_cutoffs precedent: a
+    scale-path that exists only as docstring guidance is not a
+    deliverable). The train shingle set is summarized once into a
+    256-byte exact-integer-arithmetic Bloom bitset (sketches.bloom_build
+    — k=4, deterministic md5-derived positions, engine-reproducible) and
+    broadcast; only the DISTINCT holdout shingles that set all 4 bits
+    (true members plus a deterministic false-positive tail) reach the
+    confirm semi-join against the exact train distinct, so false
+    positives drop out and the output is byte-identical to the exact
+    row — the shared oracle proves it. At corpus scale the confirm
+    join's probe side shrinks from every holdout shingle to the Bloom
+    survivors; the bitset build is one tiny aggregation over the train
+    scan. No false negatives by construction (test-asserted on the
+    sketch suite), so prefilter + confirm is lossless.
+
+    WHEN TO USE (measured honestly — SCALING.md r13): the win is
+    proportional to the fraction of probe shingles NOT in train, and
+    needs a bitset sized ~10 bits/key (BLOOM_BITS=2048 is
+    fixture-sized and saturates beyond a few hundred keys). On the
+    ~100%-overlap synthetic fixtures this variant is ~1.3x SLOWER than
+    the exact row — use it for the benchmark-decontamination shape
+    (small train set, huge mostly-disjoint probe corpus), not for
+    intra-corpus splits with heavy shingle sharing."""
+    from ..sketches import bloom_build, bloom_probe
+    from .dedup import shingles_df
+
+    sh = shingles_df(_docs(spark, sf_dir))
+    bucket = split_bucket(F.col("doc_id"))
+    labeled = sh.withColumn(
+        "split",
+        F.when(bucket < SPLIT_TRAIN_PCT, "train").otherwise("holdout"),
+    )
+    train = (
+        labeled.filter(F.col("split") == "train")
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=False)  # bloom build + confirm join
+    )
+    test = labeled.filter(F.col("split") == "holdout").select(
+        "doc_id", "shingle"
+    )
+    words = bloom_build(train, "shingle")
+    maybe = bloom_probe(words, test.select("shingle").distinct(), "shingle")
+    confirmed = maybe.join(train, "shingle", "semi").withColumn(
+        "hit", F.lit(1)
+    )
+    return (
+        test.join(confirmed, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double") / F.col("n_shingles")
+            ).alias("contamination_rate"),
+        )
+    )
+
+
 def _sql_text_contamination() -> str:
     from .dedup import SQL_SHINGLES
 
@@ -2370,6 +2437,12 @@ QUERIES = {
     "text_repetition": (q_text_repetition, _sql_text_repetition()),
     "text_token_entropy": (q_text_token_entropy, SQL_TEXT_TOKEN_ENTROPY),
     "text_contamination": (q_text_contamination, _sql_text_contamination()),
+    # r13: the Bloom-prefiltered probe (prefilter + exact confirm =
+    # lossless) — same oracle, so the gate proves prefilter == exact
+    "text_contamination_bloom": (
+        q_text_contamination_bloom,
+        _sql_text_contamination(),
+    ),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "data_split": (q_data_split, SQL_DATA_SPLIT),
     "text_length_histogram": (q_text_length_histogram, SQL_TEXT_LENGTH_HISTOGRAM),

@@ -134,6 +134,7 @@ AUDIT = [
     # jobs) next to the exact-NTILE diagnostic it retires
     "text_ccnet_cutoffs",
     "text_ccnet_buckets",
+    "text_contamination_bloom",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
