@@ -214,7 +214,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # exact row's oracle so the gate proves prefilter+confirm == exact).
 # Landing-round rule: it takes a slot, so tpch_q19 also spills to the
 # r14 head (same staleness class and evidence posture as tpch_q22).
-# 2 new + 6 changed + 14 r06 yields + 28 r04 rows = 50.
+# Mid-r13 hazard fix: the first-decade rehearsal batch caught
+# dedup_clusters' candidate stage paying duplicate-multiplicity² (true
+# pair count grew 110x on 10x data; the row's own output is one keeper
+# per doc). q_dedup_clusters now feeds connected components the
+# bucket-STAR edge relation (minhash_band_star_edges — linear in band
+# rows, components provably equal the clique components, output and
+# oracle unchanged): sf10pb 109.2 -> 45.5 s, slope 10.3x -> 5.3x,
+# oracle re-verified at sf0.01 + sf0.001. Changed code takes a slot:
+# tpch_q16 spills to the r14 head with its two siblings.
+# 2 new + 7 changed + 14 r06 yields + 27 r04 rows = 50.
 # Mid-r13 note: the r13 streaming decade rehearsal exposed that all six
 # batch-parquet streaming rows read their source via
 # pathGlobFilter="events.parquet", which matches ZERO files when the
@@ -228,7 +237,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # in-window-sibling precedent (r12) — because 5 more slots would evict
 # backlog rows the verdict ordered first; the five siblings stay in
 # their staleness cohorts.
-# R14 BACKLOG: tpch_q19 and tpch_q22 first (the r13 spills), then the
+# R14 BACKLOG: tpch_q16, tpch_q19 and tpch_q22 first (the r13 spills,
+# alphabetical), then the
 # r07-era cohort (44 rows), then r09/r10, round-robin by staleness as
 # usual. New r14 rows and changed-code rows take their landing-round
 # slots first, as always.
@@ -256,6 +266,9 @@ DRIVER_PRIORITY = [
     #    (pagerank Hazard-3 recipe via localCheckpoint's storageLevel
     #    seam); re-rehearsed at sf10full, slopes in SCALING.md ---------
     "graph_kcore", "graph_khop",
+    # -- (b) changed this round (mid-r13 hazard fix): connected
+    #    components now consume the bucket-star candidate relation ----
+    "dedup_clusters",
     # -- (c) the 14 r06-era rows that yielded their r12 slots ----------
     "cdc_historize_two_runs", "scd2_merge", "sql_shared_recursive",
     "streaming_scd2_merge", "emb_ivf_recall_at_k", "emb_kmeans_inertia",
@@ -272,7 +285,7 @@ DRIVER_PRIORITY = [
     "text_gopher_rules", "text_hashed_bow", "text_inverted_index",
     "text_pack_sequences", "text_pii_redact", "text_source_mixture",
     "text_tokens_pandas_udf", "text_unigram_logprob", "tpch_q8",
-    "tpch_q11", "tpch_q12", "tpch_q15", "tpch_q16",
+    "tpch_q11", "tpch_q12", "tpch_q15",
 ]
 
 

@@ -777,13 +777,24 @@ def dedup_clusters(
 
 def q_dedup_clusters(spark, sf_dir):
     """Driver row for the iterate-to-fixpoint surface: connected components
-    over the MinHash-LSH candidate pairs, keeper = min doc_id per
-    component. The min-label-propagation loop is exactly the shape that
-    silently drifts without an oracle, so the DuckDB twin recomputes
-    components independently (recursive transitive closure)."""
+    over the MinHash-LSH candidates, keeper = min doc_id per component.
+    The min-label-propagation loop is exactly the shape that silently
+    drifts without an oracle, so the DuckDB twin recomputes components
+    independently (recursive transitive closure) FROM THE FULL PAIR
+    RELATION — which this function deliberately does NOT build (r13):
+    the candidate edges are the bucket-STAR relation
+    (:func:`minhash_band_star_edges`, hub -> member per band bucket),
+    LINEAR in band rows where the pair join is quadratic in bucket
+    sizes. Star components equal clique components (every member
+    touches its bucket hub — pinned by test AND by this oracle, which
+    still closes over the cliques), so the output is identical while
+    the candidate stage stops paying duplicate-multiplicity². The r13
+    rehearsal that motivated it: on sf10pb the true pair count grows
+    ~mult^2 (110x on 10x data) while this row must stay output-sized
+    (one keeper row per doc)."""
     docs = _docs(spark, sf_dir)
-    pairs = q_dedup_minhash_pairs(spark, sf_dir)
-    return dedup_clusters(docs, pairs)
+    edges = minhash_band_star_edges(minhash_bands(docs))
+    return dedup_clusters(docs, edges)
 
 
 # Oracle: same LSH candidate pairs, then components via recursive
