@@ -759,12 +759,19 @@ def connected_components(
 
 
 def dedup_clusters(
-    docs: DataFrame, candidate_pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    candidate_pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 10,
 ) -> DataFrame:
     """Full near-dup pipeline tail: cluster the candidate pairs and pick the
     minimum id per cluster as the keeper. Docs in no pair keep themselves.
-    Output: (doc_id, keeper_doc_id, is_keeper)."""
-    comp = connected_components(candidate_pairs)
+    Output: (doc_id, keeper_doc_id, is_keeper).
+
+    ``max_iterations`` forwards to :func:`connected_components`; callers
+    feeding bucket-STAR edges pass 2x their clique-era bound (see the
+    diameter note on :func:`minhash_band_star_edges`)."""
+    comp = connected_components(candidate_pairs, max_iterations=max_iterations)
     joined = docs.select(F.col(id_col).alias("node")).join(comp, "node", "left")
     resolved = joined.select(
         F.col("node").alias(id_col),
@@ -794,7 +801,9 @@ def q_dedup_clusters(spark, sf_dir):
     (one keeper row per doc)."""
     docs = _docs(spark, sf_dir)
     edges = minhash_band_star_edges(minhash_bands(docs))
-    return dedup_clusters(docs, edges)
+    # star edges can double propagation distance (hub hops) — 2x the
+    # clique-era bound; the loop still exits at the true fixpoint
+    return dedup_clusters(docs, edges, max_iterations=20)
 
 
 # Oracle: same LSH candidate pairs, then components via recursive
@@ -1027,6 +1036,7 @@ def jaccard_prefix_pairs(
     t_den: int = JACCARD_T_DEN,
     broadcast_dfreq: bool | None = None,
     prefix_cap: int | None = None,
+    shared: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """All pairs with Jaccard(shingles) >= t, found via prefix filtering
     (PPJoin's candidate-generation idea, SIGMOD'08 / WWW'08 public
@@ -1087,10 +1097,20 @@ def jaccard_prefix_pairs(
     ``concat(xxhash64, crc32)`` or verify survivors on strings); the
     set key is the same 64-bit id hashed over the whole array, with the
     same collision budget.
+
+    ``shared`` (ADVICE r13): an already-built ``(keyed, groups, prefix)``
+    triple from :func:`jaccard_prefix_build`, so a caller composing
+    several prefix-family stages (the cluster-routing recipe runs this
+    join AND the hot-family doc extraction) tokenizes and ranks the
+    corpus ONCE instead of once per stage. Must have been built with the
+    same ``t_num/t_den/broadcast_dfreq``; default None keeps the
+    single-call behavior byte-identical.
     """
-    keyed, groups = _distinct_token_sets(token_sets)
+    keyed, groups, prefix = shared or jaccard_prefix_build(
+        token_sets, t_num, t_den, broadcast_dfreq
+    )
     spairs = _jaccard_set_pairs(
-        groups, t_num, t_den, broadcast_dfreq, prefix_cap
+        groups, t_num, t_den, broadcast_dfreq, prefix_cap, prefix=prefix
     )
     out_cols = ["intersection", "jaccard"]
     cross = _expand_set_pairs(
@@ -1111,6 +1131,28 @@ def jaccard_prefix_pairs(
         )
     )
     return cross.unionByName(equal)
+
+
+def jaccard_prefix_build(
+    token_sets: DataFrame,
+    t_num: int = JACCARD_T_NUM,
+    t_den: int = JACCARD_T_DEN,
+    broadcast_dfreq: bool | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared tokenize/rank pipeline every prefix-family entry point
+    derives from: ``(keyed, groups, prefix)`` — the checkpointed
+    per-doc token sets, their distinct-set reduction, and the
+    rarest-first prefix slice. Build it ONCE and pass it as ``shared=``
+    to :func:`jaccard_prefix_pairs` / :func:`jaccard_hot_family_docs`
+    when composing stages (ADVICE r13: the routing recipe previously
+    ran this pipeline twice — two corpus materializations — for one
+    logical corpus scan). ``prefix`` is lazy: each consumer re-executes
+    it from the CHECKPOINTED ``groups``, so the duplicate cost is
+    window CPU, never a re-scan (see the checkpoint note inside
+    :func:`_jaccard_prefix_relation`)."""
+    keyed, groups = _distinct_token_sets(token_sets)
+    prefix = _jaccard_prefix_relation(groups, t_num, t_den, broadcast_dfreq)
+    return keyed, groups, prefix
 
 
 def _distinct_token_sets(
@@ -1228,11 +1270,15 @@ def _jaccard_set_pairs(
     t_den: int,
     broadcast_dfreq: bool | None,
     prefix_cap: int | None,
+    prefix: DataFrame | None = None,
 ) -> DataFrame:
     """(skey_a, skey_b, intersection, jaccard) over DISTINCT non-equal
-    token sets — the PPJoin core, fed by ``_distinct_token_sets``."""
+    token sets — the PPJoin core, fed by ``_distinct_token_sets``.
+    ``prefix`` accepts a prebuilt prefix relation (from
+    :func:`jaccard_prefix_build`) so composed callers rank once."""
     ts = groups.select(F.col("skey").alias("doc_id"), "toks", "set_size")
-    prefix = _jaccard_prefix_relation(groups, t_num, t_den, broadcast_dfreq)
+    if prefix is None:
+        prefix = _jaccard_prefix_relation(groups, t_num, t_den, broadcast_dfreq)
     if prefix_cap is not None:
         # hot-posting candidate cap: tokens whose doc-weighted prefix
         # posting count exceeds the cap stop generating candidates on
@@ -1336,6 +1382,7 @@ def jaccard_hot_family_docs(
     t_den: int = JACCARD_T_DEN,
     broadcast_dfreq: bool | None = None,
     prefix_cap: int = 0,
+    shared: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """(doc_id) for every document whose rarest-first prefix contains at
     least one hot token — the ROUTING SIGNAL a ``prefix_cap``-bounded run
@@ -1351,9 +1398,14 @@ def jaccard_hot_family_docs(
     the join and the hot-token report, so the three can never disagree.
     The relation is family-member-sized (drop-side only), never
     corpus-sized on a duplicate-light corpus.
+
+    ``shared``: a prebuilt ``(keyed, groups, prefix)`` triple from
+    :func:`jaccard_prefix_build` — same contract as on
+    :func:`jaccard_prefix_pairs`.
     """
-    keyed, groups = _distinct_token_sets(token_sets)
-    prefix = _jaccard_prefix_relation(groups, t_num, t_den, broadcast_dfreq)
+    keyed, _groups, prefix = shared or jaccard_prefix_build(
+        token_sets, t_num, t_den, broadcast_dfreq
+    )
     hot = _hot_prefix_tokens(prefix, prefix_cap)
     hot_skeys = (
         prefix.join(hot.select("tok"), "tok", "semi")
@@ -1371,7 +1423,17 @@ def minhash_band_star_edges(bands: DataFrame) -> DataFrame:
     over the full bucket cliques (every member touches the hub), which is
     all the clustering path consumes; use this, never the pair join, for
     the giant families ``jaccard_hot_family_docs`` routes here — their
-    pair enumeration is the exact cost the routing exists to avoid."""
+    pair enumeration is the exact cost the routing exists to avoid.
+
+    Diameter note (ADVICE r13): replacing cliques with stars can up to
+    DOUBLE the min-label-propagation distance — two members of one
+    bucket that were 1 hop apart under the clique are now 2 hops apart
+    through the hub, so a chain of k overlapping buckets that converged
+    in k rounds needs up to 2k. Feed ``connected_components`` a doubled
+    ``max_iterations`` when the edges are stars (the loop still exits
+    early at the true fixpoint, so the headroom costs nothing when the
+    graph is shallow; the non-convergence guard stays loud either way).
+    """
     bands = bands.localCheckpoint(eager=True)
     hubs = bands.groupBy("band", "band_key").agg(
         F.min("doc_id").alias("doc_a")
@@ -1412,17 +1474,25 @@ def jaccard_prefix_with_cluster_routing(
     SCALING.md "Routing the capped families to the clustering path".
     """
     ts = token_sets_df(docs)
+    # ADVICE r13: build the tokenize/rank pipeline ONCE and thread it
+    # into both arms — the capped join and the hot-family extraction
+    # previously each ran _distinct_token_sets (two eager corpus
+    # materializations) plus their own prefix ranking, doubling the
+    # corpus scan in the function documented as the 100-TB recipe.
+    shared = jaccard_prefix_build(ts, t_num, t_den, broadcast_dfreq)
     pairs = jaccard_prefix_pairs(
-        ts, t_num, t_den, broadcast_dfreq, prefix_cap
+        ts, t_num, t_den, broadcast_dfreq, prefix_cap, shared=shared
     )
     routed = jaccard_hot_family_docs(
-        ts, t_num, t_den, broadcast_dfreq, prefix_cap
+        ts, t_num, t_den, broadcast_dfreq, prefix_cap, shared=shared
     )
     hot_docs = docs.join(routed, "doc_id", "semi").localCheckpoint(
         eager=True
     )
     edges = minhash_band_star_edges(minhash_bands(hot_docs))
-    clusters = dedup_clusters(hot_docs, edges)
+    # star edges: 2x the clique-era propagation bound (diameter note on
+    # minhash_band_star_edges)
+    clusters = dedup_clusters(hot_docs, edges, max_iterations=20)
     return pairs, clusters
 
 

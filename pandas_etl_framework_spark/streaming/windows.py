@@ -199,6 +199,48 @@ def sessionize_stream(
 # Oracle-gated streaming query: the driver correctness surface
 # --------------------------------------------------------------------------
 
+# (schema, is_directory) per events.parquet path — the probe is two
+# metadata operations (a batch footer read for the schema, one stat for
+# the layout) that are invariant for a fixture path, while several
+# harness rows call events_stream_source twice per query (both
+# interval-join rows) and rehearsals call it per leg. Keyed on the path,
+# not the session: schemas are plain StructTypes and layout is a
+# filesystem fact, so entries survive session restarts. A test that
+# REWRITES a fixture under the same path must clear this (none do —
+# fixtures are written once per run directory).
+_STREAM_SOURCE_PROBE: dict[str, tuple[T.StructType, bool]] = {}
+
+
+def _path_is_directory(spark, path: str) -> bool:
+    """Layout stat without the classic-only JVM gateway where possible
+    (ADVICE r13): a scheme-less or file:// path — every sandbox fixture
+    and any local deployment — is answered by os.path.isdir, which also
+    works under Spark Connect where ``spark._jvm`` does not exist. Only
+    a genuinely remote URI (s3a://, hdfs://...) needs the Hadoop
+    FileSystem stat, and only the classic gateway can provide it; Spark
+    Connect callers on remote storage get a loud error naming the seam
+    rather than a silently wrong branch."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        import os
+
+        return os.path.isdir(parsed.path if parsed.scheme else path)
+    jvm = getattr(spark, "_jvm", None)
+    jsc = getattr(spark, "_jsc", None)
+    if jvm is None or jsc is None:  # Spark Connect: no py4j gateway
+        raise NotImplementedError(
+            "events_stream_source needs a Hadoop FileSystem stat to pick "
+            f"the layout branch for remote path {path!r}, which requires "
+            "the classic py4j gateway; under Spark Connect pass a local "
+            "fixture or pre-resolve the layout"
+        )
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    return fs.getFileStatus(hpath).isDirectory()
+
+
 def events_stream_source(spark, sf_dir: str) -> DataFrame:
     """The raw events micro-batch source, layout-agnostic (r13): the
     driver's testdata stores ``events.parquet`` as a SINGLE FILE inside
@@ -208,14 +250,18 @@ def events_stream_source(spark, sf_dir: str) -> DataFrame:
     DIRECTORY of part files, which the glob filter silently matched ZERO
     files of — a vacuous empty stream that surfaced as an impossible
     0.8 s "sf10full" leg in the r13 streaming decade rehearsal. One
-    Hadoop-FS stat picks the branch; both branches read the identical
-    file set their layout holds."""
+    layout stat picks the branch; both branches read the identical file
+    set their layout holds. Schema + layout are probed once per path
+    (``_STREAM_SOURCE_PROBE``) — r13 shipped a fresh batch schema read
+    on every call, a redundant listing job for the rows that build the
+    source twice (ADVICE r13)."""
     path = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(path).schema
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.getFileStatus(hpath).isDirectory():
+    probe = _STREAM_SOURCE_PROBE.get(path)
+    if probe is None:
+        probe = (spark.read.parquet(path).schema, _path_is_directory(spark, path))
+        _STREAM_SOURCE_PROBE[path] = probe
+    raw_schema, is_dir = probe
+    if is_dir:
         return spark.readStream.schema(raw_schema).parquet(path)
     return (
         spark.readStream.schema(raw_schema)
