@@ -540,6 +540,142 @@ HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
 """
 
 
+def q_streaming_windowed_counts_file(spark, sf_dir: str) -> DataFrame:
+    """The windowed-counts pipeline through the PRODUCTION FILE SINK
+    (VERDICT r13 item 2): identical source, watermark and aggregation to
+    :func:`q_streaming_windowed_counts`, but append-mode parquet instead
+    of the complete-mode memory sink — the shape streaming/historize.py
+    actually deploys. Nothing is ever held on the driver: windows land
+    in the sink as the watermark closes them (data batch, then the
+    availableNow finalization batch that advances the watermark to
+    max ts − delay and evicts every closed window — the same mechanism
+    q_streaming_sessionize's timeouts ride), and the result is the
+    read-back of the sink.
+
+    This exists because the memory-sink twin is a gate-scale instrument
+    ONLY: at sf10full its append sink holds millions of rows and
+    materializing them builds a second driver-heap copy (the r13
+    measurement-harness ceiling, SCALING.md). This row is the
+    decade-measurable form — sink size is (windows × types), driver
+    traffic is zero, so the SAME query scales to any corpus the sink
+    filesystem can hold.
+
+    Semantics difference the oracle pins: append emits a window exactly
+    once, when the final watermark passes its end — so the LAST windows
+    (within the delay of max ts) stay in state, exactly as on a real
+    unbounded stream. The oracle counts only watermark-closed windows
+    (the q_streaming_state_redelivery contract)."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="q_stream_winfile_")
+    sink, ckpt = f"{tmp}/sink", f"{tmp}/ckpt"
+    stream = normalize_event_time(events_stream_source(spark, sf_dir), "ts")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 10000).cast("long")).cast(
+                    "double"
+                )
+                / 10000
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # (windows x types) rows — bounded however large the corpus
+        out = spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# append mode through the file sink emits exactly the watermark-closed
+# windows: end <= final watermark = max ts - 10 min (the redelivery
+# row's contract, single-run form).
+SQL_STREAMING_WINDOWED_COUNTS_FILE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000
+           AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+       <= (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+"""
+
+
+def q_streaming_dedup_file(spark, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup through the PRODUCTION FILE SINK
+    (VERDICT r13 item 2): same ``streaming_dedup`` operator and source
+    as :func:`q_streaming_dedup`, but the surviving rows stream into an
+    append-mode parquet sink (dedup emits pass-through rows immediately,
+    so the sink receives every survivor in the data batch) and the
+    driver-bounded per-type count is computed DISTRIBUTED over the
+    read-back — the sink is corpus-sized, the returned relation is
+    type-sized, and no stage ever materializes the survivors on the
+    driver. This is the decade-measurable twin of the memory-sink row,
+    whose driver-resident sink OOM'd the sf10full measurement (the r13
+    harness ceiling, SCALING.md); the memory-sink row stays gate-only
+    per its declared boundary."""
+    import shutil
+    import tempfile
+
+    from .historize import streaming_dedup
+
+    tmp = tempfile.mkdtemp(prefix="q_stream_dedupfile_")
+    sink, ckpt = f"{tmp}/sink", f"{tmp}/ckpt"
+    stream = events_stream_source(spark, sf_dir)
+    deduped = streaming_dedup(
+        stream, ["user_id", "event_type"], event_time_col="ts"
+    )
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+            .localCheckpoint(eager=True)  # type-sized after the agg
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_streaming_sessionize(spark, sf_dir: str) -> DataFrame:
     """The CUSTOM STATEFUL OPERATOR (``applyInPandasWithState``
     sessionization, ``sessionize_stream``) through the real micro-batch
@@ -905,6 +1041,16 @@ def register_all() -> None:
     harness.register(
         "streaming_dedup_counts",
         q_streaming_dedup,
+        SQL_STREAMING_DEDUP,
+    )
+    harness.register(
+        "streaming_windowed_counts_file",
+        q_streaming_windowed_counts_file,
+        SQL_STREAMING_WINDOWED_COUNTS_FILE,
+    )
+    harness.register(
+        "streaming_dedup_counts_file",
+        q_streaming_dedup_file,
         SQL_STREAMING_DEDUP,
     )
     harness.register(
