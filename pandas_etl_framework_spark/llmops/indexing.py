@@ -695,9 +695,80 @@ def ccnet_buckets_full(
     )
 
 
-def _sql_kn_logprob() -> str:
+# The pinned sentinel corpus (VERDICT r13 item 4): the gate fixtures
+# contain no zero-bigram documents, so ccnet_buckets_full's bucket-0
+# branch was pytest-pinned only. This VALUES corpus (the established
+# pinned-corpus idiom: q_text_bpe_train, q_emb_pca_invariants) carries
+# three unscoreable docs — empty text, whitespace-only, one-token — plus
+# nine scoreable docs including an exact-tie pair, so the oracle
+# exercises sentinel routing AND the doc_id tiebreak end-to-end. Both
+# engines derive from this single literal.
+_CCNET_SENTINEL_CORPUS: list[tuple[int, str]] = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the log"),
+    (3, "a cat and a dog"),
+    (4, "the mat and the log"),
+    (5, "mice chase cats"),
+    (6, "cats chase mice"),
+    (7, "the cat chased the mouse into the log"),
+    (8, "on on on"),
+    (9, "tie tie tie"),
+    (10, "tie tie tie"),
+    (11, "hello"),
+    (12, ""),
+    (13, "   "),
+]
+
+
+def q_text_ccnet_sentinel(spark, sf_dir):
+    """Whole-corpus CCNet bucketing with the zero-bigram SENTINEL branch
+    oracle-gated (VERDICT r13 item 4): :func:`ccnet_buckets_full` over
+    the pinned ``_CCNET_SENTINEL_CORPUS`` — unscoreable docs (< 2
+    tokens) surface as ``ppl_bucket = 0`` with NULL score, scoreable
+    docs carry the exact broadcast-cutoff terciles. GATE-ONLY row in the
+    q_text_bpe_train tradition: the passed ``sf_dir`` is ignored because
+    the sentinel branch is dead on every driver fixture (no zero-bigram
+    docs exist there — documented on ccnet_buckets_full); pinning the
+    corpus on BOTH sides is what lets the branch be driver-verified at
+    all. Non-gate consumers call ccnet_buckets_full on their own data."""
+    docs = spark.createDataFrame(
+        _CCNET_SENTINEL_CORPUS, "doc_id long, text string"
+    )
+    return ccnet_buckets_full(docs, buckets=3, exact=True)
+
+
+def _sql_ccnet_sentinel() -> str:
+    vals = ", ".join(
+        f"({i}, '{t}')" for i, t in _CCNET_SENTINEL_CORPUS
+    )
+    docs_sql = (
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, text "
+        f"FROM (VALUES {vals}) AS v(doc_id, text)"
+    )
+    kn = _sql_kn_logprob(docs_sql)
+    return f"""
+WITH kn AS ({kn}),
+scored AS (
+    SELECT doc_id, n_bigrams, mean_kn_surprisal_micro,
+           CAST(NTILE(3) OVER (
+               ORDER BY mean_kn_surprisal_micro, doc_id
+           ) AS INTEGER) AS ppl_bucket
+    FROM kn
+)
+SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       s.mean_kn_surprisal_micro,
+       CAST(COALESCE(s.ppl_bucket, 0) AS INTEGER) AS ppl_bucket
+FROM (VALUES {vals}) AS v(doc_id, text)
+LEFT JOIN scored s ON v.doc_id = s.doc_id
+"""
+
+
+def _sql_kn_logprob(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
     return rf"""
-WITH docs AS (SELECT doc_id, text FROM documents),
+WITH docs AS ({docs_sql}),
 tokd AS (
     SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM docs
 ),
@@ -1667,5 +1738,9 @@ QUERIES = {
     # CASE assignment; same oracle (must equal the exact NTILE edge-
     # for-edge), no single-partition window anywhere in its plan
     "text_ccnet_cutoffs": (q_text_ccnet_cutoffs, _sql_ccnet_buckets()),
+    # r14: ccnet_buckets_full's zero-bigram sentinel branch, oracle-
+    # gated on the pinned VALUES corpus (the gate fixtures have no
+    # zero-bigram docs, so the branch was pytest-only before)
+    "text_ccnet_sentinel": (q_text_ccnet_sentinel, _sql_ccnet_sentinel()),
     "dedup_cross_source": (q_dedup_cross_source, SQL_CROSS_SOURCE),
 }
