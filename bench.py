@@ -39,6 +39,20 @@ contention_trigger_values record WHICH predicate(s) fired and the
 firing values, so an idle-but-flagged run (a cold first-pass probe
 tripping a divergence check at loadavg ~0) is distinguishable from a
 genuine co-tenant in the artifact. SCALING.md has the reading rule.
+
+Idle-wait scheduling (VERDICT r13 item 6): the driver artifact shipped
+contended two rounds straight (r12, r13 — both trigger-identified), and
+the one rerun fires INSIDE the same contended window, so it mostly
+re-measures the co-tenant. Two bounded waits now shape WHEN the timed
+work runs instead of only labeling it afterwards: (a) at entry, if the
+1-min loadavg is above the trigger threshold, poll until it decays
+below it (departed co-tenants clear in ~2-3 min of 1-min-loadavg decay)
+or the wait budget (5 min) runs out; (b) before the contended rerun,
+the same bounded wait so the second suite runs in the calm the first
+one never got. idle_wait_entry_sec / idle_wait_rerun_sec and the raw
+pre-wait loadavg land in the JSON; a persistent co-tenant exhausts both
+budgets and the artifact reads exactly as before (trigger-identified
+contended, minima folded).
 """
 
 from __future__ import annotations
@@ -198,6 +212,40 @@ def _bench_streaming_body(spark, sf_dir: str) -> float:
     return elapsed
 
 
+# entry loadavg above this is the contention trigger (see sentinel notes
+# below) AND the idle-wait threshold — one constant so the wait targets
+# exactly the state that would flag the artifact
+LOADAVG_TRIGGER = 1.5
+IDLE_WAIT_BUDGET_SEC = 300
+IDLE_WAIT_POLL_SEC = 15
+
+
+def _idle_wait(budget_sec: float = IDLE_WAIT_BUDGET_SEC) -> float:
+    """Bounded wait for the 1-min loadavg to decay below the contention
+    trigger (VERDICT r13 item 6). Departed co-tenants clear in a couple
+    of minutes of loadavg decay; a persistent one exhausts the budget
+    and the run proceeds, trigger-identified as before. Returns seconds
+    waited (0.0 when the host was already calm)."""
+    waited = 0.0
+    la = os.getloadavg()[0]
+    while la > LOADAVG_TRIGGER and waited < budget_sec:
+        if waited == 0.0:
+            print(
+                f"bench: 1-min loadavg {la:.2f} > {LOADAVG_TRIGGER}; "
+                f"waiting up to {budget_sec:.0f}s for the host to idle",
+                file=sys.stderr,
+            )
+        time.sleep(IDLE_WAIT_POLL_SEC)
+        waited += IDLE_WAIT_POLL_SEC
+        la = os.getloadavg()[0]
+    if waited:
+        print(
+            f"bench: resumed after {waited:.0f}s (1-min loadavg {la:.2f})",
+            file=sys.stderr,
+        )
+    return round(waited, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -207,6 +255,8 @@ def main() -> None:
 
     # sampled before Spark spins up a single thread: any load visible here
     # is co-tenant, not ours
+    loadavg_entry = [round(x, 2) for x in os.getloadavg()]
+    idle_wait_entry = _idle_wait()
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
 
     from pandas_etl_framework_spark.harness import REGISTRY
@@ -324,7 +374,7 @@ def main() -> None:
     # indistinguishable in the artifact — the flag carried no identity.
     par_over_single_max = 13.0
     triggers: dict[str, float] = {}
-    if loadavg_start[0] > 1.5:
+    if loadavg_start[0] > LOADAVG_TRIGGER:
         triggers["loadavg"] = loadavg_start[0]
     single_div = max(calib, calib_mid) / max(min(calib, calib_mid), 1e-9)
     if single_div > 1.25:
@@ -338,6 +388,7 @@ def main() -> None:
         triggers["par_over_single"] = round(calib_par / calib, 2)
     contended = bool(triggers)
     rerun = False
+    idle_wait_rerun = 0.0
     if contended:
         print(
             f"bench: host contention detected (triggers={triggers}, "
@@ -347,6 +398,10 @@ def main() -> None:
             file=sys.stderr,
         )
         rerun = True
+        # the r12/r13 lesson: an immediate rerun lands inside the same
+        # contended window — give the co-tenant a bounded chance to
+        # leave before burning the one rerun
+        idle_wait_rerun = _idle_wait()
         timings2, calib_mid2, calib_par_mid2 = run_suite()
         calib2 = _calib()
         calib_par2 = _calib_par()
@@ -372,6 +427,9 @@ def main() -> None:
                 "cpu_calib_par_sec": calib_par,
                 "cpu_calib_par_mid_sec": calib_par_mid,
                 "calib_par_over_single": round(calib_par / calib, 2),
+                "loadavg_entry": loadavg_entry,
+                "idle_wait_entry_sec": idle_wait_entry,
+                "idle_wait_rerun_sec": idle_wait_rerun,
                 "loadavg_start": loadavg_start,
                 "loadavg_end": loadavg_end,
                 "contended": contended,
