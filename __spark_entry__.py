@@ -237,55 +237,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # in-window-sibling precedent (r12) — because 5 more slots would evict
 # backlog rows the verdict ordered first; the five siblings stay in
 # their staleness cohorts.
-# R14 BACKLOG: tpch_q16, tpch_q19 and tpch_q22 first (the r13 spills,
-# alphabetical), then the
-# r07-era cohort (44 rows), then r09/r10, round-robin by staleness as
-# usual. New r14 rows and changed-code rows take their landing-round
-# slots first, as always.
+# ROUND-14 ROTATION (VERDICT r13 item 1 — the standing rule, executed
+# as the r13 verdict recorded it): window = (a) the 3 NEW r14 rows
+# (text_ccnet_sentinel — ccnet_buckets_full's zero-bigram sentinel
+# branch, oracle-gated on the pinned VALUES corpus per VERDICT r13
+# item 4; streaming_windowed_counts_file + streaming_dedup_counts_file
+# — the production-file-sink streaming twins that broke the r13
+# memory-sink decade ceiling, VERDICT r13 item 2); (b) rows whose code
+# changed this round — dedup_clusters (connected components get
+# max_iterations=20 with star edges, ADVICE r13 item 1) and
+# dedup_jaccard_prefix (jaccard_prefix_pairs now routes through the
+# shared jaccard_prefix_build, ADVICE r13 item 2), plus
+# streaming_windowed_counts as the in-window sibling for the shared
+# events_stream_source cache fix (ADVICE r13 item 3; the two NEW file
+# rows also exercise the helper, and the remaining four siblings stay
+# in their staleness cohorts — the r12/r13 precedent, because 4 more
+# slots would evict backlog rows the verdict ordered first); (c) the
+# three r04-era r13 spills, tpch_q16/q19/q22 — the registry's stalest
+# evidence; (d) the r07-era cohort in recorded alphabetical order.
+# 3 + 3 + 3 + 44 = 53 > 50, so per the standing spill rule the THREE
+# alphabetical-tail r07 rows — tpch_q4, tpch_q5, tpch_q6 — spill to
+# the R15 head (all three green in the judge's full r13 sweep).
+# R15 BACKLOG: tpch_q4, tpch_q5, tpch_q6 first (the r14 spills,
+# alphabetical), then the r09-era cohort (42 rows), then r10/r11,
+# round-robin by staleness as usual. New r15 rows and changed-code
+# rows take their landing-round slots first, as always.
 DRIVER_PRIORITY = [
-    # -- (a) NEW this round (landing-round rule): CCNet bucketing in its
-    #    production shape — distributed exact cutoff selection +
-    #    broadcast-literal CASE assignment in the scan; shares the exact
-    #    NTILE's oracle so the gate proves the two forms agree ----------
-    "text_ccnet_cutoffs",
-    # -- (a) NEW this round (landing-round rule, mid-r13): the Bloom-
-    #    prefiltered contamination probe — prefilter + exact confirm is
-    #    lossless, pinned by sharing the exact row's oracle ------------
-    "text_contamination_bloom",
-    # -- (b) changed this round (ADVICE r12 item 1): the WordPiece
-    #    per-partition champion fold hoisted above the Arrow batch loop
-    #    (one collected row per partition, as the contract promised);
-    #    wordpiece_train is shared by all three rows -------------------
-    "text_wordpiece_train", "text_tokens_wordpiece",
-    "text_tokenizer_fertility",
-    # -- (b) changed this round (ADVICE r12 item 3): oracle's
-    #    NULL-fragile NOT IN replaced with NOT EXISTS ------------------
-    "streaming_interval_join_outer",
-    # -- (b) changed this round (VERDICT r12 item 4): edge-sized
-    #    localCheckpoints now store SERIALIZED MEMORY_AND_DISK blocks
-    #    (pagerank Hazard-3 recipe via localCheckpoint's storageLevel
-    #    seam); re-rehearsed at sf10full, slopes in SCALING.md ---------
-    "graph_kcore", "graph_khop",
-    # -- (b) changed this round (mid-r13 hazard fix): connected
-    #    components now consume the bucket-star candidate relation ----
-    "dedup_clusters",
-    # -- (c) the 14 r06-era rows that yielded their r12 slots ----------
-    "cdc_historize_two_runs", "scd2_merge", "sql_shared_recursive",
-    "streaming_scd2_merge", "emb_ivf_recall_at_k", "emb_kmeans_inertia",
-    "emb_topk_batch", "text_fingerprint", "dedup_minhash_bands",
-    "rel_window_first_last", "rel_case_when", "emb_norms",
-    "text_length_histogram", "text_oov_rate",
-    # -- (d) the r04-era backlog, recorded alphabetical order; tpch_q22
-    #    spills to the r14 head (see rotation comment) -----------------
-    "cdc_simulate_runs", "emb_pq_topk", "io_csv_roundtrip",
-    "multimodal_phash_dedup", "rel_higher_order", "rel_null_semantics",
-    "rel_pivot_native", "rel_profile_orders", "scd2_pit_join",
-    "sketch_countmin", "sketch_histogram_quantiles", "sketch_theta_kmv",
-    "streaming_cdc_historize", "text_chunk_dedup", "text_chunks_udtf",
-    "text_gopher_rules", "text_hashed_bow", "text_inverted_index",
-    "text_pack_sequences", "text_pii_redact", "text_source_mixture",
-    "text_tokens_pandas_udf", "text_unigram_logprob", "tpch_q8",
-    "tpch_q11", "tpch_q12", "tpch_q15",
+    # -- (a) NEW this round: the zero-bigram sentinel branch of
+    #    whole-corpus CCNet bucketing, gated end-to-end on the pinned
+    #    VALUES corpus (driver fixtures have no zero-bigram docs) ------
+    "text_ccnet_sentinel",
+    # -- (a) NEW this round: the streaming pipelines through the
+    #    PRODUCTION file sink — the decade-measurable twins of the
+    #    gate-only memory-sink rows (sf10full slopes in SCALING.md) ----
+    "streaming_windowed_counts_file", "streaming_dedup_counts_file",
+    # -- (b) changed this round (ADVICE r13 items 1+2): star-edge
+    #    propagation headroom and the shared prefix build --------------
+    "dedup_clusters", "dedup_jaccard_prefix",
+    # -- (b) changed this round (ADVICE r13 item 3): cached layout/schema
+    #    probe in the shared events_stream_source; one memory-sink
+    #    sibling in-window, the file twins above cover the same helper --
+    "streaming_windowed_counts",
+    # -- (c) the r13 spills — last driver-checked r04, the stalest
+    #    evidence in the registry ---------------------------------------
+    "tpch_q16", "tpch_q19", "tpch_q22",
+    # -- (d) the r07-era cohort, recorded alphabetical order; the
+    #    alphabetical tail tpch_q4/q5/q6 spills to the r15 head ---------
+    "cdc_add_meta", "cdc_delta", "cdc_latest_snapshot", "cdc_merge_cdc",
+    "cdc_store_diff", "cdc_version_history", "emb_semantic_dedup",
+    "events_hourly", "events_sessionize_native", "multimodal_decode_image",
+    "rel_agg_distinct", "rel_agg_groupby", "rel_agg_stats",
+    "rel_anti_join", "rel_cube", "rel_distinct", "rel_except",
+    "rel_grouping_sets", "rel_groupwise_min", "rel_intersect",
+    "rel_join_broadcast_dims", "rel_join_inner", "rel_outer_join",
+    "rel_pivot", "rel_rollup", "rel_salted_join", "rel_semi_join",
+    "rel_sort_limit", "rel_theta_join", "rel_union", "rel_window_lag",
+    "rel_window_rank", "rel_window_running", "scd2_snapshot",
+    "scd2_split_active", "scd2_split_hist", "streaming_cdc_redelivery",
+    "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q3",
 ]
 
 
