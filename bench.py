@@ -128,6 +128,15 @@ BENCH_QUERIES = [
     # assignment) — tracks the corpus-curation bucketing stack end to
     # end on top of the KN scorer. Outside core20.
     "text_ccnet_cutoffs",
+    # r14 additions: the streaming pipelines through the PRODUCTION
+    # file sink (real micro-batch run + parquet sink + read-back per
+    # call — the decade-measurable twins of the memory-sink gate rows).
+    # Each fn executes the stream itself, so the generic noop
+    # materialization times the whole pipeline. Outside core20; the
+    # memory-sink streaming leg (bench_streaming) stays for
+    # round-over-round comparability.
+    "streaming_windowed_counts_file",
+    "streaming_dedup_counts_file",
 ]
 
 # the 20 queries (incl. streaming) benched since r01 — their sum is

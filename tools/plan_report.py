@@ -135,6 +135,14 @@ AUDIT = [
     "text_ccnet_cutoffs",
     "text_ccnet_buckets",
     "text_contamination_bloom",
+    # r14 additions: the production-file-sink streaming twins (each
+    # executes a real micro-batch stream on call; the audited plan is
+    # the read-back, like streaming_state_redelivery's) and the pinned
+    # sentinel-corpus CCNet row (its plan is the broadcast-CASE scan
+    # over a VALUES relation — no Window, the cutoffs contract)
+    "streaming_windowed_counts_file",
+    "streaming_dedup_counts_file",
+    "text_ccnet_sentinel",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
