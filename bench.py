@@ -229,13 +229,27 @@ IDLE_WAIT_BUDGET_SEC = 300
 IDLE_WAIT_POLL_SEC = 15
 
 
-def _idle_wait(budget_sec: float = IDLE_WAIT_BUDGET_SEC) -> float:
+def _idle_wait(
+    budget_sec: float = IDLE_WAIT_BUDGET_SEC, settle_sec: float = 0.0
+) -> float:
     """Bounded wait for the 1-min loadavg to decay below the contention
     trigger (VERDICT r13 item 6). Departed co-tenants clear in a couple
     of minutes of loadavg decay; a persistent one exhausts the budget
     and the run proceeds, trigger-identified as before. Returns seconds
-    waited (0.0 when the host was already calm)."""
+    waited (0.0 when the host was already calm and settle_sec is 0).
+
+    ``settle_sec``: unconditional sleep BEFORE the poll, for callers
+    whose OWN just-finished work inflates the 1-min loadavg — right
+    after the suite, local[32] pushes it far past the trigger with no
+    co-tenant present, so a pre-rerun poll without a settle measures
+    our own decay and records it as a co-tenant wait. The settle
+    absorbs most of the self-load (1-min loadavg decays ~e^-1 per
+    minute); whatever the poll still sees afterwards is much more
+    likely a real co-tenant. Counted in the returned total."""
     waited = 0.0
+    if settle_sec:
+        time.sleep(settle_sec)
+        waited = settle_sec
     la = os.getloadavg()[0]
     while la > LOADAVG_TRIGGER and waited < budget_sec:
         if waited == 0.0:
@@ -409,8 +423,10 @@ def main() -> None:
         rerun = True
         # the r12/r13 lesson: an immediate rerun lands inside the same
         # contended window — give the co-tenant a bounded chance to
-        # leave before burning the one rerun
-        idle_wait_rerun = _idle_wait()
+        # leave before burning the one rerun. The 60s settle absorbs
+        # OUR just-finished suite's loadavg tail first, so the poll
+        # measures the host rather than our own decay.
+        idle_wait_rerun = _idle_wait(settle_sec=60)
         timings2, calib_mid2, calib_par_mid2 = run_suite()
         calib2 = _calib()
         calib_par2 = _calib_par()

@@ -700,9 +700,13 @@ def ccnet_buckets_full(
 # branch was pytest-pinned only. This VALUES corpus (the established
 # pinned-corpus idiom: q_text_bpe_train, q_emb_pca_invariants) carries
 # three unscoreable docs — empty text, whitespace-only, one-token — plus
-# nine scoreable docs including an exact-tie pair, so the oracle
-# exercises sentinel routing AND the doc_id tiebreak end-to-end. Both
-# engines derive from this single literal.
+# TEN scoreable docs (doc_ids 1-10; NTILE(3) sizes 4/3/3, boundary
+# ranks 4 and 7), so the oracle exercises sentinel routing AND the
+# doc_id tiebreak end-to-end: the identical-score pair 9/10 ("tie tie
+# tie") plus the mirror-text score tie 5/6 ("mice chase cats" / "cats
+# chase mice"), which spans the rank-7 boundary — a mean-only cutoff
+# would mis-bucket it. Both engines derive from this single literal;
+# editing the corpus changes which edges the gate exercises.
 _CCNET_SENTINEL_CORPUS: list[tuple[int, str]] = [
     (1, "the cat sat on the mat"),
     (2, "the dog sat on the log"),
@@ -738,8 +742,11 @@ def q_text_ccnet_sentinel(spark, sf_dir):
 
 
 def _sql_ccnet_sentinel() -> str:
+    # '' escaping: the corpus is prose — an apostrophe added later must
+    # not render malformed (or worse, differently-parsed) DuckDB SQL
     vals = ", ".join(
-        f"({i}, '{t}')" for i, t in _CCNET_SENTINEL_CORPUS
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _CCNET_SENTINEL_CORPUS
     )
     docs_sql = (
         f"SELECT CAST(doc_id AS BIGINT) AS doc_id, text "
