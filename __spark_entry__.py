@@ -258,10 +258,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # 3 + 3 + 3 + 44 = 53 > 50, so per the standing spill rule the THREE
 # alphabetical-tail r07 rows — tpch_q4, tpch_q5, tpch_q6 — spill to
 # the R15 head (all three green in the judge's full r13 sweep).
-# R15 BACKLOG: tpch_q4, tpch_q5, tpch_q6 first (the r14 spills,
-# alphabetical), then the r09-era cohort (42 rows), then r10/r11,
-# round-robin by staleness as usual. New r15 rows and changed-code
-# rows take their landing-round slots first, as always.
+# Mid-r14 hazard fix: the decade-breadth rehearsal batch (first slopes
+# for the sketch/tpch/events/rel families) caught BOTH salting rows
+# dying at sf10full — SparkOutOfMemoryError building the shuffled-hash
+# relation: salted_join replicated the WHOLE small side x16 behind a
+# pinned shuffle_hash hint, and the x16 build side outgrew task memory
+# (UnsafeHashedRelation cannot spill). Fixed with the bounded hot-key
+# form: only the profiled hot keys' probe rows are salted against only
+# those keys' small rows (build side = hot keys x 16, broadcast-sized
+# at any corpus), the cold remainder joins plainly. auto_join wires its
+# own profile through; q_rel_salted_join now exercises the bounded form
+# on a genuinely hot fixture (oracle updated to the same remap).
+# Changed code + changed oracle take slots: rel_auto_skew_join joins
+# the (b) group (rel_salted_join already held a cohort slot), so ONE
+# more r07 row spills: tpch_q3, the new alphabetical tail. Decade
+# re-run: 2.7x / 3.9x, zero OOMs (SCALING.md r14).
+# R15 BACKLOG: tpch_q3, tpch_q4, tpch_q5, tpch_q6 first (the r14
+# spills, alphabetical), then the r09-era cohort (42 rows), then
+# r10/r11, round-robin by staleness as usual. New r15 rows and
+# changed-code rows take their landing-round slots first, as always.
 DRIVER_PRIORITY = [
     # -- (a) NEW this round: the zero-bigram sentinel branch of
     #    whole-corpus CCNet bucketing, gated end-to-end on the pinned
@@ -278,6 +293,11 @@ DRIVER_PRIORITY = [
     #    probe in the shared events_stream_source; one memory-sink
     #    sibling in-window, the file twins above cover the same helper --
     "streaming_windowed_counts",
+    # -- (b) changed this round (mid-r14 hazard fix): auto_join's salted
+    #    branch now routes through the bounded hot-key salting form
+    #    (rel_salted_join, its twin, holds its cohort slot below with a
+    #    changed oracle) ------------------------------------------------
+    "rel_auto_skew_join",
     # -- (c) the r13 spills — last driver-checked r04, the stalest
     #    evidence in the registry ---------------------------------------
     "tpch_q16", "tpch_q19", "tpch_q22",
@@ -294,7 +314,7 @@ DRIVER_PRIORITY = [
     "rel_sort_limit", "rel_theta_join", "rel_union", "rel_window_lag",
     "rel_window_rank", "rel_window_running", "scd2_snapshot",
     "scd2_split_active", "scd2_split_hist", "streaming_cdc_redelivery",
-    "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q3",
+    "tpch_q10", "tpch_q14", "tpch_q18",
 ]
 
 

@@ -144,8 +144,19 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 def q_emb_knn_per_label(spark, sf_dir):
     """For each label group, the 3 mutually-nearest pairs by quantized dot —
-    an IVF-style partitioned search: pairs are only formed *within* a label
-    partition (the coarse quantizer), never across."""
+    pairs are only formed *within* a label partition, never across.
+
+    SCALE BOUNDARY (r14, measured): partitioning bounds the join only
+    while the PER-GROUP sizes stay bounded. On a fixed label cardinality
+    the groups grow with the corpus and the within-group all-pairs is
+    quadratic — the sf1 → sf10full rehearsal went 20M → 2.0B pairs
+    (100x on 10x data, SCALING.md r14). This row is therefore a
+    GATE-SCALE diagnostic of the partitioned-exact shape, not the
+    100-TB plan; a real IVF keeps cells bounded by TRAINING the coarse
+    quantizer so cell count grows with the corpus (emb_ivf_topk /
+    emb_ivfpq_topk), and all-pairs near-neighbor work at scale goes
+    through the banded LSH path (emb_ann_lsh, emb_lsh_buckets — 1.2x /
+    1.5x on the same decade)."""
     emb = _emb(spark, sf_dir).withColumn("q", _quantized(F.col("embedding")))
     a = emb.alias("a")
     b = emb.alias("b")

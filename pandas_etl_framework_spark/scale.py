@@ -20,6 +20,7 @@ def salted_join(
     keys: list[str],
     how: str = "inner",
     salt_buckets: int = 16,
+    hot_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Join a skew-keyed big side against a small side by salting: the big
     side gets a random salt in [0, n), the small side is replicated n times,
@@ -28,17 +29,58 @@ def salted_join(
 
     Use when the small side is too big to broadcast but the big side has
     hot keys; for broadcast-able small sides just use F.broadcast.
+
+    ``hot_keys`` (r14, found by the sf10full decade rehearsal): the
+    whole-side form below replicates ALL of ``small`` x ``salt_buckets``
+    and pins a shuffled-hash join, whose per-task UnsafeHashedRelation
+    build CANNOT SPILL — at 10x data on fixed partitions both salting
+    rows died with SparkOutOfMemoryError("not enough memory to build
+    hash map"). Pass the aggregate-sized hot-key relation (the skew
+    profile already knows it — ``key_skew_profile`` / the relation
+    ``auto_join`` derives) and only the HOT keys' probe rows are salted
+    against only the HOT keys' small rows (build side = hot keys x
+    salt_buckets rows, bounded by the profile's top-k whatever the
+    corpus size), while the cold remainder joins plainly with Catalyst
+    free to pick a spillable plan. Each probe row lands in exactly one
+    arm, so the union is value-identical to the plain join for every
+    ``how`` in ``_SALTABLE_HOW``; an empty ``hot_keys`` relation
+    degenerates to the plain join. The cold arm reads the probe side a
+    second time (semi + anti against the broadcast hot set) — two scans
+    bounded by pushdown beat one straggler or an unspillable build.
     """
+    salts = F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    if hot_keys is not None:
+        hot = F.broadcast(hot_keys.select(*keys).distinct())
+        big_hot = skewed.join(hot, keys, "left_semi").withColumn(
+            SALT_COL, F.floor(F.rand(seed=42) * salt_buckets).cast("int")
+        )
+        big_cold = skewed.join(hot, keys, "left_anti")
+        # build side: |hot keys ∩ small| x salt_buckets rows — tiny by
+        # construction, so the pinned hash build always fits
+        small_hot = (
+            small.join(hot, keys, "left_semi")
+            .withColumn(SALT_COL, salts)
+            .hint("shuffle_hash")
+        )
+        hot_joined = big_hot.join(
+            small_hot, on=keys + [SALT_COL], how=how
+        ).drop(SALT_COL)
+        # cold keys carry no straggler by definition — no hint, Catalyst
+        # and AQE keep every (spillable) option incl. broadcast
+        cold_joined = big_cold.join(small, on=keys, how=how)
+        return hot_joined.unionByName(cold_joined)
     salted_big = skewed.withColumn(
         SALT_COL, F.floor(F.rand(seed=42) * salt_buckets).cast("int")
     )
-    salts = F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     # shuffle_hash: salting targets the regime where the small side is NOT
     # broadcast-able; without the hint Catalyst happily broadcasts the
     # n-times-replicated relation (n x the bytes to every executor, the
     # exact cost salting is meant to dodge). Hash beats sort-merge here
     # because the salted key is high-cardinality and the build side is
-    # per-partition small.
+    # per-partition small — TRUE ONLY while |small| x salt_buckets /
+    # shuffle-partitions fits a task's execution memory (the build can't
+    # spill); past that, pass ``hot_keys`` (see above) instead of
+    # growing partitions to chase the build size.
     replicated_small = small.withColumn(SALT_COL, salts).hint("shuffle_hash")
     return salted_big.join(
         replicated_small, on=keys + [SALT_COL], how=how
@@ -327,31 +369,54 @@ GROUP BY l_returnflag
 
 
 def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """salted_join made judge-visible: lineitem (big, skew-prone fact) joins
-    orders' priority dimension through a 16-way salt — the hot-key-spreading
-    plan — then aggregates; the result must equal the plain join the oracle
-    runs.  The salt column is internal: it affects task placement, never
-    values."""
+    """salted_join made judge-visible, in its BOUNDED hot-key form (r14):
+    lineitem with ~25% of rows remapped onto one existing order key (the
+    auto_skew_join hot-leg shape) joins orders' priority dimension with
+    the hot key salted 16 ways and the cold remainder joined plainly;
+    the aggregate must equal the plain join the oracle runs. The salt
+    column is internal: it affects task placement, never values.
+
+    History: through r13 this row salted a UNIFORM key and replicated
+    the WHOLE dimension x16 behind a pinned shuffled-hash join — the
+    r14 decade rehearsal killed that form at sf10full
+    (SparkOutOfMemoryError: the x16 build side outgrew task memory and
+    UnsafeHashedRelation cannot spill). The bounded form replicates ONE
+    key's dimension rows; its decade slope is in SCALING.md r14."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey",
         F.round(F.col("l_quantity") * 100, 0).cast("long").alias("qq"),
+    ).withColumn(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 4 == 0, F.lit(1).cast("long")).otherwise(
+            F.col("l_orderkey")
+        ),
     )
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    joined = salted_join(li, orders, ["l_orderkey"], salt_buckets=16)
+    hot = spark.createDataFrame([(1,)], "l_orderkey long")
+    joined = salted_join(
+        li, orders, ["l_orderkey"], salt_buckets=16, hot_keys=hot
+    )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.sum("qq").cast("double") / 100.0).alias("sum_qty"),
     )
 
 
+# the oracle recomputes the SAME remapped-hot-key join plainly — the
+# salted+cold-arm union must be value-identical to the plain join
 SQL_REL_SALTED_JOIN = """
+WITH hot_li AS (
+    SELECT CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE l_orderkey END
+               AS l_orderkey,
+           CAST(round(l_quantity * 100, 0) AS BIGINT) AS qq
+    FROM lineitem
+)
 SELECT o_orderpriority,
        COUNT(*) AS n_rows,
-       CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
-           AS sum_qty
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       CAST(SUM(qq) AS DOUBLE) / 100.0 AS sum_qty
+FROM hot_li JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
 
@@ -566,6 +631,36 @@ def auto_join_strategy(
     return "plain"
 
 
+def _hot_key_relation(
+    left: DataFrame,
+    keys: list[str],
+    share_threshold: float,
+    profile_fraction: float,
+    min_hot_rows: int,
+) -> DataFrame:
+    """The key tuples holding >= ``share_threshold`` of the (sampled)
+    probe rows AND clearing the absolute ``min_hot_rows`` floor — the
+    set ``salted_join`` should bound its replication to. At most
+    ``1/share_threshold`` rows by construction, so always broadcastable;
+    mirrors ``auto_join_strategy``'s sampling semantics exactly."""
+    probe = left.select(*keys)
+    if profile_fraction < 1.0:
+        probe = probe.filter(F.rand(seed=42) < profile_fraction)
+    counts = probe.groupBy(*keys).agg(F.count("*").alias("__n"))
+    total = counts.agg(F.sum("__n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(
+            (F.col("__n") >= F.lit(min_hot_rows * profile_fraction))
+            & (
+                F.col("__n").cast("double")
+                >= F.lit(share_threshold) * F.col("__total").cast("double")
+            )
+        )
+        .select(*keys)
+    )
+
+
 # join types where replicating the small side is semantics-preserving:
 # unmatched LEFT rows surface once (their salt value exists exactly once
 # per key in the replicated relation); 'right'/'full' would surface each
@@ -637,7 +732,19 @@ def auto_join(
         else "plain"
     )
     if chosen == "salted" and how.lower() in _SALTABLE_HOW:
-        return salted_join(left, right, keys, how=how, salt_buckets=salt_buckets)
+        # hot-key relation for the bounded salting form (r14): keys at or
+        # above the salting share bar, never more than 1/threshold of
+        # them — aggregate-sized however large the probe. One extra
+        # aggregated pass (also paid when the caller short-circuited the
+        # strategy): the price of a build side that fits at any scale,
+        # vs the whole-side replication that OOM'd the decade rehearsal.
+        hot = _hot_key_relation(
+            left, keys, skew_share_threshold, profile_fraction, min_hot_rows
+        )
+        return salted_join(
+            left, right, keys, how=how, salt_buckets=salt_buckets,
+            hot_keys=hot,
+        )
     if chosen == "aqe_skew":
         spark = left.sparkSession
         for conf in (

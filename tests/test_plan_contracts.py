@@ -52,6 +52,12 @@ BNLJ_SINGLETON_OK = {
     "emb_covariance",          # row-count singleton joined onto d^2 moments
     "dedup_minhash_recall",    # n_true x n_candidates x n_hits one-row report
     "rel_key_skew_profile",    # total-row-count singleton onto K-row top list
+    "rel_auto_skew_join",      # r14: _hot_key_relation's total-row-count
+    #   singleton (same shape as rel_key_skew_profile's) — the bounded
+    #   salting form that replaced the whole-side x16 replication the
+    #   sf10full rehearsal OOM'd; the broadcast side is always one row
+    #   (rel_salted_join's explicit hot_keys relation joins ON the keys,
+    #   so it compiles to BroadcastHashJoin and needs no entry)
 }
 
 SKIP = {

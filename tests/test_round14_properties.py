@@ -114,6 +114,61 @@ def test_shared_prefix_build_matches_independent_builds(spark):
     assert shared_routed == solo_routed
 
 
+def _skewed_pair(spark):
+    """A probe with one dominant key (0) plus a tail, and a small side
+    that misses some probe keys (and holds keys the probe lacks) — the
+    shape every `how` branch needs to disagree on if the hot/cold split
+    were wrong."""
+    rows = [(0, i) for i in range(400)] + [(k, k) for k in range(1, 60)]
+    big = spark.createDataFrame(rows, ["k", "v"])
+    small = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 40, 2)] + [(999, "d999")],
+        ["k", "d"],
+    )
+    return big, small
+
+
+def test_hot_key_salted_join_matches_plain_for_every_how(spark):
+    from pandas_etl_framework_spark.scale import salted_join
+
+    big, small = _skewed_pair(spark)
+    hot = spark.createDataFrame([(0,)], "k long")
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = big.join(small, ["k"], how)
+        salted = salted_join(big, small, ["k"], how=how, hot_keys=hot)
+        pc = sorted(map(tuple, plain.collect()))
+        sc = sorted(map(tuple, salted.collect()))
+        assert sc == pc, how
+    # empty hot relation degenerates to the plain join
+    none_hot = spark.createDataFrame([], "k long")
+    out = salted_join(big, small, ["k"], how="inner", hot_keys=none_hot)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, big.join(small, ["k"], "inner").collect())
+    )
+
+
+def test_auto_join_salted_branch_uses_bounded_replication(spark):
+    """The r14 fix the sf10full rehearsal forced: auto_join's salted
+    branch must bound small-side replication to the hot keys — the
+    whole-side x16 build OOM'd at the decade. Values must still equal
+    the plain join."""
+    from pandas_etl_framework_spark.scale import auto_join
+
+    big, small = _skewed_pair(spark)
+    out = auto_join(
+        big, small, ["k"], how="left",
+        skew_share_threshold=0.2, min_hot_rows=50,
+    )
+    plain = big.join(small, ["k"], "left")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the replicated relation in the plan is hot-key-sized: the explain
+    # must carry the semi/anti split rather than a bare x16 small build
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
 def test_stream_source_probe_cached_and_layout_agnostic(spark, tmp_path):
     from pandas_etl_framework_spark.streaming.windows import (
         _STREAM_SOURCE_PROBE,
