@@ -592,8 +592,24 @@ def q_fuzzy_join(spark, sf_dir):
     """Fuzzy self-match: same-nation customer pairs whose names are within
     edit distance 4 (levenshtein is built-in on both engines). The nation
     key is the blocking key — the quadratic comparison runs only within a
-    block, which is the standard entity-resolution shape at scale (blocking
-    + pairwise verify); the block join itself is a hash join."""
+    block (blocking + pairwise verify); the block join itself is a hash
+    join.
+
+    SCALE BOUNDARY (r14, measured): blocking bounds the work only while
+    BLOCK sizes stay bounded, and the 25-nation key grows its blocks
+    with the corpus — the emb_knn_per_label class. Worse, on this
+    fixture the threshold is near-vacuous: TPC-H names differ only in
+    digit positions, so at scratch/sf1 (150k customers, 6k/nation) the
+    row already emits 336,093,100 pairs (~75% of all within-block
+    pairs) in a 370s cold pass, and sf10full extrapolates to ~33B
+    OUTPUT rows — quadratic work AND quadratic output. GATE-SCALE
+    diagnostic only (sf0.01: 1.5k customers). At scale: block on keys
+    whose block sizes are corpus-independent, or use lossless
+    edit-distance prefiltering (Ed-Join/PassJoin q-gram pigeonhole —
+    the token-prefix cousin of dedup.py's PPJoin machinery) with a
+    threshold that is selective on the actual name distribution; an
+    output-quadratic match relation belongs in no pipeline — emit
+    clusters/keepers instead (dedup_clusters' contract)."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     a = cust.select(
         F.col("c_custkey").alias("key_a"),
