@@ -251,8 +251,11 @@ def _idle_wait(
         time.sleep(settle_sec)
         waited = settle_sec
     la = os.getloadavg()[0]
+    announced = False  # not `waited == 0.0`: a settle pre-charges `waited`,
+    # which silenced the notice on every settle_sec>0 call (ADVICE r14)
     while la > LOADAVG_TRIGGER and waited < budget_sec:
-        if waited == 0.0:
+        if not announced:
+            announced = True
             print(
                 f"bench: 1-min loadavg {la:.2f} > {LOADAVG_TRIGGER}; "
                 f"waiting up to {budget_sec:.0f}s for the host to idle",

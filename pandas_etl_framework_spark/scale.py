@@ -48,6 +48,16 @@ def salted_join(
     second time (semi + anti against the broadcast hot set) — two scans
     bounded by pushdown beat one straggler or an unspillable build.
     """
+    if how.lower() not in _SALTABLE_HOW:
+        # enforced HERE, not only in auto_join (ADVICE r14): replicating
+        # the small side emits each unmatched small-side row once per
+        # salt bucket under right/full outer joins, and the hot-key form
+        # would emit them in BOTH arms — direct callers must fail loudly,
+        # not get silently doubled rows
+        raise ValueError(
+            f"salted_join is not semantics-preserving for how={how!r}; "
+            f"saltable join types: {sorted(_SALTABLE_HOW)}"
+        )
     salts = F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     if hot_keys is not None:
         hot = F.broadcast(hot_keys.select(*keys).distinct())
@@ -741,6 +751,29 @@ def auto_join(
         hot = _hot_key_relation(
             left, keys, skew_share_threshold, profile_fraction, min_hot_rows
         )
+        if strategy == "salted" and hot.isEmpty():
+            # the caller ASSERTED skew but no key clears the profile bar:
+            # with an empty hot relation the hot arm is empty and the
+            # bounded form silently degrades to the plain join — dropping
+            # the explicitly requested mitigation with no signal (ADVICE
+            # r14). Fall back to whole-side salting: every key is spread
+            # over salt_buckets tasks whatever the caller's (unprofiled)
+            # hot key was. The isEmpty() probe is one aggregate-sized
+            # action, paid only on the explicit-strategy path — the auto
+            # path's profile already guarantees a non-empty relation.
+            import warnings
+
+            warnings.warn(
+                "auto_join(strategy='salted'): no key clears "
+                f"share>={skew_share_threshold}/min_hot_rows="
+                f"{min_hot_rows}; falling back to whole-side salting "
+                "(bounded only while |right| x salt_buckets fits task "
+                "memory — see salted_join)",
+                stacklevel=2,
+            )
+            return salted_join(
+                left, right, keys, how=how, salt_buckets=salt_buckets
+            )
         return salted_join(
             left, right, keys, how=how, salt_buckets=salt_buckets,
             hot_keys=hot,

@@ -199,16 +199,41 @@ def sessionize_stream(
 # Oracle-gated streaming query: the driver correctness surface
 # --------------------------------------------------------------------------
 
-# (schema, is_directory) per events.parquet path — the probe is two
-# metadata operations (a batch footer read for the schema, one stat for
-# the layout) that are invariant for a fixture path, while several
-# harness rows call events_stream_source twice per query (both
-# interval-join rows) and rehearsals call it per leg. Keyed on the path,
-# not the session: schemas are plain StructTypes and layout is a
-# filesystem fact, so entries survive session restarts. A test that
-# REWRITES a fixture under the same path must clear this (none do —
-# fixtures are written once per run directory).
-_STREAM_SOURCE_PROBE: dict[str, tuple[T.StructType, bool]] = {}
+# (schema, is_directory) per (path, mtime) of events.parquet — the probe
+# is two metadata operations (a batch footer read for the schema, one
+# stat for the layout) that are invariant for a fixture path, while
+# several harness rows call events_stream_source twice per query (both
+# interval-join rows) and rehearsals call it per leg. Keyed on the path
+# PLUS its local mtime (ADVICE r14): a fixture rewritten under the same
+# path gets a fresh probe instead of a silently stale schema/layout.
+# Remote URIs key on (path, None) — an extra FileSystem stat per call
+# would defeat the cache; use clear_stream_source_probe() after
+# rewriting one. Not keyed on the session: schemas are plain StructTypes
+# and layout is a filesystem fact, so entries survive session restarts.
+_STREAM_SOURCE_PROBE: dict[tuple[str, float | None], tuple[T.StructType, bool]] = {}
+
+
+def clear_stream_source_probe() -> None:
+    """Drop every cached (schema, layout) probe — for tests or long-lived
+    sessions that rewrite a fixture under an unchanged path where mtime
+    cannot arbitrate (remote URIs, coarse filesystem timestamps)."""
+    _STREAM_SOURCE_PROBE.clear()
+
+
+def _probe_mtime(path: str) -> float | None:
+    """Local mtime for the cache key; None for remote URIs (layout stat
+    cost there is the thing the cache exists to avoid)."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        import os
+
+        try:
+            return os.path.getmtime(parsed.path if parsed.scheme else path)
+        except OSError:
+            return None
+    return None
 
 
 def _path_is_directory(spark, path: str) -> bool:
@@ -256,10 +281,11 @@ def events_stream_source(spark, sf_dir: str) -> DataFrame:
     on every call, a redundant listing job for the rows that build the
     source twice (ADVICE r13)."""
     path = f"{sf_dir}/events.parquet"
-    probe = _STREAM_SOURCE_PROBE.get(path)
+    cache_key = (path, _probe_mtime(path))
+    probe = _STREAM_SOURCE_PROBE.get(cache_key)
     if probe is None:
         probe = (spark.read.parquet(path).schema, _path_is_directory(spark, path))
-        _STREAM_SOURCE_PROBE[path] = probe
+        _STREAM_SOURCE_PROBE[cache_key] = probe
     raw_schema, is_dir = probe
     if is_dir:
         return spark.readStream.schema(raw_schema).parquet(path)
@@ -540,6 +566,25 @@ HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
 """
 
 
+def _stream_sink_tmpdir(prefix: str) -> str:
+    """Scratch root for the production-file-sink rows' sink + checkpoint
+    dirs. Default: driver-local ``tempfile.mkdtemp`` — CORRECT IN LOCAL
+    MODE ONLY (ADVICE r14): on a multi-node cluster executors do not
+    share the driver's /tmp, and both the parquet sink and the
+    checkpoint must live on storage every node reaches. Set
+    ``SPARK_GRAFT_STREAM_SINK_ROOT`` to such a shared path (NFS, HDFS
+    mount, object-store FUSE) and each call creates a unique subdir
+    under it; the caller still tears the subdir down."""
+    import os
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_STREAM_SINK_ROOT")
+    if root:
+        os.makedirs(root, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=root)
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def q_streaming_windowed_counts_file(spark, sf_dir: str) -> DataFrame:
     """The windowed-counts pipeline through the PRODUCTION FILE SINK
     (VERDICT r13 item 2): identical source, watermark and aggregation to
@@ -566,9 +611,8 @@ def q_streaming_windowed_counts_file(spark, sf_dir: str) -> DataFrame:
     unbounded stream. The oracle counts only watermark-closed windows
     (the q_streaming_state_redelivery contract)."""
     import shutil
-    import tempfile
 
-    tmp = tempfile.mkdtemp(prefix="q_stream_winfile_")
+    tmp = _stream_sink_tmpdir("q_stream_winfile_")
     sink, ckpt = f"{tmp}/sink", f"{tmp}/ckpt"
     stream = normalize_event_time(events_stream_source(spark, sf_dir), "ts")
     agg = (
@@ -642,11 +686,10 @@ def q_streaming_dedup_file(spark, sf_dir: str) -> DataFrame:
     harness ceiling, SCALING.md); the memory-sink row stays gate-only
     per its declared boundary."""
     import shutil
-    import tempfile
 
     from .historize import streaming_dedup
 
-    tmp = tempfile.mkdtemp(prefix="q_stream_dedupfile_")
+    tmp = _stream_sink_tmpdir("q_stream_dedupfile_")
     sink, ckpt = f"{tmp}/sink", f"{tmp}/ckpt"
     stream = events_stream_source(spark, sf_dir)
     deduped = streaming_dedup(

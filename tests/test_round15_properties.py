@@ -1,0 +1,108 @@
+"""Round-15 pins for the ADVICE r14 items: salted_join's how-guard at the
+function boundary (not only auto_join's), auto_join's loud whole-side
+fallback when an explicitly requested 'salted' strategy finds no hot key,
+the mtime-keyed stream-source probe cache, and the parameterizable
+streaming file-sink root."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _sides(spark):
+    big = spark.range(0, 2000).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("w")
+    )
+    return big, small
+
+
+def test_salted_join_rejects_unsaltable_how(spark):
+    from pandas_etl_framework_spark.scale import salted_join
+
+    big, small = _sides(spark)
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="not semantics-preserving"):
+            salted_join(big, small, ["k"], how=how)
+        with pytest.raises(ValueError, match="not semantics-preserving"):
+            salted_join(big, small, ["k"], how=how, hot_keys=small.select("k"))
+
+
+def test_auto_join_explicit_salted_empty_hot_falls_back_loudly(spark):
+    from pandas_etl_framework_spark.scale import auto_join
+
+    # perfectly uniform keys: no key clears the 20% share bar, so the
+    # explicit 'salted' request has an empty hot relation — the fix warns
+    # and applies whole-side salting instead of silently joining plain
+    big, small = _sides(spark)
+    with pytest.warns(UserWarning, match="whole-side salting"):
+        out = auto_join(big, small, ["k"], strategy="salted", min_hot_rows=10)
+    plain = {tuple(r) for r in big.join(small, "k").collect()}
+    assert {tuple(r) for r in out.collect()} == plain
+
+
+def test_auto_join_auto_salted_still_silent_and_correct(spark):
+    from pandas_etl_framework_spark.scale import auto_join
+
+    # one genuinely hot key: the auto profile picks 'salted' itself and
+    # must stay warning-free (the fallback is the explicit path only)
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") % 4 != 0, F.lit(1)).otherwise(F.col("id") % 10)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("w")
+    )
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = auto_join(big, small, ["k"], min_hot_rows=100)
+        rows = {tuple(r) for r in out.collect()}
+    assert rows == {tuple(r) for r in big.join(small, "k").collect()}
+
+
+def test_stream_source_probe_invalidates_on_rewrite(spark, tmp_path):
+    from pandas_etl_framework_spark.streaming import windows as W
+
+    sf_dir = str(tmp_path)
+    path = f"{sf_dir}/events.parquet"
+    base = spark.sql(
+        "SELECT 1 AS event_id, 7 AS user_id, 'view' AS event_type,"
+        " TIMESTAMP '2024-01-01 00:00:00' AS ts, 1.0 AS value"
+    )
+    base.write.parquet(path)
+    W.events_stream_source(spark, sf_dir)
+    keys = [k for k in W._STREAM_SOURCE_PROBE if k[0] == path]
+    assert keys and keys[0][1] is not None  # local path: mtime-keyed
+    schema_v1 = W._STREAM_SOURCE_PROBE[keys[0]][0]
+    # rewrite under the SAME path with an evolved schema; ensure mtime moves
+    time.sleep(0.05)
+    base.withColumn("extra", F.lit(1)).write.mode("overwrite").parquet(path)
+    os.utime(path, (time.time() + 5, time.time() + 5))
+    src = W.events_stream_source(spark, sf_dir)
+    assert "extra" in src.schema.fieldNames()  # not the stale v1 probe
+    assert "extra" not in schema_v1.fieldNames()
+    W.clear_stream_source_probe()
+    assert not W._STREAM_SOURCE_PROBE
+
+
+def test_stream_sink_root_env_is_honored(tmp_path, monkeypatch):
+    from pandas_etl_framework_spark.streaming.windows import _stream_sink_tmpdir
+
+    root = str(tmp_path / "shared_sink_root")
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SINK_ROOT", root)
+    d = _stream_sink_tmpdir("t15_")
+    assert os.path.dirname(d) == root and os.path.isdir(d)
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SINK_ROOT")
+    d2 = _stream_sink_tmpdir("t15_")
+    assert os.path.dirname(d2) != root
+    os.rmdir(d)
+    os.rmdir(d2)
