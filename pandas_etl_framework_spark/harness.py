@@ -637,6 +637,7 @@ from . import graph as _graph  # noqa: E402,F401
 from . import scale as _scale  # noqa: E402,F401
 from . import sql_entry as _sql_entry  # noqa: E402,F401
 from . import dq as _dq  # noqa: E402,F401
+from . import fuzzy as _fuzzy  # noqa: E402,F401
 from . import io_queries as _io_queries  # noqa: E402,F401
 from .llmops import register_all as _llmops_register_all  # noqa: E402
 from .streaming import windows as _streaming_windows  # noqa: E402
@@ -651,6 +652,7 @@ _graph.register_all()
 _scale.register_all()
 _sql_entry.register_all()
 _dq.register_all()
+_fuzzy.register_all()
 _io_queries.register_all()
 _llmops_register_all()
 _streaming_windows.register_all()

@@ -603,13 +603,12 @@ def q_fuzzy_join(spark, sf_dir):
     row already emits 336,093,100 pairs (~75% of all within-block
     pairs) in a 370s cold pass, and sf10full extrapolates to ~33B
     OUTPUT rows — quadratic work AND quadratic output. GATE-SCALE
-    diagnostic only (sf0.01: 1.5k customers). At scale: block on keys
-    whose block sizes are corpus-independent, or use lossless
-    edit-distance prefiltering (Ed-Join/PassJoin q-gram pigeonhole —
-    the token-prefix cousin of dedup.py's PPJoin machinery) with a
-    threshold that is selective on the actual name distribution; an
-    output-quadratic match relation belongs in no pipeline — emit
-    clusters/keepers instead (dedup_clusters' contract)."""
+    diagnostic only (sf0.01: 1.5k customers). The scale path EXISTS as
+    of r15: ``fuzzy.py`` — lossless Ed-Join/PassJoin q-gram prefix
+    filtering with a selective threshold, hot-gram capping with
+    explicit accounting, and the clusters/keepers output contract
+    (rows ``rel_fuzzy_pairs_qgram`` / ``rel_fuzzy_clusters``); use
+    that for any real dirty-key join."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     a = cust.select(
         F.col("c_custkey").alias("key_a"),

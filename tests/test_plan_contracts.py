@@ -52,6 +52,12 @@ BNLJ_SINGLETON_OK = {
     "emb_covariance",          # row-count singleton joined onto d^2 moments
     "dedup_minhash_recall",    # n_true x n_candidates x n_hits one-row report
     "rel_key_skew_profile",    # total-row-count singleton onto K-row top list
+    "rel_fuzzy_pairs_qgram",   # r15: the hot-gram anti-join's SENTINEL
+    #   branch — the union pushes the anti-join into both branches and
+    #   the sentinel side's join key constant-folds to the literal
+    #   token, leaving a LocalLimit-1 IdentityBroadcast existence probe
+    #   ("is the sentinel bucket hot?"): broadcast side <= 1 row by
+    #   construction. The gram branch keeps its BroadcastHashJoin.
     "rel_auto_skew_join",      # r14: _hot_key_relation's total-row-count
     #   singleton (same shape as rel_key_skew_profile's) — the bounded
     #   salting form that replaced the whole-side x16 replication the
