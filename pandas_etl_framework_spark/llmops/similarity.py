@@ -152,11 +152,11 @@ def q_emb_knn_per_label(spark, sf_dir):
     quadratic — the sf1 → sf10full rehearsal went 20M → 2.0B pairs
     (100x on 10x data, SCALING.md r14). This row is therefore a
     GATE-SCALE diagnostic of the partitioned-exact shape, not the
-    100-TB plan; a real IVF keeps cells bounded by TRAINING the coarse
-    quantizer so cell count grows with the corpus (emb_ivf_topk /
-    emb_ivfpq_topk), and all-pairs near-neighbor work at scale goes
-    through the banded LSH path (emb_ann_lsh, emb_lsh_buckets — 1.2x /
-    1.5x on the same decade)."""
+    100-TB plan; the label-scoped bounded variant EXISTS as of r15 —
+    ``knn_per_label_lsh`` below (banded sign-LSH within label, bucket
+    cap with accounting, recall row ``emb_knn_label_recall``) — and
+    query-style ANN goes through emb_ivf_topk / emb_ivfpq_topk /
+    emb_ann_lsh."""
     emb = _emb(spark, sf_dir).withColumn("q", _quantized(F.col("embedding")))
     a = emb.alias("a")
     b = emb.alias("b")
@@ -701,6 +701,316 @@ def _sql_mmr_select() -> str:
     return "WITH " + ",\n".join(parts) + "\n" + selects
 
 
+# --------------------------------------------------------------------------
+# Bounded per-label kNN: banded LSH within label (VERDICT r14 item 3)
+# --------------------------------------------------------------------------
+
+# band slices over the deterministic sign planes: 2 bands x 4 bits.
+# Candidates are same-(label, band, bucket) pairs, so per-label work is
+# ~NB * sum(|bucket|^2) instead of the exact row's all-pairs; the bit
+# count (and band split) is the deployment knob — size bits to
+# ~log2(n_label / target_bucket) so buckets stay near a constant at the
+# deployed corpus; it is PINNED here so the DuckDB oracle is static.
+KNN_LSH_BANDS: list[tuple[int, int]] = [(0, 4), (4, 8)]
+# over-cap (label, band, bucket) groups are skipped and owed to
+# knn_lsh_hot_buckets' account — the MinHash bucket_cap convention;
+# sized to never trip at gate scale (sf0.01 buckets ~3-12 members)
+KNN_LSH_BUCKET_CAP = 1000
+
+
+def _band_expr(qcol: Column, lo: int, hi: int) -> Column:
+    """Sign-bit bucket id over planes [lo, hi) — band-local bit weights."""
+    bucket = F.lit(0).cast("long")
+    for p in range(lo, hi):
+        arr = F.array(*[F.lit(v).cast("long") for v in PLANES[p]])
+        bucket = bucket + F.when(
+            _qdot(qcol, arr) > 0, F.lit(2 ** (p - lo)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def _sql_band(lo: int, hi: int, qv: str = "qv") -> str:
+    terms = []
+    for p in range(lo, hi):
+        lits = "[" + ", ".join(str(v) for v in PLANES[p]) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({qv}, {lits}) > 0 "
+            f"THEN CAST({2 ** (p - lo)} AS BIGINT) ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _knn_lsh_tokens(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, q, band, bkey): one row per (vector, band)."""
+    base = emb.withColumn("q", _quantized(F.col("embedding")))
+    parts = [
+        base.select(
+            "vec_id",
+            "label",
+            "q",
+            F.lit(b).cast("int").alias("band"),
+            _band_expr(F.col("q"), lo, hi).alias("bkey"),
+        )
+        for b, (lo, hi) in enumerate(KNN_LSH_BANDS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def knn_lsh_hot_buckets(
+    emb: DataFrame, bucket_cap: int = KNN_LSH_BUCKET_CAP
+) -> DataFrame:
+    """(label, band, bkey, n_vecs) for buckets over the cap — the explicit
+    account of what the capped search skips. Empty means exact-candidate
+    coverage at this corpus."""
+    return (
+        _knn_lsh_tokens(emb)
+        .groupBy("label", "band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .filter(F.col("n_vecs") > bucket_cap)
+    )
+
+
+def knn_per_label_lsh(
+    emb: DataFrame,
+    k: int = 3,
+    bucket_cap: int | None = KNN_LSH_BUCKET_CAP,
+) -> DataFrame:
+    """BOUNDED per-label top-k pairs by quantized COSINE: candidates are
+    same-(label, band, bucket) pairs of the deterministic banded sign-LSH
+    — the scale path for the within-label neighbor problem whose exact
+    form (``q_emb_knn_per_label``) is quadratic on fixed label
+    cardinality (measured 20M -> 2.0B pairs sf1 -> sf10full, SCALING.md
+    r14). No training, no driver-side state of any size: bucketing is a
+    pure projection, the candidate join shuffles (label, band,
+    bucket)-bounded groups, and ``bucket_cap`` bounds every group with
+    the explicit :func:`knn_lsh_hot_buckets` account.
+
+    Cosine (not the exact row's raw dot) because sign-LSH collision
+    probability is a function of ANGLE — per bit p = 1 - theta/pi — and
+    cosine is what production near-dup mining thresholds on. Recall is
+    regime-dependent and measured, not assumed: the oracle-gated
+    ``emb_knn_label_recall`` row reports the RANDOM-DATA FLOOR on this
+    fixture (its labels have no angular structure, top-pair cos ~0.5 ->
+    4-bit band collision ~0.2), while the planted-near-dup test
+    (tests/test_llmops_knn_lsh.py) pins the production regime: at
+    cos >= 0.9, p >= 0.85 per bit, so a 4-bit band collides with
+    p >= 0.54 and two bands reach ~0.79 — and more/shorter bands are
+    the standard recall knob (1 - (1 - p^r)^B)."""
+    toks = _knn_lsh_tokens(emb)
+    if bucket_cap is not None:
+        hot = (
+            toks.groupBy(
+                F.col("label").alias("hlabel"),
+                F.col("band").alias("hband"),
+                F.col("bkey").alias("hbkey"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_vecs"))
+            .filter(F.col("n_vecs") > bucket_cap)
+            .select("hlabel", "hband", "hbkey")
+        )
+        toks = toks.join(
+            F.broadcast(hot),
+            (F.col("label") == F.col("hlabel"))
+            & (F.col("band") == F.col("hband"))
+            & (F.col("bkey") == F.col("hbkey")),
+            "left_anti",
+        )
+    # renamed right side: same-lineage join keys resolve trivially true
+    # and degrade to a nested loop (fuzzy.py note)
+    rhs = toks.select(
+        F.col("label").alias("label_b"),
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
+        F.col("vec_id").alias("vid_b"),
+        F.col("q").alias("q_b"),
+    )
+    pairs = (
+        toks.join(
+            rhs,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("band") == F.col("band_b"))
+            & (F.col("bkey") == F.col("bkey_b"))
+            & (F.col("vec_id") < F.col("vid_b")),
+        )
+        .select(
+            "label",
+            F.col("vec_id").alias("vec_a"),
+            F.col("vid_b").alias("vec_b"),
+            "q",
+            "q_b",
+        )
+        # a pair colliding in several bands must score once, not per band
+        .distinct()
+    )
+    # every input to the sqrts is an exact integer, so the doubles (and
+    # their ordering) are engine-identical — the emb_neardup_pairs
+    # precedent
+    qcos = _qdot(F.col("q"), F.col("q_b")) / (
+        F.sqrt(_qdot(F.col("q"), F.col("q")).cast("double"))
+        * F.sqrt(_qdot(F.col("q_b"), F.col("q_b")).cast("double"))
+    )
+    scored = pairs.select("label", "vec_a", "vec_b", qcos.alias("qcos"))
+    w = Window.partitionBy("label").orderBy(
+        F.col("qcos").desc(), "vec_a", "vec_b"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("label", "vec_a", "vec_b", "qcos", "rn")
+    )
+
+
+def q_emb_knn_per_label_lsh(spark, sf_dir):
+    """Driver row for the bounded per-label kNN (see knn_per_label_lsh)."""
+    return knn_per_label_lsh(_emb(spark, sf_dir))
+
+
+_SQL_KNN_LSH_BODY = f"""
+q AS (SELECT vec_id, label, {_SQL_QUANT} AS qv FROM embeddings),
+ltoks AS (
+    SELECT vec_id, label, qv, 0 AS band, {_sql_band(0, 4)} AS bkey FROM q
+    UNION ALL
+    SELECT vec_id, label, qv, 1 AS band, {_sql_band(4, 8)} AS bkey FROM q
+),
+lhot AS (
+    SELECT label, band, bkey FROM ltoks
+    GROUP BY label, band, bkey HAVING COUNT(*) > {KNN_LSH_BUCKET_CAP}
+),
+ltoks2 AS (
+    SELECT t.* FROM ltoks t
+    WHERE NOT EXISTS (SELECT 1 FROM lhot h
+                      WHERE h.label = t.label AND h.band = t.band
+                        AND h.bkey = t.bkey)
+),
+lpairs AS (
+    SELECT DISTINCT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.qv AS qa, b.qv AS qb
+    FROM ltoks2 a JOIN ltoks2 b
+      ON a.label = b.label AND a.band = b.band AND a.bkey = b.bkey
+     AND a.vec_id < b.vec_id
+),
+lscored AS (
+    SELECT label, vec_a, vec_b,
+           CAST(list_dot_product(qa, qb) AS BIGINT)
+               / (sqrt(CAST(CAST(list_dot_product(qa, qa) AS BIGINT) AS DOUBLE))
+                  * sqrt(CAST(CAST(list_dot_product(qb, qb) AS BIGINT) AS DOUBLE)))
+               AS qcos
+    FROM lpairs
+),
+lranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY label ORDER BY qcos DESC, vec_a, vec_b
+    ) AS rn
+    FROM lscored
+)"""
+
+SQL_EMB_KNN_PER_LABEL_LSH = f"""
+WITH {_SQL_KNN_LSH_BODY}
+SELECT label, vec_a, vec_b, qcos, CAST(rn AS INTEGER) AS rn
+FROM lranked WHERE rn <= 3
+"""
+
+
+def _exact_knn_per_label_cos(spark, sf_dir):
+    """Exact per-label top-3 pairs by quantized cosine — the like-for-like
+    ground truth for the LSH recall row (the dot-ranked
+    q_emb_knn_per_label stays the separate all-pairs diagnostic)."""
+    emb = _emb(spark, sf_dir).withColumn("q", _quantized(F.col("embedding")))
+    rhs = emb.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vid_b"),
+        F.col("q").alias("q_b"),
+    )
+    qcos = _qdot(F.col("q"), F.col("q_b")) / (
+        F.sqrt(_qdot(F.col("q"), F.col("q")).cast("double"))
+        * F.sqrt(_qdot(F.col("q_b"), F.col("q_b")).cast("double"))
+    )
+    pairs = emb.join(
+        rhs,
+        (F.col("label") == F.col("label_b"))
+        & (F.col("vec_id") < F.col("vid_b")),
+    ).select(
+        "label",
+        F.col("vec_id").alias("vec_a"),
+        F.col("vid_b").alias("vec_b"),
+        qcos.alias("qcos"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("qcos").desc(), "vec_a", "vec_b"
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_a", "vec_b")
+    )
+
+
+def q_emb_knn_label_recall(spark, sf_dir):
+    """Recall@3 of the banded-LSH per-label kNN vs the exact all-pairs
+    cosine form, per label — the emb_ivf_recall_at_k pattern applied to
+    the bounded per-label row: measure the approximation at gate scale
+    before trusting it at corpus scale. Both sides rank by the same
+    quantized cosine with the same tie-break, so misses are exactly the
+    true top pairs whose members collide in no band. On THIS fixture the
+    value is the random-data floor (see knn_per_label_lsh); the planted
+    near-dup regime is pinned in tests/test_llmops_knn_lsh.py."""
+    bounded = q_emb_knn_per_label_lsh(spark, sf_dir).select(
+        "label", "vec_a", "vec_b"
+    )
+    exact = _exact_knn_per_label_cos(spark, sf_dir).select(
+        F.col("label").alias("xlabel"),
+        F.col("vec_a").alias("xa"),
+        F.col("vec_b").alias("xb"),
+    )
+    hits = (
+        exact.join(
+            bounded,
+            (F.col("xlabel") == F.col("label"))
+            & (F.col("xa") == F.col("vec_a"))
+            & (F.col("xb") == F.col("vec_b")),
+            "left",
+        )
+        .groupBy("xlabel")
+        .agg(F.count("label").cast("long").alias("n_hits"))
+    )
+    return hits.select(
+        F.col("xlabel").alias("label"),
+        F.lit(3).cast("long").alias("k"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / 3.0).alias("recall_at_3"),
+    ).orderBy("label")
+
+
+SQL_EMB_KNN_LABEL_RECALL = f"""
+WITH {_SQL_KNN_LSH_BODY},
+xpairs AS (
+    SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+               / (sqrt(CAST(CAST(list_dot_product(a.qv, a.qv) AS BIGINT) AS DOUBLE))
+                  * sqrt(CAST(CAST(list_dot_product(b.qv, b.qv) AS BIGINT) AS DOUBLE)))
+               AS qcos
+    FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+xranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY label ORDER BY qcos DESC, vec_a, vec_b
+    ) AS rn
+    FROM xpairs
+)
+SELECT x.label, CAST(3 AS BIGINT) AS k,
+       CAST(COUNT(g.vec_a) AS BIGINT) AS n_hits,
+       CAST(COUNT(g.vec_a) AS DOUBLE) / 3.0 AS recall_at_3
+FROM (SELECT * FROM xranked WHERE rn <= 3) x
+LEFT JOIN (SELECT * FROM lranked WHERE rn <= 3) g
+  ON x.label = g.label AND x.vec_a = g.vec_a AND x.vec_b = g.vec_b
+GROUP BY x.label
+ORDER BY x.label
+"""
+
+
 QUERIES = {
     "emb_topk": (q_emb_topk, SQL_EMB_TOPK),
     "emb_mmr_select": (q_emb_mmr_select, _sql_mmr_select()),
@@ -710,4 +1020,12 @@ QUERIES = {
     "emb_neardup_pairs": (q_emb_neardup_pairs, SQL_EMB_NEARDUP_PAIRS),
     "emb_lsh_buckets": (q_emb_lsh_buckets, SQL_EMB_LSH_BUCKETS),
     "emb_ann_lsh": (q_emb_ann_lsh, SQL_EMB_ANN_LSH),
+    "emb_knn_per_label_lsh": (
+        q_emb_knn_per_label_lsh,
+        SQL_EMB_KNN_PER_LABEL_LSH,
+    ),
+    "emb_knn_label_recall": (
+        q_emb_knn_label_recall,
+        SQL_EMB_KNN_LABEL_RECALL,
+    ),
 }
