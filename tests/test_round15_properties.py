@@ -106,3 +106,40 @@ def test_stream_sink_root_env_is_honored(tmp_path, monkeypatch):
     assert os.path.dirname(d2) != root
     os.rmdir(d)
     os.rmdir(d2)
+
+
+def test_gopher_top_count_fold_edge_shapes(spark):
+    """Pin the r15 sort+fold rewrite of q_text_gopher_rules' top-element
+    mass against the definitional counted-filter form on the shapes the
+    driver fixtures never exercise: empty array, single element, all
+    elements equal, and a tie between two run lengths (the fold's
+    `greatest(s.best, s.run)` finisher must see the LAST run too)."""
+    rows = [
+        ([],),
+        (["a"],),
+        (["a", "a", "a"],),
+        (["b", "a", "b", "a"],),          # tie 2-2
+        (["z", "a", "z", "z", "a"],),     # last-run not the best
+        (["a", "b", "b", "c", "c", "c"],),  # best run is the final one
+    ]
+    df = spark.createDataFrame(rows, "arr array<string>")
+    fold = (
+        "aggregate(array_sort(arr), "
+        "named_struct('prev', CAST(NULL AS string), 'run', 0L, 'best', 0L), "
+        "(s, x) -> IF(s.run = 0,"
+        " named_struct('prev', x, 'run', 1L, 'best', s.best), "
+        "IF(x = s.prev,"
+        " named_struct('prev', x, 'run', s.run + 1, 'best', s.best), "
+        "named_struct('prev', x, 'run', 1L,"
+        " 'best', greatest(s.best, s.run)))), "
+        "s -> greatest(s.best, s.run))"
+    )
+    definitional = (
+        "CASE WHEN size(arr) = 0 THEN 0L ELSE array_max(transform("
+        "array_distinct(arr), u -> CAST(size(filter(arr, x -> x = u)) AS"
+        " long))) END"
+    )
+    got = df.select(
+        F.expr(fold).alias("fold"), F.expr(definitional).alias("def")
+    ).collect()
+    assert [r.fold for r in got] == [r["def"] for r in got] == [0, 1, 3, 2, 3, 3]
