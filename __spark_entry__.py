@@ -273,48 +273,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # the (b) group (rel_salted_join already held a cohort slot), so ONE
 # more r07 row spills: tpch_q3, the new alphabetical tail. Decade
 # re-run: 2.7x / 3.9x, zero OOMs (SCALING.md r14).
-# R15 BACKLOG: tpch_q3, tpch_q4, tpch_q5, tpch_q6 first (the r14
-# spills, alphabetical), then the r09-era cohort (42 rows), then
+# R15 BACKLOG (executed below): tpch_q3, tpch_q4, tpch_q5, tpch_q6
+# first (the r14 spills, alphabetical), then the r09-era cohort, then
 # r10/r11, round-robin by staleness as usual. New r15 rows and
 # changed-code rows take their landing-round slots first, as always.
+# ROUND-15 ROTATION (VERDICT r14 items 1+2+3+6 — the standing rule):
+# window = (a) the 5 NEW r15 rows — rel_fuzzy_pairs_qgram +
+# rel_fuzzy_clusters (the Ed-Join/PassJoin q-gram prefix-filtered
+# fuzzy matcher that replaces rel_fuzzy_join's measured quadratic as
+# the scale path, VERDICT r14 item 1; brute-force DuckDB twins certify
+# losslessness at gate scale), emb_knn_per_label_lsh +
+# emb_knn_label_recall (the bounded per-label kNN — banded sign-LSH
+# within label — plus its recall row, VERDICT r14 item 3), and
+# streaming_sessionize_file (the applyInPandasWithState operator
+# through the production append-mode parquet sink, VERDICT r14
+# item 6); (b) rows whose query-path code changed this round:
+# text_gopher_rules (top-element mass rewritten as array_sort +
+# run-length fold, VERDICT r14 item 4 — a value-path rewrite, its
+# oracle unchanged). The ADVICE r14 guard fixes (salted_join how
+# validation, auto_join explicit-salted loud fallback, stream-probe
+# mtime keying, sink-root env) are value-neutral on every green row's
+# executed path and are pinned in tests/test_round15_properties.py;
+# their sibling rows (rel_salted_join, rel_auto_skew_join, the
+# streaming memory twins) stay in their staleness cohorts — the
+# r12/r13/r14 precedent, because more slots would evict backlog rows
+# the verdict ordered first (streaming_sessionize_file exercises the
+# shared probe + sink-root helpers in-window). (c) the r14 spills —
+# tpch_q3/q4/q5/q6, last driver-checked r07, the registry's stalest
+# evidence, named the rotation head by VERDICT r14 item 2; (d) the
+# r09-era cohort (41 rows), alphabetical. 5 + 1 + 4 + 41 = 51 > 50,
+# so per the standing spill rule the ONE alphabetical-tail r09 row —
+# tpch_q9 — spills to the R16 head (green in the judge's full r14
+# sweep on this tree).
 DRIVER_PRIORITY = [
-    # -- (a) NEW this round: the zero-bigram sentinel branch of
-    #    whole-corpus CCNet bucketing, gated end-to-end on the pinned
-    #    VALUES corpus (driver fixtures have no zero-bigram docs) ------
-    "text_ccnet_sentinel",
-    # -- (a) NEW this round: the streaming pipelines through the
-    #    PRODUCTION file sink — the decade-measurable twins of the
-    #    gate-only memory-sink rows (sf10full slopes in SCALING.md) ----
-    "streaming_windowed_counts_file", "streaming_dedup_counts_file",
-    # -- (b) changed this round (ADVICE r13 items 1+2): star-edge
-    #    propagation headroom and the shared prefix build --------------
-    "dedup_clusters", "dedup_jaccard_prefix",
-    # -- (b) changed this round (ADVICE r13 item 3): cached layout/schema
-    #    probe in the shared events_stream_source; one memory-sink
-    #    sibling in-window, the file twins above cover the same helper --
-    "streaming_windowed_counts",
-    # -- (b) changed this round (mid-r14 hazard fix): auto_join's salted
-    #    branch now routes through the bounded hot-key salting form
-    #    (rel_salted_join, its twin, holds its cohort slot below with a
-    #    changed oracle) ------------------------------------------------
-    "rel_auto_skew_join",
-    # -- (c) the r13 spills — last driver-checked r04, the stalest
-    #    evidence in the registry ---------------------------------------
-    "tpch_q16", "tpch_q19", "tpch_q22",
-    # -- (d) the r07-era cohort, recorded alphabetical order; the
-    #    alphabetical tail tpch_q4/q5/q6 spills to the r15 head ---------
-    "cdc_add_meta", "cdc_delta", "cdc_latest_snapshot", "cdc_merge_cdc",
-    "cdc_store_diff", "cdc_version_history", "emb_semantic_dedup",
-    "events_hourly", "events_sessionize_native", "multimodal_decode_image",
-    "rel_agg_distinct", "rel_agg_groupby", "rel_agg_stats",
-    "rel_anti_join", "rel_cube", "rel_distinct", "rel_except",
-    "rel_grouping_sets", "rel_groupwise_min", "rel_intersect",
-    "rel_join_broadcast_dims", "rel_join_inner", "rel_outer_join",
-    "rel_pivot", "rel_rollup", "rel_salted_join", "rel_semi_join",
-    "rel_sort_limit", "rel_theta_join", "rel_union", "rel_window_lag",
-    "rel_window_rank", "rel_window_running", "scd2_snapshot",
-    "scd2_split_active", "scd2_split_hist", "streaming_cdc_redelivery",
-    "tpch_q10", "tpch_q14", "tpch_q18",
+    # -- (a) NEW this round: q-gram prefix-filtered fuzzy matching —
+    #    the scale path for the quadratic rel_fuzzy_join diagnostic ----
+    "rel_fuzzy_pairs_qgram", "rel_fuzzy_clusters",
+    # -- (a) NEW this round: bounded per-label kNN (banded sign-LSH
+    #    within label) + its recall gate against the exact row ---------
+    "emb_knn_per_label_lsh", "emb_knn_label_recall",
+    # -- (a) NEW this round: the custom stateful operator through the
+    #    production file sink (decade-measurable twin) ------------------
+    "streaming_sessionize_file",
+    # -- (b) changed this round (VERDICT r14 item 4): top-element mass
+    #    via array_sort + run-length fold --------------------------------
+    "text_gopher_rules",
+    # -- (c) the r14 spills — last driver-checked r07, the stalest
+    #    evidence in the registry (VERDICT r14 item 2's named head) -----
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    # -- (d) the r09-era cohort, alphabetical; the tail tpch_q9 spills
+    #    to the r16 head -------------------------------------------------
+    "cdc_deleted_by_full_load", "cdc_deletes_by_column",
+    "curation_pipeline", "dedup_cross_source", "dedup_lines",
+    "dedup_lines_incremental", "dedup_lines_report", "dedup_lines_store",
+    "dedup_minhash_band_store", "dedup_minhash_bucket_report",
+    "dedup_minhash_incremental", "dedup_minhash_pairs_capped",
+    "emb_ivfpq_add_batch", "emb_ivfpq_persist_roundtrip",
+    "emb_mmr_select", "events_sessionize", "io_binary_source",
+    "io_corrupt_records", "io_schema_evolution",
+    "multimodal_decode_video", "multimodal_dhash_bucket_report",
+    "rel_filter_project", "rel_zorder_layout", "schema_prepare",
+    "sketch_bloom_prune", "sql_shared_delta", "sql_shared_lateral",
+    "streaming_state_redelivery", "text_contamination",
+    "text_dsir_select", "text_quality", "text_quality_calibrated",
+    "text_temperature_mixture", "text_tfidf_topk", "tpch_q13",
+    "tpch_q17", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q7",
 ]
 
 

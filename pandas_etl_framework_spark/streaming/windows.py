@@ -772,6 +772,46 @@ def q_streaming_sessionize(spark, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_streaming_sessionize_file(spark, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (``applyInPandasWithState``
+    sessionization) through the PRODUCTION FILE SINK (VERDICT r14
+    item 6): identical source, operator, emission rules and oracle to
+    :func:`q_streaming_sessionize`, but closed sessions stream into an
+    append-mode parquet sink instead of the collected memory sink —
+    the deployment shape of streaming/historize.py. The memory-sink
+    twin collects every closed session onto the driver, so its decade
+    measurement is bounded by session count on the driver heap (the
+    same r13 harness ceiling the windowed-counts row hit); here the
+    sink is distributed, driver traffic is zero, and the read-back is
+    executor-resident — the SAME operator scales to any corpus whose
+    sessions the sink filesystem can hold. State remains one
+    (start, last, count) tuple per active user either way."""
+    import shutil
+
+    tmp = _stream_sink_tmpdir("q_stream_sessfile_")
+    sink, ckpt = f"{tmp}/sink", f"{tmp}/ckpt"
+    stream = normalize_event_time(events_stream_source(spark, sf_dir), "ts")
+    sessions = sessionize_stream(stream)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # session-count rows, executor-resident — never on the driver
+        out = spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # Batch sessionization (the events_sessionize shape, but in exact integer
 # microseconds to mirror the operator's integer state), emitting
 # (a) every non-trailing session (gap-closed in the data batch) and
@@ -1104,6 +1144,11 @@ def register_all() -> None:
     harness.register(
         "streaming_sessionize",
         q_streaming_sessionize,
+        SQL_STREAMING_SESSIONIZE,
+    )
+    harness.register(
+        "streaming_sessionize_file",
+        q_streaming_sessionize_file,
         SQL_STREAMING_SESSIONIZE,
     )
     harness.register(
