@@ -712,10 +712,33 @@ def _sql_mmr_select() -> str:
 # ~log2(n_label / target_bucket) so buckets stay near a constant at the
 # deployed corpus; it is PINNED here so the DuckDB oracle is static.
 KNN_LSH_BANDS: list[tuple[int, int]] = [(0, 4), (4, 8)]
-# over-cap (label, band, bucket) groups are skipped and owed to
-# knn_lsh_hot_buckets' account — the MinHash bucket_cap convention;
-# sized to never trip at gate scale (sf0.01 buckets ~3-12 members)
+# over-cap (label, band, bucket) groups reported by knn_lsh_hot_buckets:
+# since the r15 window-pairing rewrite this is a SKEW DIAGNOSTIC only —
+# candidate work is linear in bucket size (<= KNN_LSH_WINDOW successors
+# per member), so hot buckets cost proportional time, never correctness,
+# and nothing is skipped
 KNN_LSH_BUCKET_CAP = 1000
+
+# sliding-window breadth for within-bucket candidate generation: each
+# vector pairs with its next KNN_LSH_WINDOW successors in the bucket's
+# secondary-projection order (Manku/Das/Garcia-Molina WWW'07 sorted-
+# fingerprint sweep). Candidates <= bands * WINDOW per vector at ANY
+# corpus — the boundedness is structural, not a cap that can trip.
+KNN_LSH_WINDOW = 8
+
+
+def _det_sort_plane() -> list[int]:
+    """One extra deterministic odd-integer plane (seed disjoint from
+    PLANES) for the within-bucket secondary sort order."""
+    import hashlib
+
+    return [
+        2 * int(hashlib.md5(f"s_{j}".encode()).hexdigest()[0], 16) - 15
+        for j in range(EMB_DIM)
+    ]
+
+
+SORT_PLANE = _det_sort_plane()
 
 
 def _band_expr(qcol: Column, lo: int, hi: int) -> Column:
@@ -762,9 +785,11 @@ def _knn_lsh_tokens(emb: DataFrame) -> DataFrame:
 def knn_lsh_hot_buckets(
     emb: DataFrame, bucket_cap: int = KNN_LSH_BUCKET_CAP
 ) -> DataFrame:
-    """(label, band, bkey, n_vecs) for buckets over the cap — the explicit
-    account of what the capped search skips. Empty means exact-candidate
-    coverage at this corpus."""
+    """(label, band, bkey, n_vecs) for buckets over the cap — a SKEW
+    DIAGNOSTIC since the r15 window-pairing rewrite: hot buckets cost
+    time proportional to their size (window pairing is linear in bucket
+    size), nothing is skipped, so this reports where the projection
+    bits under-split the corpus and more band bits would help."""
     return (
         _knn_lsh_tokens(emb)
         .groupBy("label", "band", "bkey")
@@ -776,17 +801,27 @@ def knn_lsh_hot_buckets(
 def knn_per_label_lsh(
     emb: DataFrame,
     k: int = 3,
-    bucket_cap: int | None = KNN_LSH_BUCKET_CAP,
+    window: int = KNN_LSH_WINDOW,
 ) -> DataFrame:
-    """BOUNDED per-label top-k pairs by quantized COSINE: candidates are
-    same-(label, band, bucket) pairs of the deterministic banded sign-LSH
-    — the scale path for the within-label neighbor problem whose exact
-    form (``q_emb_knn_per_label``) is quadratic on fixed label
-    cardinality (measured 20M -> 2.0B pairs sf1 -> sf10full, SCALING.md
-    r14). No training, no driver-side state of any size: bucketing is a
-    pure projection, the candidate join shuffles (label, band,
-    bucket)-bounded groups, and ``bucket_cap`` bounds every group with
-    the explicit :func:`knn_lsh_hot_buckets` account.
+    """BOUNDED per-label top-k pairs by quantized COSINE: sign-LSH
+    bucketing within label, then a SORTED SLIDING WINDOW inside each
+    bucket — each vector pairs only with its next ``window`` successors
+    in the bucket's secondary-projection order (the Manku WWW'07
+    sorted-fingerprint sweep). This is the scale path for the
+    within-label neighbor problem whose exact form
+    (``q_emb_knn_per_label``) is quadratic on fixed label cardinality
+    (measured 20M -> 2.0B pairs sf1 -> sf10full, SCALING.md r14).
+
+    Why the window, not within-bucket all-pairs: the band key space is
+    FIXED (2^bits buckets per label x band), so bucket size grows
+    linearly with the corpus and within-bucket all-pairs re-grows the
+    quadratic one level down — measured 15.3x on the r15 decade before
+    this rewrite — while a skip-the-bucket cap collapses to a vacuous
+    result once every bucket outgrows it. The window bounds candidates
+    STRUCTURALLY: <= bands * window per vector at any corpus, hot
+    buckets cost proportional time (knn_lsh_hot_buckets is the skew
+    account), and near neighbors stay adjacent in the secondary order
+    because a small angle keeps every projection close.
 
     Cosine (not the exact row's raw dot) because sign-LSH collision
     probability is a function of ANGLE — per bit p = 1 - theta/pi — and
@@ -797,67 +832,65 @@ def knn_per_label_lsh(
     4-bit band collision ~0.2), while the planted-near-dup test
     (tests/test_llmops_knn_lsh.py) pins the production regime: at
     cos >= 0.9, p >= 0.85 per bit, so a 4-bit band collides with
-    p >= 0.54 and two bands reach ~0.79 — and more/shorter bands are
-    the standard recall knob (1 - (1 - p^r)^B)."""
-    toks = _knn_lsh_tokens(emb)
-    if bucket_cap is not None:
-        hot = (
-            toks.groupBy(
-                F.col("label").alias("hlabel"),
-                F.col("band").alias("hband"),
-                F.col("bkey").alias("hbkey"),
-            )
-            .agg(F.count(F.lit(1)).alias("n_vecs"))
-            .filter(F.col("n_vecs") > bucket_cap)
-            .select("hlabel", "hband", "hbkey")
-        )
-        toks = toks.join(
-            F.broadcast(hot),
-            (F.col("label") == F.col("hlabel"))
-            & (F.col("band") == F.col("hband"))
-            & (F.col("bkey") == F.col("hbkey")),
-            "left_anti",
-        )
-    # renamed right side: same-lineage join keys resolve trivially true
-    # and degrade to a nested loop (fuzzy.py note)
-    rhs = toks.select(
-        F.col("label").alias("label_b"),
-        F.col("band").alias("band_b"),
-        F.col("bkey").alias("bkey_b"),
-        F.col("vec_id").alias("vid_b"),
-        F.col("q").alias("q_b"),
+    p >= 0.54 and two bands reach ~0.79 — more/shorter bands and a
+    wider window are the recall knobs."""
+    sort_plane = F.array(*[F.lit(v).cast("long") for v in SORT_PLANE])
+    toks = _knn_lsh_tokens(emb).withColumn(
+        "s", _qdot(F.col("q"), sort_plane)
     )
-    pairs = (
-        toks.join(
-            rhs,
-            (F.col("label") == F.col("label_b"))
-            & (F.col("band") == F.col("band_b"))
-            & (F.col("bkey") == F.col("bkey_b"))
-            & (F.col("vec_id") < F.col("vid_b")),
-        )
-        .select(
-            "label",
-            F.col("vec_id").alias("vec_a"),
-            F.col("vid_b").alias("vec_b"),
-            "q",
-            "q_b",
-        )
-        # a pair colliding in several bands must score once, not per band
-        .distinct()
+    # next-`window` successors in (s, vec_id) order within the bucket:
+    # one window shuffle keyed on the bucket, NO self-join — candidate
+    # volume is <= window per row by construction
+    wb = Window.partitionBy("label", "band", "bkey").orderBy("s", "vec_id")
+    succ = toks.withColumn(
+        "succ",
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("nid"), F.col("q").alias("nq"))
+        ).over(wb.rowsBetween(1, window)),
+    )
+    raw = succ.select(
+        "label",
+        "band",
+        "bkey",
+        "vec_id",
+        "q",
+        F.explode("succ").alias("nxt"),
     )
     # every input to the sqrts is an exact integer, so the doubles (and
     # their ordering) are engine-identical — the emb_neardup_pairs
     # precedent
-    qcos = _qdot(F.col("q"), F.col("q_b")) / (
+    qcos = _qdot(F.col("q"), F.col("nxt.nq")) / (
         F.sqrt(_qdot(F.col("q"), F.col("q")).cast("double"))
-        * F.sqrt(_qdot(F.col("q_b"), F.col("q_b")).cast("double"))
+        * F.sqrt(_qdot(F.col("nxt.nq"), F.col("nxt.nq")).cast("double"))
     )
-    scored = pairs.select("label", "vec_a", "vec_b", qcos.alias("qcos"))
+    scored = raw.select(
+        "label",
+        "band",
+        "bkey",
+        F.least(F.col("vec_id"), F.col("nxt.nid")).alias("vec_a"),
+        F.greatest(F.col("vec_id"), F.col("nxt.nid")).alias("vec_b"),
+        qcos.alias("qcos"),
+    )
+    # per-bucket pre-prune in the GLOBAL total order (qcos desc, vec_a,
+    # vec_b): a pair ranked > k inside its own bucket is beaten by k
+    # same-label pairs from that bucket, so it cannot make the label's
+    # top-k — the final per-label window then ranks <= k * n_buckets
+    # rows, a CONSTANT per label, instead of a corpus-linear relation
+    wbucket = Window.partitionBy("label", "band", "bkey").orderBy(
+        F.col("qcos").desc(), "vec_a", "vec_b"
+    )
+    pruned = (
+        scored.withColumn("brn", F.row_number().over(wbucket))
+        .filter(F.col("brn") <= k)
+        .select("label", "vec_a", "vec_b", "qcos")
+        # a pair adjacent in several bands must rank once, not per band
+        .distinct()
+    )
     w = Window.partitionBy("label").orderBy(
         F.col("qcos").desc(), "vec_a", "vec_b"
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        pruned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("label", "vec_a", "vec_b", "qcos", "rn")
     )
@@ -868,6 +901,11 @@ def q_emb_knn_per_label_lsh(spark, sf_dir):
     return knn_per_label_lsh(_emb(spark, sf_dir))
 
 
+_SORT_PLANE_LITS = "[" + ", ".join(str(v) for v in SORT_PLANE) + "]"
+
+# the rn-difference join is the oracle-side rendering of the sliding
+# window (value-identical to the collect_list frame; quadratic probes
+# are fine at gate scale — the Spark side never joins)
 _SQL_KNN_LSH_BODY = f"""
 q AS (SELECT vec_id, label, {_SQL_QUANT} AS qv FROM embeddings),
 ltoks AS (
@@ -875,30 +913,27 @@ ltoks AS (
     UNION ALL
     SELECT vec_id, label, qv, 1 AS band, {_sql_band(4, 8)} AS bkey FROM q
 ),
-lhot AS (
-    SELECT label, band, bkey FROM ltoks
-    GROUP BY label, band, bkey HAVING COUNT(*) > {KNN_LSH_BUCKET_CAP}
-),
-ltoks2 AS (
-    SELECT t.* FROM ltoks t
-    WHERE NOT EXISTS (SELECT 1 FROM lhot h
-                      WHERE h.label = t.label AND h.band = t.band
-                        AND h.bkey = t.bkey)
-),
-lpairs AS (
-    SELECT DISTINCT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-           a.qv AS qa, b.qv AS qb
-    FROM ltoks2 a JOIN ltoks2 b
-      ON a.label = b.label AND a.band = b.band AND a.bkey = b.bkey
-     AND a.vec_id < b.vec_id
+lrn AS (
+    SELECT *,
+           CAST(list_dot_product(qv, {_SORT_PLANE_LITS}) AS BIGINT) AS s,
+           ROW_NUMBER() OVER (
+               PARTITION BY label, band, bkey
+               ORDER BY CAST(list_dot_product(qv, {_SORT_PLANE_LITS}) AS BIGINT),
+                        vec_id
+           ) AS wrn
+    FROM ltoks
 ),
 lscored AS (
-    SELECT label, vec_a, vec_b,
-           CAST(list_dot_product(qa, qb) AS BIGINT)
-               / (sqrt(CAST(CAST(list_dot_product(qa, qa) AS BIGINT) AS DOUBLE))
-                  * sqrt(CAST(CAST(list_dot_product(qb, qb) AS BIGINT) AS DOUBLE)))
+    SELECT DISTINCT a.label,
+           LEAST(a.vec_id, b.vec_id) AS vec_a,
+           GREATEST(a.vec_id, b.vec_id) AS vec_b,
+           CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+               / (sqrt(CAST(CAST(list_dot_product(a.qv, a.qv) AS BIGINT) AS DOUBLE))
+                  * sqrt(CAST(CAST(list_dot_product(b.qv, b.qv) AS BIGINT) AS DOUBLE)))
                AS qcos
-    FROM lpairs
+    FROM lrn a JOIN lrn b
+      ON a.label = b.label AND a.band = b.band AND a.bkey = b.bkey
+     AND b.wrn > a.wrn AND b.wrn <= a.wrn + {KNN_LSH_WINDOW}
 ),
 lranked AS (
     SELECT *, ROW_NUMBER() OVER (
