@@ -143,6 +143,12 @@ AUDIT = [
     "streaming_windowed_counts_file",
     "streaming_dedup_counts_file",
     "text_ccnet_sentinel",
+    # r15 additions: the two new scale-path operators (q-gram fuzzy
+    # pairs; window-paired per-label kNN — its plan must show Window +
+    # Generate and NO join) and the file-sink stateful streaming twin
+    "rel_fuzzy_pairs_qgram",
+    "emb_knn_per_label_lsh",
+    "streaming_sessionize_file",
 ]
 
 SMOKE = ["rel_agg_groupby", "tpch_q5", "tpch_q6", "cdc_historize_two_runs"]
