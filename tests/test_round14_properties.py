@@ -189,11 +189,15 @@ def test_stream_source_probe_cached_and_layout_agnostic(spark, tmp_path):
     assert _path_is_directory(spark, f"{fx}/events.parquet")
     before = dict(_STREAM_SOURCE_PROBE)
     s1 = events_stream_source(spark, fx)
-    assert f"{fx}/events.parquet" in _STREAM_SOURCE_PROBE
-    probe1 = _STREAM_SOURCE_PROBE[f"{fx}/events.parquet"]
+    # r15: cache keys are (path, mtime) so a rewritten fixture under the
+    # same path re-probes (ADVICE r14; tests/test_round15_properties.py
+    # pins the invalidation side)
+    keys = [k for k in _STREAM_SOURCE_PROBE if k[0] == f"{fx}/events.parquet"]
+    assert len(keys) == 1
+    probe1 = _STREAM_SOURCE_PROBE[keys[0]]
     s2 = events_stream_source(spark, fx)
     # second call reuses the identical probe tuple — no re-listing
-    assert _STREAM_SOURCE_PROBE[f"{fx}/events.parquet"] is probe1
+    assert _STREAM_SOURCE_PROBE[keys[0]] is probe1
     assert s1.schema == s2.schema
     # the cache never mutates other paths' entries
     for k, v in before.items():
