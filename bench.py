@@ -137,6 +137,12 @@ BENCH_QUERIES = [
     # round-over-round comparability.
     "streaming_windowed_counts_file",
     "streaming_dedup_counts_file",
+    # r15 additions: the round's two new scale-path operators — q-gram
+    # prefix-filtered fuzzy matching (the dirty-key join's bounded
+    # form) and the file-sink twin of the custom stateful sessionizer.
+    # Outside core20.
+    "rel_fuzzy_pairs_qgram",
+    "streaming_sessionize_file",
 ]
 
 # the 20 queries (incl. streaming) benched since r01 — their sum is
