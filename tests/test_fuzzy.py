@@ -110,6 +110,39 @@ def test_clusters_collapse_exact_dups_and_keep_min_id(spark):
     }
 
 
+def test_deletion_path_matches_brute_force_and_gram_path(spark):
+    """r15 optimization pin: k <= 1 routes through the exact
+    deletion-neighborhood filter (FastSS) instead of the q-gram prefix
+    join. Value-identity vs brute force AND vs the k>=2 machinery's own
+    answer, on a fixture with the edge shapes the variant expression
+    must get right: empty string, single chars, adjacent repeated chars
+    (duplicate variants), end-insertions, and multibyte unicode."""
+    names = [
+        "", "a", "b", "ab", "ba", "aab", "aabb",
+        "martha", "marthas", "amartha", "marsha",
+        "héllo", "hello", "héllò",
+        "Customer#000000001", "Customer#000000002", "Customer#000001001",
+    ]
+    df = spark.createDataFrame(list(enumerate(names)), ["nid", "nm"])
+    for k in (0, 1):
+        got = {
+            (r["id_a"], r["id_b"], r["edit_dist"])
+            for r in fuzzy_match_pairs(df, "nid", "nm", k=k).collect()
+        }
+        want = {
+            (i, j, _levenshtein(names[i], names[j]))
+            for (i, j) in _brute(names, k)
+        }
+        assert got == want, f"k={k}"
+    # the deletion path ignores gram_cap (nothing is ever skipped):
+    # a cap that would cripple the gram path must not change k=1 output
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_match_pairs(df, "nid", "nm", k=1, gram_cap=1).collect()
+    }
+    assert capped == _brute(names, 1)
+
+
 def test_invalid_params_raise(spark):
     df = spark.createDataFrame([(1, "ab")], ["nid", "nm"])
     with pytest.raises(ValueError, match="k >= 0"):
