@@ -699,13 +699,36 @@ def connected_components(
     dst: str = "doc_b",
     max_iterations: int = 10,
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation: every node
-    starts labeled with its own id; each round, nodes adopt the minimum
-    label among themselves and their neighbors; converged when no label
-    changes. Rounds needed = graph diameter (near-dup clusters are shallow,
-    so a handful). Each round is two shuffles (propagate + min-aggregate);
-    the frontier is localCheckpoint-ed so lineage doesn't stack across
-    iterations.
+    """Connected components by min-label propagation with POINTER
+    JUMPING: every node starts labeled with its own id; each round,
+    nodes adopt the minimum label among themselves and their neighbors
+    (one edge-join + min-aggregate), then shortcut through the previous
+    round's table (``component <- min(component,
+    prev_label[component])``). Both steps are monotone non-increasing
+    and keep every label the id of a same-component node, so the
+    fixpoint is unchanged — but the shortcut roughly doubles the
+    propagation distance per round, so convergence takes O(log
+    diameter) rounds instead of O(diameter) (the r15 optimization:
+    rel_fuzzy_clusters' edit-distance chains needed ~20 linear rounds —
+    a measured ~260 s per-iteration-overhead floor at sf1; see
+    OPTIMIZATION_r15.md).
+
+    Three more per-round costs removed (r15): the edge relation is
+    checkpointed ONCE up front (previously the full upstream
+    candidate-generation pipeline — MinHash banding, fuzzy prefix
+    joins — re-executed inside EVERY iteration's join, twice via the
+    two union branches); the convergence check reads the carried
+    previous label off the checkpointed result (previously a separate
+    join + count job per round); and the initial labels are
+    materialized so the node-distinct runs once, not once per
+    downstream reference.
+
+    Convergence test: a round that changes nothing in the combined
+    propagate+jump step changed nothing in the propagate step alone
+    (both monotone), and propagate-stability forces labels constant on
+    each component (label(x) <= label(y) across every edge, both
+    directions) — i.e. the exact fixpoint, every label the component
+    minimum.
 
     Returns (node, component) where component = min node id in the cluster.
     """
@@ -715,36 +738,60 @@ def connected_components(
         # own component — exactly the split-component hazard the guard
         # exists to prevent
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    labels = nodes.withColumn("component", F.col("node"))
-    undirected = edges.select(
+    sel = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    ).localCheckpoint(eager=True)
+    undirected = sel.unionByName(
+        sel.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = undirected.select(F.col("u").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint(
+        eager=True
+    )
+    id_type = labels.schema["component"].dataType
 
     changed = 0
     for _ in range(max_iterations):
         neighbor_labels = (
             undirected.join(labels, undirected.v == labels.node)
-            .select(F.col("u").alias("node"), "component")
+            .select(
+                F.col("u").alias("node"),
+                "component",
+                F.lit(None).cast(id_type).alias("old"),
+            )
         )
-        new_labels = (
-            labels.select("node", "component")
+        merged = (
+            labels.select(
+                "node", "component", F.col("component").alias("old")
+            )
             .unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            # exactly one labels row per node carries a non-null old, so
+            # max() recovers the previous label without a join
+            .agg(F.min("component").alias("component"), F.max("old").alias("old"))
+        )
+        # pointer jump through the PREVIOUS table (already materialized
+        # blocks — no recompute): every component value is a node id, so
+        # the left join always matches; coalesce guards the empty-edge
+        # degenerate case only
+        ptr = labels.select(
+            F.col("node").alias("cnode"), F.col("component").alias("ccomp")
+        )
+        new_labels = (
+            merged.join(ptr, merged.component == ptr.cnode, "left")
+            .select(
+                "node",
+                F.least(
+                    "component", F.coalesce("ccomp", "component")
+                ).alias("component"),
+                "old",
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("component") != F.col("old")
+        ).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     if changed != 0:

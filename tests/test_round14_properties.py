@@ -27,7 +27,14 @@ def _chain_bands(spark, k: int):
     return spark.createDataFrame(rows, ["doc_id", "band", "band_key"])
 
 
-def test_star_edges_need_doubled_iteration_bound(spark):
+def test_star_edges_converge_with_log_rounds(spark):
+    """r14 pinned the star-edge diameter hazard (hub hops double the
+    propagation distance, so star feeders needed 2x the clique-era
+    max_iterations). The r15 pointer-jumping rewrite converges in
+    O(log diameter) rounds, so BOTH edge shapes now fit the clique-era
+    bound — pinned here — while the non-convergence guard still raises
+    loudly when the cap is genuinely too small (a 2-round cap cannot
+    close a ~15-hop chain even with distance doubling)."""
     from pandas_etl_framework_spark.llmops.dedup import (
         connected_components,
         minhash_band_pairs,
@@ -41,13 +48,14 @@ def test_star_edges_need_doubled_iteration_bound(spark):
         (r["node"], r["component"])
         for r in connected_components(cliques, max_iterations=10).collect()
     }
-    # the hazard, loud: the clique-era bound is NOT enough for stars here
+    # the guard still fires when the cap is genuinely too small
     with pytest.raises(ValueError, match="did not converge"):
-        connected_components(stars, max_iterations=10).collect()
-    # the fix: 2x the clique-era bound converges to the SAME components
+        connected_components(stars, max_iterations=2).collect()
+    # the r15 property: star edges converge INSIDE the clique-era bound
+    # now (log-distance rounds), to the identical components
     via_star = {
         (r["node"], r["component"])
-        for r in connected_components(stars, max_iterations=20).collect()
+        for r in connected_components(stars, max_iterations=10).collect()
     }
     assert via_star == via_clique
     assert len({c for _n, c in via_star}) == 1  # one chained family
@@ -63,7 +71,7 @@ def test_dedup_clusters_forwards_max_iterations(spark):
     docs = bands.select("doc_id").distinct()
     with pytest.raises(ValueError, match="did not converge"):
         dedup_clusters(
-            docs, minhash_band_star_edges(bands), max_iterations=10
+            docs, minhash_band_star_edges(bands), max_iterations=2
         ).collect()
     out = dedup_clusters(
         docs, minhash_band_star_edges(bands), max_iterations=20

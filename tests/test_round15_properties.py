@@ -143,3 +143,22 @@ def test_gopher_top_count_fold_edge_shapes(spark):
         F.expr(fold).alias("fold"), F.expr(definitional).alias("def")
     ).collect()
     assert [r.fold for r in got] == [r["def"] for r in got] == [0, 1, 3, 2, 3, 3]
+
+
+def test_connected_components_pointer_jumping_log_rounds(spark):
+    """r15 optimization pin: min-label propagation with pointer jumping
+    converges in O(log diameter) rounds. A 60-edge path graph (diameter
+    60) needed ~60 linear rounds before the rewrite; with distance
+    doubling it must converge within 10 — and to the exact components
+    (every node labeled with the path minimum)."""
+    from pandas_etl_framework_spark.llmops.dedup import connected_components
+
+    n = 61
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    labels = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_iterations=10).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
