@@ -123,7 +123,19 @@ def _session_fn(
     on-time row can extend it. Event-time (not processing-time) timeouts
     make the output deterministic in event time and let an availableNow
     run terminate: wall-clock timers would spin empty micro-batches
-    forever waiting for real time to pass."""
+    forever waiting for real time to pass.
+
+    The per-group body is fully VECTORIZED (r15, guide §4.2): the
+    original looped Python over every event twice (Timestamp.value
+    extraction, then the gap scan) — ~2 interpreted passes over the
+    whole corpus per micro-batch. Now the datetime64[ns] block is viewed
+    as int64 and floor-divided to exact integer microseconds in one
+    numpy op, gap boundaries are one vectorized diff/compare, and
+    per-session first/last/count come off the boundary indices — the
+    arithmetic is the same integer-µs arithmetic, so emitted values are
+    bit-identical."""
+    import numpy as np
+
     (user_id,) = key
 
     if state.hasTimedOut:
@@ -139,38 +151,79 @@ def _session_fn(
         )
         return
 
-    ts_values: list[int] = []
-    for pdf in pdfs:
-        # pandas Timestamp.value is integer nanoseconds — exact
-        ts_values.extend(t.value // 1_000 for t in pdf["ts"])
-    ts_values.sort()
+    parts = [
+        # datetime64[ns] → int64 ns → exact integer µs (same floor-div
+        # the Timestamp.value loop performed)
+        pdf["ts"].to_numpy(dtype="datetime64[ns]").view("int64") // 1_000
+        for pdf in pdfs
+        if len(pdf)
+    ]
+    ts = (
+        np.sort(np.concatenate(parts))
+        if parts
+        else np.empty(0, dtype="int64")
+    )
 
     if state.exists:
         start_us, last_us, n = state.get
     else:
         start_us, last_us, n = None, None, 0
 
-    closed = {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
-    for t in ts_values:
-        if start_us is None:
-            start_us, last_us, n = t, t, 1
-        elif t - last_us > _GAP_US:
-            closed["user_id"].append(user_id)
-            closed["session_start"].append(_us_ts(start_us))
-            closed["session_end"].append(_us_ts(last_us))
-            closed["n_events"].append(n)
-            start_us, last_us, n = t, t, 1
-        else:
-            last_us, n = t, n + 1
+    if ts.size == 0:
+        # unreachable in practice (non-timeout invocations carry rows);
+        # mirror the loop's no-op pass-through for an existing state
+        if last_us is not None:
+            state.update((start_us, last_us, n))
+            timeout_ms = last_us // 1_000 + _GAP_MS
+            state.setTimeoutTimestamp(
+                max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        return
 
+    # boundary[i]: event i opens a NEW session (gap from its predecessor
+    # — the open state's last event for i = 0 — exceeds the gap)
+    boundary = np.empty(ts.size, dtype=bool)
+    boundary[0] = True if last_us is None else (ts[0] - last_us > _GAP_US)
+    if ts.size > 1:
+        np.greater(ts[1:] - ts[:-1], _GAP_US, out=boundary[1:])
+
+    starts_idx = np.flatnonzero(boundary)
+    bounds = np.append(starts_idx, ts.size)
+    # per-segment stats, straight off the boundary indices — no
+    # per-session Python objects
+    s_start = ts[starts_idx]
+    s_end = ts[bounds[1:] - 1]
+    s_n = np.diff(bounds).astype("int64")
+    if last_us is not None:
+        # the continued open session heads the sequence: its segment is
+        # ts[0 : starts_idx[0]] (possibly empty when event 0 opened new)
+        c0 = int(starts_idx[0]) if starts_idx.size else ts.size
+        head_end = int(ts[c0 - 1]) if c0 else last_us
+        s_start = np.concatenate(([start_us], s_start))
+        s_end = np.concatenate(([head_end], s_end))
+        s_n = np.concatenate(([n + c0], s_n))
+
+    # last session stays open in state; the rest close now
+    start_us = int(s_start[-1])
+    last_us = int(s_end[-1])
+    n = int(s_n[-1])
     state.update((start_us, last_us, n))
     # fire when the watermark passes last event + gap; Spark compares in
     # integer ms (event times floor-truncated to ms), so truncate the same
     # way. Must exceed the current watermark or Spark rejects the timer.
     timeout_ms = last_us // 1_000 + _GAP_MS
     state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
-    if closed["user_id"]:
-        yield pd.DataFrame(closed)
+    if s_start.size > 1:
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                # µs → ns by integer multiply, then a pure dtype view —
+                # the same exact integers the Timestamp loop produced
+                "session_start": (s_start[:-1] * 1_000).view("datetime64[ns]"),
+                "session_end": (s_end[:-1] * 1_000).view("datetime64[ns]"),
+                "n_events": s_n[:-1],
+            }
+        )
 
 
 def sessionize_stream(

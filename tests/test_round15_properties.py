@@ -162,3 +162,114 @@ def test_connected_components_pointer_jumping_log_rounds(spark):
         for r in connected_components(edges, max_iterations=10).collect()
     }
     assert labels == {i: 0 for i in range(n)}
+
+
+def test_session_fn_vectorized_matches_reference_loop():
+    """r15 optimization pin: the vectorized _session_fn body (numpy gap
+    scan + datetime64 views) is value-identical to the original
+    per-event Python loop on every state path — fresh state, continued
+    open session (head merge), immediate-boundary continuation (empty
+    head segment), all-continue (no boundaries), and timeout — driven
+    with a fake GroupState, no Spark needed."""
+    import numpy as np
+    import pandas as pd
+
+    from pandas_etl_framework_spark.streaming.windows import (
+        _GAP_MS,
+        _GAP_US,
+        _session_fn,
+        _us_ts,
+    )
+
+    class FakeState:
+        def __init__(self, tup=None, timed_out=False):
+            self._t = tup
+            self.hasTimedOut = timed_out
+            self.updated = None
+            self.removed = False
+            self.timeout = None
+
+        @property
+        def exists(self):
+            return self._t is not None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, t):
+            self.updated = t
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    def reference(user_id, ts_us_sorted, st):
+        # the pre-r15 loop, verbatim semantics
+        if st.exists:
+            start_us, last_us, n = st.get
+        else:
+            start_us, last_us, n = None, None, 0
+        closed = []
+        for t in ts_us_sorted:
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > _GAP_US:
+                closed.append((user_id, start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        return closed, (start_us, last_us, n), last_us // 1_000 + _GAP_MS
+
+    base = 1_700_000_000_000_000
+    g = _GAP_US
+    cases = [
+        (None, [base, base + 10, base + g + 20, base + 2 * g + 40]),
+        # continued open session: first event inside the gap
+        ((base - g, base - 5, 3), [base, base + 10, base + 2 * g]),
+        # immediate boundary: first event past the gap (empty head seg)
+        ((base - 10 * g, base - 9 * g, 7), [base, base + 1]),
+        # all-continue: no boundaries at all
+        ((base - 100, base - 50, 2), [base, base + 10, base + 20]),
+        # single event, fresh state
+        (None, [base]),
+    ]
+    for tup, ts_us in cases:
+        st = FakeState(tup)
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime(np.array(sorted(ts_us)) * 1_000)}
+        )
+        got = list(_session_fn((42,), iter([pdf]), st))
+        want_closed, want_state, want_timeout = reference(42, sorted(ts_us), st)
+        got_closed = []
+        for df in got:
+            for r in df.itertuples(index=False):
+                got_closed.append(
+                    (
+                        r.user_id,
+                        pd.Timestamp(r.session_start).value // 1_000,
+                        pd.Timestamp(r.session_end).value // 1_000,
+                        int(r.n_events),
+                    )
+                )
+        assert got_closed == [
+            (u, s, e, c) for (u, s, e, c) in want_closed
+        ], (tup, ts_us)
+        assert st.updated == want_state, (tup, ts_us)
+        assert st.timeout == max(want_timeout, 1), (tup, ts_us)
+    # timeout path: emits the stored session and removes state
+    st = FakeState((base, base + 5, 9), timed_out=True)
+    got = list(_session_fn((7,), iter([]), st))
+    assert st.removed and len(got) == 1
+    row = got[0].iloc[0]
+    assert (
+        row["user_id"] == 7
+        and pd.Timestamp(row["session_start"]) == _us_ts(base)
+        and pd.Timestamp(row["session_end"]) == _us_ts(base + 5)
+        and row["n_events"] == 9
+    )
