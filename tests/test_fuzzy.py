@@ -122,6 +122,9 @@ def test_deletion_path_matches_brute_force_and_gram_path(spark):
         "martha", "marthas", "amartha", "marsha",
         "héllo", "hello", "héllò",
         "Customer#000000001", "Customer#000000002", "Customer#000001001",
+        # exact duplicates: the ed-0 self-join leg of the distinct-name
+        # collapse, including a triple
+        "martha", "martha", "Customer#000000002",
     ]
     df = spark.createDataFrame(list(enumerate(names)), ["nid", "nm"])
     for k in (0, 1):
