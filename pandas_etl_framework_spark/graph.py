@@ -594,16 +594,22 @@ def label_propagation(
     removed here). Isolated relative to the round (no neighbors) keeps its
     label via the left join.
 
-    Per round: one groupBy on (node, label) + one per-node window — both
-    shuffle on the node key; the label relation (one row per node) is
-    broadcast into the edge join exactly like PageRank's rank relation —
-    gated the same way (``broadcast=None`` auto-hints on node count vs
-    session threshold, False forces the pre-partitioned shuffle-join plan
-    beyond ~10^8 nodes). Labels are lazily checkpointed per round so
-    lineage and plan size stay flat in the round count.
+    Per round (r15 shape): one groupBy on (node, label) for the neighbor
+    frequencies, then ONE min-struct aggregation over those frequencies
+    unioned with a per-node self-row at count 0 — `min(struct(-c,
+    label))` is exactly the old window's (c DESC, label ASC) rank-1 pick
+    (verified value-identical), the self-row re-elects the current label
+    for nodes with no neighbors this round (any real neighbor label has
+    c >= 1 and beats it), and the aggregation replaces the old
+    row_number window + left join: a full per-node SORT and a join drop
+    out of every round, and partial map-side aggregation applies where a
+    window could not. The label relation (one row per node) is broadcast
+    into the edge join exactly like PageRank's rank relation — gated the
+    same way (``broadcast=None`` auto-hints on node count vs session
+    threshold, False forces the pre-partitioned shuffle-join plan beyond
+    ~10^8 nodes). Labels are lazily checkpointed per round so lineage
+    and plan size stay flat in the round count.
     """
-    from pyspark.sql import Window
-
     sym = edges.selectExpr("u AS src", "v AS dst").unionByName(
         edges.selectExpr("v AS src", "u AS dst")
     ).localCheckpoint(eager=True)
@@ -619,18 +625,20 @@ def label_propagation(
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count("*").alias("c"))
         )
-        w = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
-        winner = (
-            freq.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("node", F.col("label").alias("new_label"))
+        selfrows = labels.select(
+            "node", "label", F.lit(0).cast("long").alias("c")
         )
         labels = (
-            labels.join(bc(winner), "node", "left")
-            .select(
-                "node",
-                F.coalesce("new_label", "label").alias("label"),
+            freq.unionByName(selfrows)
+            .groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("negc"), F.col("label").alias("l")
+                    )
+                ).alias("w")
             )
+            .select("node", F.col("w.l").alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels

@@ -273,3 +273,31 @@ def test_session_fn_vectorized_matches_reference_loop():
         and pd.Timestamp(row["session_end"]) == _us_ts(base + 5)
         and row["n_events"] == 9
     )
+
+
+def test_lpa_min_struct_matches_window_semantics(spark):
+    """r15 optimization pin: the LPA round's min(struct(-c, label))
+    aggregation is the old row_number window's (c DESC, label ASC)
+    rank-1 pick, with the count-0 self-row re-electing the current
+    label for neighbor-less nodes. Hand graph with a frequency tie
+    (node 4 sees labels 1 and 2 once each -> smallest label wins), a
+    clear majority, and an isolated node."""
+    from pandas_etl_framework_spark.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [
+            (1, 4), (2, 4),          # tie at node 4: labels 1,2 -> 1
+            (3, 5), (3, 6), (5, 6),  # 5,6 see {3,x} -> adopt 3
+            (7, 8),                  # isolated pair adopts min
+        ],
+        ["u", "v"],
+    )
+    out = {
+        (r["node"], r["label"])
+        for r in label_propagation(edges, rounds=1).collect()
+    }
+    assert out == {
+        (1, 4), (2, 4), (4, 1),   # 1,2 adopt their only neighbor 4
+        (3, 5), (5, 3), (6, 3),
+        (7, 8), (8, 7),
+    }
