@@ -40,6 +40,21 @@ firing values, so an idle-but-flagged run (a cold first-pass probe
 tripping a divergence check at loadavg ~0) is distinguishable from a
 genuine co-tenant in the artifact. SCALING.md has the reading rule.
 
+Calib-gated admission + steal sentinel (VERDICT r15 item 1): the r15
+artifact ran every window under a co-tenant the in-VM loadavg cannot
+observe (it lives outside the VM; /proc/stat steal time is the only
+in-VM witness), shipped 1.36x calib-inflated, and read as 31 phantom
+regressions. Two fixes: (a) before the timed passes start, the
+single-core calibration ITSELF gates admission — bounded re-probes
+(CALIB_GATE_ATTEMPTS x CALIB_GATE_WAIT_SEC) until it lands inside the
+measured idle band (CALIB_GATE_SEC), so the suite starts in a window
+proven calm by the same instrument cross-round comparisons are read
+against; the rerun path gets the same gate after its idle-wait. All
+probes land in the JSON (calib_gate_samples, with per-probe steal
+fractions), a dirty-host budget exhaustion proceeds fully recorded.
+(b) steal ticks across the timed suite (steal_frac_suite) feed a new
+"steal" contention trigger — the direct co-tenant observation.
+
 Idle-wait scheduling (VERDICT r13 item 6): the driver artifact shipped
 contended two rounds straight (r12, r13 — both trigger-identified), and
 the one rerun fires INSIDE the same contended window, so it mostly
@@ -234,6 +249,47 @@ LOADAVG_TRIGGER = 1.5
 IDLE_WAIT_BUDGET_SEC = 300
 IDLE_WAIT_POLL_SEC = 15
 
+# Calib-gated admission (VERDICT r15 item 1): the r15 artifact shipped
+# 1.36x calib-inflated with 31 phantom regressions because every window
+# this host offered was contended and the loadavg-based idle-wait cannot
+# see the co-tenant (it lives OUTSIDE the VM — /proc/stat steal time is
+# the only in-VM witness; measured here: steal_frac 0.13 -> calib 1.11,
+# steal 0.06 -> 0.40, steal ~0 -> 0.30). So before the timed passes run
+# at all, the single-core calibration itself is the gate: re-probe on a
+# bounded schedule until it lands at or below CALIB_GATE_SEC, then start
+# the suite inside that proven-calm window. The threshold is the
+# measured idle band of this box (r14/r15 idle 0.241-0.271; this
+# session's uncontended entry run 0.300 post-suite) plus headroom; a
+# persistently-dirty host exhausts the budget and the run proceeds,
+# fully recorded (calib_gate_* keys), falling back to the existing
+# min-folded rerun machinery.
+CALIB_GATE_SEC = 0.32
+CALIB_GATE_ATTEMPTS = 10
+CALIB_GATE_WAIT_SEC = 45
+# steal ticks / total ticks across the timed suite above this flags the
+# run: ~3% steady steal measurably inflates the straggler-bound stages
+# (the parallel probe regime) even when every loadavg looks idle
+STEAL_TRIGGER_FRAC = 0.03
+
+
+def _steal_sample() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat line 1 — the only
+    in-VM observation of a hypervisor co-tenant. (0, 0) where the file
+    or the steal column is unavailable; callers treat a zero total delta
+    as 'no signal'."""
+    try:
+        f = open("/proc/stat").readline().split()
+        return int(f[8]), sum(int(x) for x in f[1:])
+    except (OSError, IndexError, ValueError):
+        return 0, 0
+
+
+def _steal_frac(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dt = after[1] - before[1]
+    if dt <= 0:
+        return 0.0
+    return round((after[0] - before[0]) / dt, 4)
+
 
 def _idle_wait(
     budget_sec: float = IDLE_WAIT_BUDGET_SEC, settle_sec: float = 0.0
@@ -331,6 +387,36 @@ def main() -> None:
             for _ in range(2)
         )
 
+    def _calib_gate(
+        attempts: int = CALIB_GATE_ATTEMPTS,
+    ) -> tuple[bool, list[dict], float]:
+        """Bounded calib-gated admission (VERDICT r15 item 1): probe the
+        single-core calibration until it lands inside the idle band, so
+        the timed passes START in a window proven calm by the very
+        instrument the cross-round comparison is read against. Each
+        probe also samples /proc/stat steal — the co-tenant witness the
+        loadavg misses. Returns (passed, samples, waited_sec)."""
+        samples: list[dict] = []
+        waited = 0.0
+        for attempt in range(attempts):
+            s0 = _steal_sample()
+            c = _calib()
+            samples.append(
+                {"calib": c, "steal_frac": _steal_frac(s0, _steal_sample())}
+            )
+            if c <= CALIB_GATE_SEC:
+                return True, samples, round(waited, 1)
+            if attempt < attempts - 1:
+                print(
+                    f"bench: calib gate {c:.3f} > {CALIB_GATE_SEC} "
+                    f"(attempt {attempt + 1}/{attempts}); waiting "
+                    f"{CALIB_GATE_WAIT_SEC}s for the co-tenant to leave",
+                    file=sys.stderr,
+                )
+                time.sleep(CALIB_GATE_WAIT_SEC)
+                waited += CALIB_GATE_WAIT_SEC
+        return False, samples, round(waited, 1)
+
     # warm-up: JVM + whole-stage codegen (incl. the md5/join/agg paths every
     # query uses) + parquet footers, so timings reflect steady-state engine
     # cost — what a long-running cluster sees — not one-time JIT
@@ -381,7 +467,10 @@ def main() -> None:
                 calib_par_mid = _calib_par()
         return timings, calib_mid, calib_par_mid
 
+    gate_passed, gate_samples, gate_wait = _calib_gate()
+    steal0 = _steal_sample()
     timings, calib_mid, calib_par_mid = run_suite()
+    steal_suite = _steal_frac(steal0, _steal_sample())
     calib = _calib()
     calib_par = _calib_par()
 
@@ -418,6 +507,11 @@ def main() -> None:
         triggers["par_calib_div"] = round(par_div, 3)
     if calib_par / calib > par_over_single_max:
         triggers["par_over_single"] = round(calib_par / calib, 2)
+    # direct co-tenant witness (VERDICT r15 item 1): hypervisor steal
+    # across the timed suite — the signal loadavg structurally misses
+    # because the co-tenant runs outside this VM's kernel
+    if steal_suite > STEAL_TRIGGER_FRAC:
+        triggers["steal"] = steal_suite
     contended = bool(triggers)
     rerun = False
     idle_wait_rerun = 0.0
@@ -434,9 +528,18 @@ def main() -> None:
         # contended window — give the co-tenant a bounded chance to
         # leave before burning the one rerun. The 60s settle absorbs
         # OUR just-finished suite's loadavg tail first, so the poll
-        # measures the host rather than our own decay.
+        # measures the host rather than our own decay; the calib gate
+        # then holds the rerun until the calibration itself reads calm
+        # (bounded — a persistent co-tenant exhausts it and the rerun
+        # proceeds min-folded as before).
         idle_wait_rerun = _idle_wait(settle_sec=60)
+        gate2_passed, gate2_samples, gate2_wait = _calib_gate()
+        gate_passed = gate_passed or gate2_passed
+        gate_samples = gate_samples + gate2_samples
+        gate_wait = round(gate_wait + gate2_wait, 1)
+        steal0 = _steal_sample()
         timings2, calib_mid2, calib_par_mid2 = run_suite()
+        steal_suite = min(steal_suite, _steal_frac(steal0, _steal_sample()))
         calib2 = _calib()
         calib_par2 = _calib_par()
         timings = {k: min(v, timings2[k]) for k, v in timings.items()}
@@ -470,6 +573,11 @@ def main() -> None:
                 "contention_trigger": "|".join(sorted(triggers)) or None,
                 "contention_trigger_values": triggers or None,
                 "contention_rerun": rerun,
+                "calib_gate_sec": CALIB_GATE_SEC,
+                "calib_gate_passed": gate_passed,
+                "calib_gate_samples": gate_samples,
+                "calib_gate_wait_sec": gate_wait,
+                "steal_frac_suite": steal_suite,
                 "core20_sec": core20,
             }
         )
