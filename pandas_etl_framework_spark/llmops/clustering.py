@@ -64,12 +64,24 @@ def kmeans_on_vq(
     relation — the entry point the IVF-PQ residual chains use, where the
     input is integer residuals rather than a fresh quantization of the
     parquet column. ``e`` should be checkpointed (or a cheap projection
-    of a checkpoint): each round scans it twice."""
+    of a checkpoint): each round scans it twice.
+
+    r16 shape (guide §2.3 "aggregate before you shuffle" / §4.2): each
+    round's centroid update used to posexplode the ASSIGNED relation —
+    an n_vectors x dim row shuffle per round, with the vq arrays also
+    riding the Arrow boundary back from the assignment pass. The Arrow
+    pass now scatter-adds the per-centroid component sums in numpy and
+    emits only k x dim partial rows PER BATCH (exact int64 — the same
+    addends in a different association), so the update shuffle is
+    batch-count-sized however large the corpus; the final assignment
+    pass returns (vec_id, cid) alone, dropping the vq payload from the
+    boundary. s and n reach the div(s, n) centroid rule as the identical
+    integers, so assignments and centroids are bit-identical."""
     cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("vq").alias("c")
     )
     assign = None
-    for _ in range(iterations):
+    for it_round in range(iterations):
         # k x dim integers — driver-sized by construction (same contract as
         # the IVF/PQ codebooks). Shipping them inside an Arrow map closure
         # lets assignment run as one BLAS GEMM per batch instead of a
@@ -84,32 +96,40 @@ def kmeans_on_vq(
         C = np.array([r["c"] for r in crows], dtype="int64").astype("float64")
         cids = np.array([r["cid"] for r in crows], dtype="int64")
 
-        def assign_batches(it, C=C, cids=cids):
+        def partial_batches(it, C=C, cids=cids):
             import numpy as np
             import pandas as pd
 
             cc = (C * C).sum(axis=1)
+            kk, dim = C.shape
             for pdf in it:
                 if not len(pdf):
                     continue
-                Q = np.stack(pdf["vq"].to_numpy()).astype("float64")
+                Qi = np.stack(pdf["vq"].to_numpy())  # int64, exact
+                Q = Qi.astype("float64")
                 qq = (Q * Q).sum(axis=1)
                 d = qq[:, None] - 2.0 * (Q @ C.T) + cc[None, :]
+                idx = np.argmin(d, axis=1)
+                cnt = np.bincount(idx, minlength=kk)
+                S = np.zeros((kk, dim), dtype="int64")
+                np.add.at(S, idx, Qi)  # scatter-add: exact int64 sums
+                p = cnt > 0  # absent centroids emit nothing (as before)
+                npres = int(p.sum())
                 yield pd.DataFrame(
                     {
-                        "vec_id": pdf["vec_id"].to_numpy(),
-                        "vq": pdf["vq"],
-                        "cid": cids[np.argmin(d, axis=1)],
+                        "cid": np.repeat(cids[p], dim),
+                        "pos": np.tile(
+                            np.arange(dim, dtype="int32"), npres
+                        ),
+                        "s": S[p].ravel(),
+                        "n": np.repeat(cnt[p].astype("int64"), dim),
                     }
                 )
 
-        assign = e.mapInPandas(
-            assign_batches, "vec_id long, vq array<long>, cid long"
-        )
         sums = (
-            assign.select("cid", F.posexplode("vq").alias("pos", "v"))
+            e.mapInPandas(partial_batches, "cid long, pos int, s long, n long")
             .groupBy("cid", "pos")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
         )
         cent = (
             sums.select("cid", "pos", F.expr("div(s, n)").alias("cq"))
@@ -124,6 +144,27 @@ def kmeans_on_vq(
             # per-round plan constant instead of nesting all prior rounds
             .localCheckpoint(eager=False)
         )
+        if it_round == iterations - 1:
+
+            def assign_batches(it, C=C, cids=cids):
+                import numpy as np
+                import pandas as pd
+
+                cc = (C * C).sum(axis=1)
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    Q = np.stack(pdf["vq"].to_numpy()).astype("float64")
+                    qq = (Q * Q).sum(axis=1)
+                    d = qq[:, None] - 2.0 * (Q @ C.T) + cc[None, :]
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "cid": cids[np.argmin(d, axis=1)],
+                        }
+                    )
+
+            assign = e.mapInPandas(assign_batches, "vec_id long, cid long")
     return assign.select("vec_id", "cid"), cent
 
 
@@ -138,11 +179,16 @@ def kmeans_on_vq_grouped(
     Bit-identical to running ``kmeans_on_vq`` once per group (same GEMM
     arithmetic, same div(s, n) centroid update, same lowest-cid tie
     break), but the m problems share every job: one collect of m*k
-    centroids per round instead of m, one Arrow assignment pass over the
-    tagged union instead of m passes, one (grp, cid, pos) shuffle
-    instead of m — the IVF-PQ residual chains use this to train all
-    PQ_M subspace codebooks in a single pipeline (m sequential chains
-    measured ~2 jobs each on the same data volume)."""
+    centroids per round instead of m, one Arrow pass over the tagged
+    union instead of m passes, one (grp, cid, pos) shuffle instead of m
+    — the IVF-PQ residual chains use this to train all PQ_M subspace
+    codebooks in a single pipeline (m sequential chains measured ~2
+    jobs each on the same data volume). Same r16 partial-sum update
+    shape as ``kmeans_on_vq``: the Arrow pass scatter-adds exact int64
+    per-(grp, cid) component sums and ships m*k*dim partial rows per
+    batch instead of posexploding n_vectors*dim rows through the
+    update shuffle; the final round's assignment pass returns
+    (vec_id, grp, cid) without the vq payload."""
     import numpy as np
 
     # posexplode tags arrive as int; pin to long so the Arrow batch dtype
@@ -154,7 +200,7 @@ def kmeans_on_vq_grouped(
         "grp", F.col("vec_id").alias("cid"), F.col("vq").alias("c")
     )
     assign = None
-    for _ in range(iterations):
+    for it_round in range(iterations):
         crows = cent.collect()  # m*k rows of dim ints — driver-sized
         by_grp: dict[int, list] = {}
         for r in crows:
@@ -172,7 +218,7 @@ def kmeans_on_vq_grouped(
             for g, rows in by_grp.items()
         }
 
-        def assign_batches(it, mats=mats):
+        def partial_batches(it, mats=mats):
             import numpy as np
             import pandas as pd
 
@@ -180,32 +226,42 @@ def kmeans_on_vq_grouped(
             for pdf in it:
                 if not len(pdf):
                     continue
-                out_cid = np.empty(len(pdf), dtype="int64")
                 grps = pdf["grp"].to_numpy()
-                Q_all = np.stack(pdf["vq"].to_numpy()).astype("float64")
+                Qi_all = np.stack(pdf["vq"].to_numpy())  # int64, exact
+                Q_all = Qi_all.astype("float64")
+                out = {"grp": [], "cid": [], "pos": [], "s": [], "n": []}
+                dim = Qi_all.shape[1]
+                pos_tile = np.arange(dim, dtype="int32")
                 for g in np.unique(grps):
                     C, cids = mats[int(g)]
                     sel = grps == g
                     Q = Q_all[sel]
                     qq = (Q * Q).sum(axis=1)
                     d = qq[:, None] - 2.0 * (Q @ C.T) + ccs[int(g)][None, :]
-                    out_cid[sel] = cids[np.argmin(d, axis=1)]
+                    idx = np.argmin(d, axis=1)
+                    kk = C.shape[0]
+                    cnt = np.bincount(idx, minlength=kk)
+                    S = np.zeros((kk, dim), dtype="int64")
+                    np.add.at(S, idx, Qi_all[sel])  # exact int64 sums
+                    p = cnt > 0
+                    npres = int(p.sum())
+                    out["grp"].append(
+                        np.full(npres * dim, int(g), dtype="int64")
+                    )
+                    out["cid"].append(np.repeat(cids[p], dim))
+                    out["pos"].append(np.tile(pos_tile, npres))
+                    out["s"].append(S[p].ravel())
+                    out["n"].append(np.repeat(cnt[p].astype("int64"), dim))
                 yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"].to_numpy(),
-                        "grp": grps,
-                        "vq": pdf["vq"],
-                        "cid": out_cid,
-                    }
+                    {k: np.concatenate(v) for k, v in out.items()}
                 )
 
-        assign = e.mapInPandas(
-            assign_batches, "vec_id long, grp long, vq array<long>, cid long"
-        )
         sums = (
-            assign.select("grp", "cid", F.posexplode("vq").alias("pos", "v"))
+            e.mapInPandas(
+                partial_batches, "grp long, cid long, pos int, s long, n long"
+            )
             .groupBy("grp", "cid", "pos")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
         )
         cent = (
             sums.select("grp", "cid", "pos", F.expr("div(s, n)").alias("cq"))
@@ -218,6 +274,41 @@ def kmeans_on_vq_grouped(
             )
             .localCheckpoint(eager=False)
         )
+        if it_round == iterations - 1:
+
+            def assign_batches(it, mats=mats):
+                import numpy as np
+                import pandas as pd
+
+                ccs = {g: (C * C).sum(axis=1) for g, (C, _) in mats.items()}
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    out_cid = np.empty(len(pdf), dtype="int64")
+                    grps = pdf["grp"].to_numpy()
+                    Q_all = np.stack(pdf["vq"].to_numpy()).astype("float64")
+                    for g in np.unique(grps):
+                        C, cids = mats[int(g)]
+                        sel = grps == g
+                        Q = Q_all[sel]
+                        qq = (Q * Q).sum(axis=1)
+                        d = (
+                            qq[:, None]
+                            - 2.0 * (Q @ C.T)
+                            + ccs[int(g)][None, :]
+                        )
+                        out_cid[sel] = cids[np.argmin(d, axis=1)]
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "grp": grps,
+                            "cid": out_cid,
+                        }
+                    )
+
+            assign = e.mapInPandas(
+                assign_batches, "vec_id long, grp long, cid long"
+            )
     return assign.select("vec_id", "grp", "cid"), cent
 
 
