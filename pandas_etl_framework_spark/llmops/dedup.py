@@ -3120,7 +3120,12 @@ def _substring_dropped_positions(
     subtracting owner coverage keeps the first occurrence intact, erring
     toward keeping data (Lee et al. 2022's remover keeps one occurrence
     of every duplicated span for the same reason)."""
-    wins = _token_window_hashes(docs, window)
+    # wins feeds the global stats groupBy AND the probe side of the dup
+    # join — two diverging consumers, so without materialization the
+    # tokenize + window-hash projection runs twice per pass (measured
+    # 0.68s each at sf0.1, guide §2.4's replay class). One eager
+    # checkpoint halves that; ~235k constant-width rows at sf0.1.
+    wins = _token_window_hashes(docs, window).localCheckpoint(eager=True)
     stats = wins.groupBy("h").agg(
         F.count(F.lit(1)).alias("n_occ"),
         F.min(F.struct("doc_id", "p")).alias("owner"),
