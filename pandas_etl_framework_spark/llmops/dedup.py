@@ -815,9 +815,12 @@ def dedup_clusters(
     minimum id per cluster as the keeper. Docs in no pair keep themselves.
     Output: (doc_id, keeper_doc_id, is_keeper).
 
-    ``max_iterations`` forwards to :func:`connected_components`; callers
-    feeding bucket-STAR edges pass 2x their clique-era bound (see the
-    diameter note on :func:`minhash_band_star_edges`)."""
+    ``max_iterations`` forwards to :func:`connected_components`, which
+    converges in O(log diameter) rounds since the r15 pointer-jumping
+    rewrite — bucket-STAR edges converge INSIDE the clique-era bound
+    (pinned by the r14 star-edge test), so no 2x padding is needed; the
+    parameter remains the non-convergence guard for adversarial
+    graphs."""
     comp = connected_components(candidate_pairs, max_iterations=max_iterations)
     joined = docs.select(F.col(id_col).alias("node")).join(comp, "node", "left")
     resolved = joined.select(
