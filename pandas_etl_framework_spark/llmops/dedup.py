@@ -2486,10 +2486,21 @@ def line_dedup(
     wide column and it shuffles once, on the doc key it is already
     grouped by.
     """
-    lines = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("line_no", "line"),
-    ).withColumn("line_hash", F.md5("line"))
+    # lines feeds the owner-stats build side AND the flag-join probe side
+    # — two diverging consumers, so the split + md5 projection ran twice
+    # per pass (the substrings wins replay class, r16 scan census). One
+    # eager checkpoint halves that; corpus-line-sized, the same
+    # executor-local-disk trade the jaccard keyed checkpoint makes.
+    lines = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), delim)).alias(
+                "line_no", "line"
+            ),
+        )
+        .withColumn("line_hash", F.md5("line"))
+        .localCheckpoint(eager=True)
+    )
     dup_owners = (
         lines.filter(F.length("line") >= min_chars)
         .groupBy("line_hash")
