@@ -121,7 +121,14 @@ def tfidf_topk(
 def q_text_tfidf_topk(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     n_docs_df = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
-    return tfidf_topk(_term_freq(spark, sf_dir), n_docs_df)
+    # tf feeds the document-frequency aggregation AND the scoring join's
+    # probe side — diverging consumers, so the tokenize + (doc_id, term)
+    # count ran twice per pass (r16 scan census: 3 scans). One eager
+    # checkpoint halves it (the rrf-fusion entry already materializes
+    # its shared tf the same way).
+    return tfidf_topk(
+        _term_freq(spark, sf_dir).localCheckpoint(eager=True), n_docs_df
+    )
 
 
 def _sql_tfidf_topk() -> str:
