@@ -908,16 +908,21 @@ def dedup_keeper_by_priority(
     Output: (doc_id, keeper_doc_id, is_keeper).
 
     Same distributed shape as ``dedup_clusters`` (component fixpoint,
-    then one window over clusters — cluster-sized partitions, never
-    corpus-wide), plus one broadcast-sized keeper join.
+    then one keeper reduction over clusters — cluster-sized groups,
+    never corpus-wide), plus one broadcast-sized keeper join. The
+    keeper pick is ``min(struct(prio, id))`` — the r15 LPA precedent:
+    identical to the old per-component row_number window's rank-1 under
+    (prio ASC, id ASC) including NULLS FIRST (struct ordering places a
+    null field first, exactly the window default — pinned by test), but
+    the per-component SORT drops out and partial map-side aggregation
+    applies where a window could not.
 
-    NULL-priority hazard: the keeper window sorts ``prio`` ascending with
-    Spark's default NULLS FIRST, so a NULL priority would crown an
-    unknown-priority doc as keeper. ``priority`` must therefore be a
-    TOTAL expression — coalesce unknowns to a worst-sorting sentinel
-    (e.g. ``coalesce(try_cast(...), lit(2**31 - 1))``, as
-    ``q_dedup_keeper_priority`` does) or pass an ``asc_nulls_last``
-    column if NULL-last is the intended policy.
+    NULL-priority hazard: ascending NULLS FIRST means a NULL priority
+    would crown an unknown-priority doc as keeper. ``priority`` must
+    therefore be a TOTAL expression — coalesce unknowns to a
+    worst-sorting sentinel (e.g.
+    ``coalesce(try_cast(...), lit(2**31 - 1))``, as
+    ``q_dedup_keeper_priority`` does).
     """
     comp = connected_components(candidate_pairs)
     labeled = (
@@ -928,12 +933,14 @@ def dedup_keeper_by_priority(
             F.coalesce("component", F.col("node")).alias("component"),
             "prio",
         )
+        # feeds the keeper reduction AND the output join — materialize
+        # once so the docs scan + component join run once per pass
+        .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("component").orderBy("prio", id_col)
     keepers = (
-        labeled.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("component", F.col(id_col).alias("keeper_doc_id"))
+        labeled.groupBy("component")
+        .agg(F.min(F.struct("prio", id_col)).alias("w"))
+        .select("component", F.col(f"w.{id_col}").alias("keeper_doc_id"))
     )
     return labeled.join(keepers, "component").select(
         id_col,
